@@ -1,0 +1,37 @@
+"""probabilit-tpu: a TPU-native Monte Carlo modeling framework.
+
+A ground-up JAX/XLA re-design with the capabilities of the reference
+``probabilit`` library (graph-based Monte Carlo modeling): lazy
+computational graphs of distributions, constants and transforms; inverse-CDF
+sampling kernels per distribution family; quasi-Monte Carlo sequences;
+rank-based correlation induction; all compiled into single XLA programs
+with the sample axis shardable over a TPU mesh.
+
+Public API mirrors the reference ``probabilit/__init__.py``.
+"""
+
+from probabilit_tpu.models.graph import Constant, Equal, scalar_transform
+from probabilit_tpu.models.distributions import (
+    CumulativeDistribution,
+    DiscreteDistribution,
+    Distribution,
+    EmpiricalDistribution,
+    MultivariateDistribution,
+)
+from probabilit_tpu.models.factories import PERT
+from probabilit_tpu.inspection import plot
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Distribution",
+    "Constant",
+    "EmpiricalDistribution",
+    "CumulativeDistribution",
+    "DiscreteDistribution",
+    "Equal",
+    "scalar_transform",
+    "MultivariateDistribution",
+    "PERT",
+    "plot",
+]

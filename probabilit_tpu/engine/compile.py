@@ -1,0 +1,238 @@
+"""Graph compiler: DAG -> one jitted XLA sampling program.
+
+The reference interprets the graph node-by-node in Python, with three phases
+(``modeling.py:495-614``): (1) sample initial sampling nodes (ISNs) from
+quantile columns, (2) induce declared correlations on the ISN matrix,
+(3) propagate through transforms in topological order, garbage-collecting
+``samples_`` arrays as reference counts hit zero.
+
+Here all three phases are staged into a single traced function
+``program(quantiles) -> (outputs, finite_flags)`` and compiled once per
+graph structure:
+
+* transforms fuse into a handful of TPU kernels (no per-node dispatch);
+* the correlator (Iman-Conover / Cholesky) is spliced into the same
+  program, so its sorts/matmuls fuse with sampling;
+* the garbage-collection strategy becomes *output selection*: nodes not
+  kept are simply not returned, and XLA's dead-code elimination ensures
+  their intermediates never materialise in HBM — strictly stronger than
+  the reference's reference-counting deleter (``garbage_collector.py``);
+* non-finite detection (``modeling.py:600-606``) compiles to one scalar
+  ``all(isfinite)`` flag per kept node, checked on host after the run.
+"""
+
+from __future__ import annotations
+
+import numbers
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probabilit_tpu import config
+from probabilit_tpu.models import graph as _graph
+from probabilit_tpu.ops import correlation as _correlation
+from probabilit_tpu.ops import ncm as _ncm
+from probabilit_tpu.utils import build_corrmat
+
+CORRELATOR_MAP = {
+    "imanconover": _correlation.ImanConover,
+    "cholesky": _correlation.Cholesky,
+}
+
+
+class EmitContext:
+    """Tracing context handed to ``Node._emit``: memoised lazy evaluation."""
+
+    def __init__(self, n, columns):
+        self.n = n
+        self._columns = columns  # node_id -> traced quantile column
+        self._values = {}
+        self.finalizers = {}
+
+    def value(self, node):
+        nid = node._id
+        if nid not in self._values:
+            self._values[nid] = node._emit(self)
+        return self._values[nid]
+
+    def set_value(self, node, value):
+        self._values[node._id] = value
+
+    def column(self, node):
+        return self._columns[node._id]
+
+    def add_finalizer(self, node, fn):
+        self.finalizers[node._id] = fn
+
+
+class Plan:
+    """Static analysis of a graph: topo order, column map, correlations."""
+
+    def __init__(self, sink):
+        self.sink = sink
+        self.topo = _graph.topological_sort(sink)
+
+        # One pass over the topo order: which nodes have distribution
+        # ancestors (an ISN is a distribution without any).
+        has_dist_ancestor = {}
+        for node in self.topo:
+            parents = list(node.get_parents())
+            has_dist_ancestor[node._id] = any(
+                p._is_distribution or has_dist_ancestor[p._id] for p in parents
+            )
+        self.isns = sorted(
+            (
+                n
+                for n in self.topo
+                if n._is_distribution and not has_dist_ancestor[n._id]
+            ),
+            key=lambda n: n._id,
+        )
+
+        # Column assignment mirrors the reference's consumption order
+        # (``modeling.py:510-538, 586-592``): ISNs sorted by _id first,
+        # then composite distribution nodes in topological order.
+        composite = [
+            n for n in self.topo if n._is_distribution and has_dist_ancestor[n._id]
+        ]
+        self.dist_nodes = self.isns + composite
+        self.col_of = {n._id: i for i, n in enumerate(self.dist_nodes)}
+        self.d = len(self.dist_nodes)
+
+        self._analyze_correlations()
+
+        # Host-side output finalizers (e.g. string-valued categorical
+        # gathers) are a static property of the node type.
+        self.finalizers = {}
+        for node in self.topo:
+            fin = getattr(node, "_host_finalizer", None)
+            if fin is not None:
+                fn = fin()
+                if fn is not None:
+                    self.finalizers[node._id] = fn
+
+    def _analyze_correlations(self):
+        """Collect and validate declared correlations (``modeling.py:540-574``)."""
+        correlations = []
+        for node in self.topo:
+            correlations.extend(node._correlations)
+
+        isn_set = set(self.isns)
+        for variables, _ in correlations:
+            for variable in variables:
+                if variable not in isn_set:
+                    raise ValueError(f"Cannot correlate variable: {variable}")
+
+        import itertools
+
+        variable_sets = [set(variables) for (variables, _) in correlations]
+        for vars1, vars2 in itertools.combinations(variable_sets, 2):
+            common = vars1.intersection(vars2)
+            if len(common) > 1:
+                raise ValueError(f"Correlations specified more than once: {common}")
+
+        if not correlations:
+            self.corr_vars = []
+            self.corr_matrix = None
+            return
+
+        all_variables = sorted(
+            set().union(*variable_sets), key=lambda n: n._id
+        )
+        var_to_int = {v: i for i, v in enumerate(all_variables)}
+        indexed = [
+            (tuple(var_to_int[var] for var in variables), corrmat)
+            for (variables, corrmat) in correlations
+        ]
+        self.corr_vars = all_variables
+        raw = build_corrmat(indexed)
+        self.corr_matrix = _ncm.nearest_correlation_matrix(raw)
+
+    def signature(self):
+        sig = []
+        for node in self.topo:
+            parent_ids = tuple(p._id for p in node.get_parents())
+            sig.append((node._id, node._static_signature(), parent_ids))
+        corr_sig = (
+            None
+            if self.corr_matrix is None
+            else (
+                tuple(v._id for v in self.corr_vars),
+                self.corr_matrix.tobytes(),
+            )
+        )
+        return (tuple(sig), self.sink._id, corr_sig)
+
+
+def resolve_correlator(correlator):
+    if isinstance(correlator, str):
+        return CORRELATOR_MAP[correlator.lower()]
+    return correlator
+
+
+_PROGRAM_CACHE = {}
+_CACHE_LIMIT = 128
+
+
+def get_program(plan, correlator, keep_ids, check_finite=True):
+    """Build (or fetch) the jitted sampling program for this plan."""
+    correlator_cls = resolve_correlator(correlator)
+    key = (
+        plan.signature(),
+        getattr(correlator_cls, "__qualname__", str(correlator_cls)),
+        tuple(sorted(keep_ids)),
+        bool(check_finite),
+        str(config.float_dtype().__name__ if hasattr(config.float_dtype(), "__name__") else config.float_dtype()),
+    )
+    cached = _PROGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    corr_matrix = plan.corr_matrix
+    corr_vars = list(plan.corr_vars)
+    topo = list(plan.topo)
+    isns = list(plan.isns)
+    col_of = dict(plan.col_of)
+    sink = plan.sink
+
+    def program(quantiles):
+        n = quantiles.shape[0]
+        columns = {nid: quantiles[:, col] for nid, col in col_of.items()}
+        ctx = EmitContext(n=n, columns=columns)
+
+        # Phase 1: initial sampling nodes (their Constant/Transform
+        # parameter subgraphs evaluate lazily through ctx.value).
+        for node in isns:
+            ctx.value(node)
+
+        # Phase 2: correlation induction on the declared variables.
+        if corr_matrix is not None:
+            instance = correlator_cls().set_target(corr_matrix)
+            X = jnp.stack([ctx.value(v) for v in corr_vars], axis=1)
+            X = X.astype(config.float_dtype())
+            X_corr = instance._apply(X)
+            for i, var in enumerate(corr_vars):
+                ctx.set_value(var, X_corr[:, i])
+
+        # Phase 3: propagate to the sink and materialise kept outputs.
+        outputs = {}
+        for node in topo:
+            if node._id in keep_ids:
+                outputs[node._id] = ctx.value(node)
+        ctx.value(sink)
+
+        flags = {}
+        if check_finite:
+            for nid, value in outputs.items():
+                if value is None:
+                    continue
+                if jnp.issubdtype(value.dtype, jnp.inexact):
+                    flags[nid] = jnp.all(jnp.isfinite(value))
+        return outputs, flags
+
+    compiled = jax.jit(program)
+    if len(_PROGRAM_CACHE) >= _CACHE_LIMIT:
+        _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+    _PROGRAM_CACHE[key] = compiled
+    return compiled

@@ -1,0 +1,112 @@
+"""Sampling orchestration: the public ``.sample()`` entry point.
+
+Mirrors the reference driver (``modeling.py:431-614``) but executes one
+compiled XLA program (see ``engine/compile.py``):
+
+1. resolve the RNG key and draw/construct the ``(size, d)`` quantile matrix
+   (counter-based PRNG or index-addressable QMC — both mesh-shape
+   invariant), sharded over the active mesh's sample axis;
+2. run the jitted program -> kept node outputs + finite flags;
+3. host side: apply output finalizers (e.g. string-categorical gathers),
+   raise on non-finite samples, assign ``.samples_`` to kept nodes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from probabilit_tpu import config
+from probabilit_tpu.engine import compile as _compile
+from probabilit_tpu.ops import qmc as _qmc
+from probabilit_tpu.parallel import mesh as _mesh
+
+__all__ = ["sample", "sample_from_quantiles", "resolve_key"]
+
+
+def resolve_key(random_state):
+    """Map reference-style ``random_state`` values onto a JAX PRNG key.
+
+    None -> fresh entropy; int -> PRNGKey(int); numpy Generator/RandomState
+    -> seed drawn from it (mutating it, like ``check_random_state`` use in
+    the reference); a JAX key passes through.
+    """
+    if random_state is None:
+        seed = int(np.random.SeedSequence().entropy % (2**63))
+        return jax.random.PRNGKey(seed)
+    if isinstance(random_state, (int, np.integer)):
+        return jax.random.PRNGKey(int(random_state))
+    if isinstance(random_state, np.random.Generator):
+        return jax.random.PRNGKey(int(random_state.integers(2**63)))
+    if isinstance(random_state, np.random.RandomState):
+        return jax.random.PRNGKey(int(random_state.randint(2**31)))
+    if isinstance(random_state, jax.Array):
+        return random_state
+    raise TypeError(f"Cannot interpret random_state: {random_state!r}")
+
+
+def sample(
+    sink,
+    size=None,
+    random_state=None,
+    method=None,
+    correlator="imanconover",
+    gc_strategy=None,
+):
+    size = 1 if size is None else int(size)
+    plan = _compile.Plan(sink)
+    key = resolve_key(random_state)
+    quantiles = _qmc.generate(method, key, size, plan.d, dtype=config.float_dtype())
+    return _execute(plan, quantiles, correlator, gc_strategy)
+
+
+def sample_from_quantiles(sink, quantiles, correlator="imanconover", gc_strategy=None):
+    plan = _compile.Plan(sink)
+    quantiles = jnp.asarray(quantiles, config.float_dtype())
+    if quantiles.ndim != 2:
+        raise ValueError("`quantiles` must have shape (num_samples, dimensionality)")
+    _, n_dim = quantiles.shape
+    assert n_dim == plan.d
+    return _execute(plan, quantiles, correlator, gc_strategy)
+
+
+def _execute(plan, quantiles, correlator, gc_strategy):
+    # Clear any stale samples in the graph (``modeling.py:513-515``).
+    for node in plan.topo:
+        if hasattr(node, "samples_"):
+            delattr(node, "samples_")
+
+    if gc_strategy is None:
+        keep_ids = frozenset(node._id for node in plan.topo)
+    else:
+        keep_ids = frozenset({plan.sink._id} | {node._id for node in gc_strategy})
+
+    program = _compile.get_program(plan, correlator, keep_ids)
+
+    quantiles = _mesh.shard_samples(quantiles)
+    outputs, flags = program(quantiles)
+
+    # Non-finite guard (``modeling.py:600-606``): one scalar per kept node.
+    if flags:
+        flag_values = jax.device_get(flags)
+        by_id = {node._id: node for node in plan.topo}
+        for nid, ok in flag_values.items():
+            if not bool(ok):
+                node = by_id[nid]
+                raise ValueError(
+                    f"Sampling this node gave non-finite values: {node}\n"
+                    f"{np.asarray(outputs[nid])}"
+                )
+
+    # Host finalizers (string-valued categoricals etc.).
+    for nid, fn in plan.finalizers.items():
+        if nid in outputs:
+            outputs[nid] = fn(outputs[nid])
+
+    for node in plan.topo:
+        if node._id in outputs:
+            node.samples_ = outputs[node._id]
+
+    return plan.sink.samples_

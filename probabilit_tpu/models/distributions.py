@@ -1,0 +1,338 @@
+"""Distribution node types for the modeling language.
+
+Mirrors the reference node classes (``modeling.py:772-927, 1215-1264``) with
+TPU-native sampling: each node stages an inverse-CDF kernel from
+``probabilit_tpu.ops.ppf`` into the compiled program instead of calling
+scipy's ``.ppf`` per node (``modeling.py:805-812``).
+"""
+
+from __future__ import annotations
+
+import abc
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from probabilit_tpu import config
+from probabilit_tpu.models.graph import Node, OverloadMixin, Transform
+from probabilit_tpu.ops import ppf
+
+__all__ = [
+    "AbstractDistribution",
+    "Distribution",
+    "EmpiricalDistribution",
+    "CumulativeDistribution",
+    "DiscreteDistribution",
+    "MarginalDistribution",
+    "MultivariateDistribution",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def _scipy_is_multivariate(name):
+    return ppf.is_multivariate(name)
+
+
+class AbstractDistribution(Node, OverloadMixin, abc.ABC):
+    """Base class for all sampling nodes; consumes one quantile column."""
+
+    _is_distribution = True
+
+
+class Distribution(AbstractDistribution):
+    """A parametric distribution addressed by its scipy.stats name.
+
+    Parameters may be numbers or other nodes (composite distributions).
+    Mirrors reference ``modeling.py:776-823``; sampling resolves a native
+    XLA ppf kernel (``ops/ppf.py``), falling back to a host scipy callback
+    for unregistered names.
+
+    >>> Distribution("norm", loc=5, scale=1)
+    Distribution("norm", loc=5, scale=1)
+    """
+
+    def __init__(self, distr, *args, **kwargs):
+        self.distr = distr
+        self.args = args
+        self.kwargs = kwargs
+        super().__init__()
+
+    def __repr__(self):
+        args = ", ".join(repr(arg) for arg in self.args)
+        kwargs = ", ".join(f"{k}={repr(v)}" for (k, v) in self.kwargs.items())
+        out = f'{type(self).__name__}("{self.distr}"'
+        if args:
+            out += f", {args}"
+        if kwargs:
+            out += f", {kwargs}"
+        return out + ")"
+
+    def get_parents(self):
+        for arg in self.args + tuple(self.kwargs.values()):
+            if isinstance(arg, Node):
+                yield arg
+
+    @property
+    def is_leaf(self):
+        return list(self.get_parents()) == []
+
+    def _rewire(self, update):
+        self.args = tuple(update(a) if isinstance(a, Node) else a for a in self.args)
+        self.kwargs = {
+            k: (update(v) if isinstance(v, Node) else v) for k, v in self.kwargs.items()
+        }
+
+    def _static_signature(self):
+        sig_args = tuple(
+            "<node>" if isinstance(a, Node) else repr(a) for a in self.args
+        )
+        sig_kwargs = tuple(
+            (k, "<node>" if isinstance(v, Node) else repr(v))
+            for k, v in sorted(self.kwargs.items())
+        )
+        return ("Distribution", self.distr, sig_args, sig_kwargs)
+
+    def _mv_dim(self):
+        """Event dimension of a multivariate distribution (probed once)."""
+        if not hasattr(self, "_mv_dim_cache"):
+            import scipy.stats as sps
+
+            frozen = getattr(sps, self.distr)(*self.args, **self.kwargs)
+            draw = np.atleast_2d(np.asarray(frozen.rvs(size=1, random_state=0)))
+            self._mv_dim_cache = draw.shape[-1]
+        return self._mv_dim_cache
+
+    def _emit(self, ctx):
+        q = ctx.column(self)
+
+        def unpack(arg):
+            return ctx.value(arg) if isinstance(arg, Node) else arg
+
+        args = tuple(unpack(a) for a in self.args)
+        kwargs = {k: unpack(v) for k, v in self.kwargs.items()}
+
+        if _scipy_is_multivariate(self.distr):
+            # Multivariate leaf: scipy .rvs seeded from q[0], reference
+            # ``modeling.py:808-812``. Must be a leaf (static params).
+            shape = (ctx.n, self._mv_dim())
+            return ppf.scipy_fallback_rvs(self.distr, q, shape, *args, **kwargs)
+
+        return ppf.call(self.distr, q, *args, **kwargs)
+
+
+class EmpiricalDistribution(AbstractDistribution):
+    """Inverse-CDF sampling from observed data; wraps ``np.quantile``.
+
+    Reference ``modeling.py:825-844``.  The default linear interpolation
+    compiles to a fused ``interp`` over the sorted data (device resident);
+    other ``method=`` values use an exact host ``np.quantile`` callback.
+    """
+
+    is_leaf = True
+
+    def __init__(self, data, **kwargs):
+        self.data = np.array(data)
+        self.kwargs = kwargs
+        super().__init__()
+
+    def __repr__(self):
+        return f"{type(self).__name__}()"
+
+    def get_parents(self):
+        yield from []
+
+    def _static_signature(self):
+        return (
+            "EmpiricalDistribution",
+            self.data.tobytes(),
+            str(self.data.dtype),
+            tuple(sorted((k, repr(v)) for k, v in self.kwargs.items())),
+        )
+
+    def _emit(self, ctx):
+        q = ctx.column(self)
+        method = self.kwargs.get("method", "linear")
+        extra = {k: v for k, v in self.kwargs.items() if k != "method"}
+        if method == "linear" and not extra and np.issubdtype(self.data.dtype, np.number):
+            sorted_data = jnp.asarray(np.sort(self.data), config.float_dtype())
+            grid = jnp.linspace(0.0, 1.0, self.data.shape[0], dtype=config.float_dtype())
+            return jnp.interp(q, grid, sorted_data)
+
+        # Exact numpy semantics for every other method.
+        import jax
+
+        out_dtype = (
+            self.data.dtype
+            if np.issubdtype(self.data.dtype, np.number)
+            else config.np_float_dtype()
+        )
+        out_dtype = jax.dtypes.canonicalize_dtype(out_dtype)
+
+        def host(q_np):
+            return np.asarray(
+                np.quantile(a=self.data, q=np.asarray(q_np, np.float64), **self.kwargs),
+                out_dtype,
+            )
+
+        result = jax.ShapeDtypeStruct((ctx.n,), out_dtype)
+        return jax.pure_callback(host, result, q)
+
+
+class CumulativeDistribution(AbstractDistribution):
+    """A distribution defined by piecewise-linear cumulative quantiles.
+
+    Reference ``modeling.py:847-882``.
+
+    >>> distr = CumulativeDistribution([0, 0.2, 0.8, 1], [10, 15, 20, 25])
+    >>> np.asarray(distr.sample(3, random_state=42)).shape
+    (3,)
+    """
+
+    is_leaf = True
+
+    def __init__(self, quantiles, cumulatives):
+        self.q = np.array(quantiles)
+        self.cumulatives = np.array(cumulatives)
+        if not np.all(np.diff(self.q) > 0):
+            raise ValueError("The quantiles must be strictly increasing.")
+        if not np.all(np.diff(self.cumulatives) > 0):
+            raise ValueError("The cumulatives must be strictly increasing.")
+        if not (np.isclose(np.min(self.q), 0) and np.isclose(np.max(self.q), 1)):
+            raise ValueError("Lowest quantile must be 0 and highest must be 1.")
+        super().__init__()
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(quantiles={repr(self.q)}, "
+            f"cumulatives={repr(self.cumulatives)})"
+        )
+
+    def get_parents(self):
+        yield from []
+
+    def _static_signature(self):
+        return (
+            "CumulativeDistribution",
+            self.q.tobytes(),
+            self.cumulatives.tobytes(),
+        )
+
+    def _emit(self, ctx):
+        q = ctx.column(self)
+        xp = jnp.asarray(self.q, config.float_dtype())
+        fp = jnp.asarray(self.cumulatives, config.float_dtype())
+        return jnp.interp(q, xp, fp)
+
+
+class DiscreteDistribution(AbstractDistribution):
+    """A discrete/categorical distribution over values with probabilities.
+
+    Reference ``modeling.py:885-927``.  Sampling is a ``searchsorted`` into
+    the cumulative probabilities on device.  Non-numeric values (e.g.
+    strings) cannot live on TPU: indices are sampled on device and gathered
+    into the value array on host at the output boundary.
+    """
+
+    is_leaf = True
+
+    def __init__(self, values, probabilities=None):
+        self.values = np.array(values)
+        if probabilities is None:
+            self.probabilities = np.ones(len(self.values), dtype=float)
+            self.probabilities = self.probabilities / np.sum(self.probabilities)
+        else:
+            self.probabilities = np.array(probabilities)
+
+        if not len(self.values) == len(self.probabilities):
+            raise ValueError(
+                f"Length mismatch: {len(self.values)=}  {len(self.probabilities)=}"
+            )
+        if not np.isclose(np.sum(self.probabilities), 1.0):
+            raise ValueError(f"Probabilities must sum to 1. {sum(self.probabilities)=}")
+        if np.any(self.probabilities < 0):
+            raise ValueError("Probabilities are not non-negative.")
+        super().__init__()
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(values={repr(self.values)}, "
+            f"probabilities={repr(self.probabilities)})"
+        )
+
+    def get_parents(self):
+        yield from []
+
+    def _static_signature(self):
+        return (
+            "DiscreteDistribution",
+            self.values.tobytes() if self.values.dtype != object else repr(self.values),
+            str(self.values.dtype),
+            self.probabilities.tobytes(),
+        )
+
+    def _emit(self, ctx):
+        q = ctx.column(self)
+        cumulative = jnp.asarray(
+            np.cumsum(self.probabilities), config.float_dtype()
+        )
+        idx = jnp.searchsorted(cumulative, q, side="right")
+        idx = jnp.minimum(idx, len(self.values) - 1)
+        if np.issubdtype(self.values.dtype, np.number):
+            return jnp.take(jnp.asarray(self.values), idx)
+        # Non-numeric values: indices on device, host gather at the boundary.
+        return idx
+
+    def _host_finalizer(self):
+        """Gather non-numeric values on host (strings cannot live on TPU)."""
+        if np.issubdtype(self.values.dtype, np.number):
+            return None
+        values = self.values
+        return lambda idx: values[np.asarray(idx)]
+
+
+class MarginalDistribution(Transform):
+    """A 'slice' of a multivariate distribution (``modeling.py:1215-1243``).
+
+    >>> distr = Distribution("multinomial", n=10, p=[0.1, 0.2, 0.7])
+    >>> MarginalDistribution(distr, d=0)
+    MarginalDistribution(Distribution("multinomial", n=10, p=[0.1, 0.2, 0.7]), d=0)
+    """
+
+    is_leaf = False
+
+    def __init__(self, distr, d):
+        self.distr = distr
+        self.d = d
+        super().__init__()
+
+    def get_parents(self):
+        yield self.distr
+
+    def _rewire(self, update):
+        self.distr = update(self.distr)
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.distr}, d={self.d})"
+
+    def _static_signature(self):
+        return ("MarginalDistribution", self.d)
+
+    def _emit(self, ctx):
+        value = ctx.value(self.distr)
+        return jnp.atleast_2d(value)[:, self.d]
+
+
+def MultivariateDistribution(distr, *args, **kwargs):
+    """Factory yielding the marginal slices of a multivariate distribution.
+
+    Mirrors reference ``modeling.py:1246-1264``: constraints are (1) leaf
+    node only, (2) unpack all marginals, (3) pseudo-random sampling only.
+
+    >>> d1, d2 = MultivariateDistribution("dirichlet", alpha=[1, 2])
+    >>> d1
+    MarginalDistribution(Distribution("dirichlet", alpha=[1, 2]), d=0)
+    """
+    node = Distribution(distr, *args, **kwargs)
+    d = node._mv_dim()
+    yield from (MarginalDistribution(node, d=i) for i in range(d))

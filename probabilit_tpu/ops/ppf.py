@@ -1,0 +1,462 @@
+"""Inverse-CDF (ppf) sampling kernels per distribution family.
+
+This module is the TPU-native replacement for the reference's scipy backend:
+``Distribution("name", ...)`` resolves ``getattr(scipy.stats, name).ppf``
+(``modeling.py:795-812``).  Here each family is an XLA-traceable function
+``kernel(q, *shape_params, loc, scale)`` whose parameter names and order
+mirror the scipy.stats conventions, so reference models run unchanged.
+Parameters may be traced arrays (composite distributions) — every kernel
+broadcasts elementwise and fuses into the surrounding sampling program.
+
+Three tiers:
+
+1. closed-form kernels (uniform, norm, expon, ...),
+2. Newton-inversion kernels (beta, gamma, t, ...) on
+   ``probabilit_tpu.ops.special``,
+3. discrete kernels with a static-parameter fast path (host-precomputed CDF
+   table + ``searchsorted``, one gather per sample) and a traced-parameter
+   path (vectorised bisection on the analytic CDF).
+
+Anything not registered falls back to a host callback into scipy.stats
+(:func:`scipy_fallback_ppf`), giving full scipy.stats name coverage at
+reduced speed.  scipy discrete ppf returns ``support_min - 1`` at q=0; we
+return the support minimum instead (saner for composite parameters; q=0 has
+probability ~2^-24 under float32 uniforms).
+"""
+
+from __future__ import annotations
+
+import numbers
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import betainc, gammaincc, ndtr, ndtri
+
+from probabilit_tpu import config
+from probabilit_tpu.ops import special
+
+__all__ = ["register", "lookup", "call", "scipy_fallback_ppf", "is_multivariate"]
+
+_REGISTRY = {}
+
+
+def register(name):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def lookup(name):
+    return _REGISTRY.get(name)
+
+
+def call(name, q, *args, **kwargs):
+    """Evaluate the ppf kernel for scipy.stats distribution ``name``."""
+    kernel = lookup(name)
+    if kernel is None:
+        return scipy_fallback_ppf(name, q, *args, **kwargs)
+    return kernel(q, *args, **kwargs)
+
+
+def _f(x):
+    """Promote parameters to the configured float dtype."""
+    return jnp.asarray(x, config.float_dtype())
+
+
+def _is_static(*params):
+    return all(isinstance(p, (numbers.Number, np.ndarray)) for p in params)
+
+
+# =====================================================================
+# Continuous, closed form
+# =====================================================================
+
+
+@register("uniform")
+def uniform(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * _f(q)
+
+
+@register("norm")
+def norm(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * ndtri(_f(q))
+
+
+@register("expon")
+def expon(q, loc=0.0, scale=1.0):
+    return _f(loc) - _f(scale) * jnp.log1p(-_f(q))
+
+
+@register("lognorm")
+def lognorm(q, s, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.exp(_f(s) * ndtri(_f(q)))
+
+
+@register("triang")
+def triang(q, c, loc=0.0, scale=1.0):
+    q, c = _f(q), _f(c)
+    left = jnp.sqrt(q * c)
+    right = 1.0 - jnp.sqrt((1.0 - q) * (1.0 - c))
+    x = jnp.where(q <= c, left, right)
+    return _f(loc) + _f(scale) * x
+
+
+@register("truncnorm")
+def truncnorm(q, a, b, loc=0.0, scale=1.0):
+    a, b, q = _f(a), _f(b), _f(q)
+    fa, fb = ndtr(a), ndtr(b)
+    return _f(loc) + _f(scale) * ndtri(fa + q * (fb - fa))
+
+
+@register("cauchy")
+def cauchy(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.tan(jnp.pi * (_f(q) - 0.5))
+
+
+@register("laplace")
+def laplace(q, loc=0.0, scale=1.0):
+    q = _f(q)
+    x = jnp.where(q < 0.5, jnp.log(2.0 * q), -jnp.log(2.0 * (1.0 - q)))
+    return _f(loc) + _f(scale) * x
+
+
+@register("logistic")
+def logistic(q, loc=0.0, scale=1.0):
+    q = _f(q)
+    return _f(loc) + _f(scale) * (jnp.log(q) - jnp.log1p(-q))
+
+
+@register("gumbel_r")
+def gumbel_r(q, loc=0.0, scale=1.0):
+    return _f(loc) - _f(scale) * jnp.log(-jnp.log(_f(q)))
+
+
+@register("gumbel_l")
+def gumbel_l(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.log(-jnp.log1p(-_f(q)))
+
+
+@register("rayleigh")
+def rayleigh(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.sqrt(-2.0 * jnp.log1p(-_f(q)))
+
+
+@register("halfnorm")
+def halfnorm(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * ndtri(0.5 * (1.0 + _f(q)))
+
+
+@register("pareto")
+def pareto(q, b, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.power(1.0 - _f(q), -1.0 / _f(b))
+
+
+@register("weibull_min")
+def weibull_min(q, c, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.power(-jnp.log1p(-_f(q)), 1.0 / _f(c))
+
+
+@register("weibull_max")
+def weibull_max(q, c, loc=0.0, scale=1.0):
+    return _f(loc) - _f(scale) * jnp.power(-jnp.log(_f(q)), 1.0 / _f(c))
+
+
+@register("powerlaw")
+def powerlaw(q, a, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.power(_f(q), 1.0 / _f(a))
+
+
+@register("loguniform")
+def loguniform(q, a, b, loc=0.0, scale=1.0):
+    a, b = _f(a), _f(b)
+    return _f(loc) + _f(scale) * jnp.exp(jnp.log(a) + _f(q) * (jnp.log(b) - jnp.log(a)))
+
+
+@register("arcsine")
+def arcsine(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.square(jnp.sin(0.5 * jnp.pi * _f(q)))
+
+
+@register("hypsecant")
+def hypsecant(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * (2.0 / jnp.pi) * jnp.log(jnp.tan(0.5 * jnp.pi * _f(q)))
+
+
+@register("fisk")
+def fisk(q, c, loc=0.0, scale=1.0):
+    q = _f(q)
+    return _f(loc) + _f(scale) * jnp.power(q / (1.0 - q), 1.0 / _f(c))
+
+
+@register("genpareto")
+def genpareto(q, c, loc=0.0, scale=1.0):
+    q, c = _f(q), _f(c)
+    x = jnp.where(
+        jnp.abs(c) < 1e-9,
+        -jnp.log1p(-q),
+        jnp.expm1(-c * jnp.log1p(-q)) / jnp.where(jnp.abs(c) < 1e-9, 1.0, c),
+    )
+    return _f(loc) + _f(scale) * x
+
+
+@register("genextreme")
+def genextreme(q, c, loc=0.0, scale=1.0):
+    q, c = _f(q), _f(c)
+    lq = -jnp.log(q)
+    x = jnp.where(
+        jnp.abs(c) < 1e-9,
+        -jnp.log(lq),
+        -jnp.expm1(c * jnp.log(lq)) / jnp.where(jnp.abs(c) < 1e-9, 1.0, c),
+    )
+    return _f(loc) + _f(scale) * x
+
+
+@register("semicircular")
+def semicircular(q, loc=0.0, scale=1.0):
+    # CDF(x) = 1/2 + x sqrt(1-x^2)/pi + arcsin(x)/pi on [-1, 1]; invert by Newton.
+    q = _f(q)
+    x = 2.0 * q - 1.0  # decent initial guess
+
+    def body(_, x):
+        f = 0.5 + (x * jnp.sqrt(1.0 - x * x) + jnp.arcsin(x)) / jnp.pi - q
+        pdf = 2.0 * jnp.sqrt(jnp.clip(1.0 - x * x, 1e-12)) / jnp.pi
+        return jnp.clip(x - f / pdf, -1.0, 1.0)
+
+    x = jax.lax.fori_loop(0, 16, body, x)
+    return _f(loc) + _f(scale) * x
+
+
+# =====================================================================
+# Continuous, Newton inversions of incomplete gamma / beta
+# =====================================================================
+
+
+@register("gamma")
+def gamma(q, a, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * special.gammaincinv(_f(a), _f(q))
+
+
+@register("erlang")
+def erlang(q, a, loc=0.0, scale=1.0):
+    return gamma(q, a, loc=loc, scale=scale)
+
+
+@register("chi2")
+def chi2(q, df, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * 2.0 * special.gammaincinv(0.5 * _f(df), _f(q))
+
+
+@register("chi")
+def chi(q, df, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.sqrt(2.0 * special.gammaincinv(0.5 * _f(df), _f(q)))
+
+
+@register("maxwell")
+def maxwell(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.sqrt(2.0 * special.gammaincinv(1.5, _f(q)))
+
+
+@register("invgamma")
+def invgamma(q, a, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) / special.gammaincinv(_f(a), 1.0 - _f(q))
+
+
+@register("nakagami")
+def nakagami(q, nu, loc=0.0, scale=1.0):
+    nu = _f(nu)
+    return _f(loc) + _f(scale) * jnp.sqrt(special.gammaincinv(nu, _f(q)) / nu)
+
+
+@register("beta")
+def beta(q, a, b, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * special.betaincinv(_f(a), _f(b), _f(q))
+
+
+@register("betaprime")
+def betaprime(q, a, b, loc=0.0, scale=1.0):
+    x = special.betaincinv(_f(a), _f(b), _f(q))
+    return _f(loc) + _f(scale) * x / (1.0 - x)
+
+
+@register("t")
+def t(q, df, loc=0.0, scale=1.0):
+    q, df = _f(q), _f(df)
+    # Two-tailed inversion via the incomplete beta function.
+    tail = jnp.minimum(q, 1.0 - q)
+    x = special.betaincinv(0.5 * df, 0.5, 2.0 * tail)
+    tval = jnp.sqrt(df * (1.0 - x) / jnp.clip(x, 1e-30))
+    return _f(loc) + _f(scale) * jnp.where(q < 0.5, -tval, tval)
+
+
+@register("f")
+def f(q, dfn, dfd, loc=0.0, scale=1.0):
+    q, dfn, dfd = _f(q), _f(dfn), _f(dfd)
+    x = special.betaincinv(0.5 * dfn, 0.5 * dfd, q)
+    return _f(loc) + _f(scale) * (dfd * x) / (dfn * (1.0 - x))
+
+
+# =====================================================================
+# Discrete distributions
+# =====================================================================
+
+
+def _table_ppf(q, cdf_table, loc=0):
+    """Static fast path: searchsorted into a host-precomputed f64 CDF table.
+
+    One gather per sample; the table is baked into the program as a
+    constant living in HBM/VMEM.
+    """
+    table = jnp.asarray(cdf_table, config.float_dtype())
+    k = jnp.searchsorted(table, jnp.asarray(q, config.float_dtype()), side="left")
+    k = jnp.minimum(k, table.shape[0] - 1)
+    return k.astype(config.float_dtype()) + _f(loc)
+
+
+def _poisson_cdf_table(mu):
+    import scipy.stats as sps
+
+    kmax = int(np.ceil(mu + 12.0 * np.sqrt(mu + 1.0) + 30.0))
+    table = sps.poisson.cdf(np.arange(kmax + 1), mu)
+    table[-1] = 1.0
+    return table
+
+
+@register("poisson")
+def poisson(q, mu, loc=0):
+    if _is_static(mu) and np.ndim(mu) == 0:
+        return _table_ppf(q, _poisson_cdf_table(float(mu)), loc)
+    mu = _f(mu)
+    q = _f(q)
+    # P(X <= k) = Q(k+1, mu), the regularized upper incomplete gamma.
+    cdf = lambda k: gammaincc(k + 1.0, mu)
+    hi = jnp.ceil(mu + 12.0 * jnp.sqrt(mu + 1.0) + 30.0)
+    k = special.discrete_ppf_bisect(cdf, q, hi)
+    return jnp.maximum(k, 0.0) + _f(loc)
+
+
+@register("binom")
+def binom(q, n, p, loc=0):
+    if _is_static(n, p) and np.ndim(n) == 0 and np.ndim(p) == 0:
+        import scipy.stats as sps
+
+        table = sps.binom.cdf(np.arange(int(n) + 1), int(n), float(p))
+        table[-1] = 1.0
+        return _table_ppf(q, table, loc)
+    n, p, q = _f(n), _f(p), _f(q)
+    # P(X <= k) = I_{1-p}(n - k, k + 1) for 0 <= k < n, else 1.
+    cdf = lambda k: jnp.where(
+        k >= n, 1.0, betainc(jnp.clip(n - k, 1e-9), k + 1.0, 1.0 - p)
+    )
+    k = special.discrete_ppf_bisect(cdf, q, n)
+    return jnp.clip(k, 0.0, n) + _f(loc)
+
+
+@register("bernoulli")
+def bernoulli(q, p, loc=0):
+    return (jnp.asarray(q, config.float_dtype()) > (1.0 - _f(p))).astype(
+        config.float_dtype()
+    ) + _f(loc)
+
+
+@register("geom")
+def geom(q, p, loc=0):
+    # Support {1, 2, ...}: smallest k with 1 - (1-p)^k >= q.
+    p, q = _f(p), _f(q)
+    k = jnp.ceil(jnp.log1p(-q) / jnp.log1p(-p))
+    return jnp.maximum(k, 1.0) + _f(loc)
+
+
+@register("nbinom")
+def nbinom(q, n, p, loc=0):
+    if _is_static(n, p) and np.ndim(n) == 0 and np.ndim(p) == 0:
+        import scipy.stats as sps
+
+        mean = n * (1 - p) / p
+        var = n * (1 - p) / p**2
+        kmax = int(np.ceil(mean + 12 * np.sqrt(var + 1) + 30))
+        table = sps.nbinom.cdf(np.arange(kmax + 1), n, p)
+        table[-1] = 1.0
+        return _table_ppf(q, table, loc)
+    n, p, q = _f(n), _f(p), _f(q)
+    # P(X <= k) = I_p(n, k + 1)
+    cdf = lambda k: betainc(n, k + 1.0, p)
+    mean = n * (1.0 - p) / p
+    var = n * (1.0 - p) / (p * p)
+    hi = jnp.ceil(mean + 12.0 * jnp.sqrt(var + 1.0) + 30.0)
+    k = special.discrete_ppf_bisect(cdf, q, hi)
+    return jnp.maximum(k, 0.0) + _f(loc)
+
+
+@register("randint")
+def randint(q, low, high, loc=0):
+    low, high = _f(low), _f(high)
+    k = jnp.floor(low + _f(q) * (high - low))
+    return jnp.clip(k, low, high - 1.0) + _f(loc)
+
+
+# =====================================================================
+# Fallback: host callback into scipy.stats (full name coverage)
+# =====================================================================
+
+
+def is_multivariate(name):
+    """True if scipy.stats ``name`` is a multivariate distribution (no ppf)."""
+    import scipy.stats as sps
+
+    obj = getattr(sps, name)
+    return not hasattr(obj, "ppf")
+
+
+def scipy_fallback_ppf(name, q, *args, **kwargs):
+    """Host-callback ppf for scipy.stats distributions without a native kernel.
+
+    Mirrors the reference dispatch (``modeling.py:795-807``).  Traced
+    parameters are shipped to host per call; use a registered kernel for
+    hot paths.
+    """
+    import scipy.stats as sps
+
+    getattr(sps, name)  # Raise early (at trace time) on bad names.
+
+    arg_arrays = [a for a in args if isinstance(a, (jax.Array, jnp.ndarray))]
+    kw_keys = [k for k, v in kwargs.items() if isinstance(v, (jax.Array, jnp.ndarray))]
+    kw_arrays = [kwargs[k] for k in kw_keys]
+    static_args = [None if isinstance(a, (jax.Array, jnp.ndarray)) else a for a in args]
+    static_kwargs = {k: v for k, v in kwargs.items() if k not in kw_keys}
+
+    out_dtype = config.np_float_dtype()
+
+    def host(q_np, *arrays):
+        it = iter(arrays)
+        full_args = [next(it) if a is None else a for a in static_args]
+        full_kwargs = dict(static_kwargs)
+        for k in kw_keys:
+            full_kwargs[k] = next(it)
+        frozen = getattr(sps, name)(*full_args, **full_kwargs)
+        return np.asarray(frozen.ppf(np.asarray(q_np, np.float64)), out_dtype)
+
+    result = jax.ShapeDtypeStruct(jnp.shape(q), out_dtype)
+    return jax.pure_callback(host, result, q, *arg_arrays, *kw_arrays)
+
+
+def scipy_fallback_rvs(name, q, shape, *args, **kwargs):
+    """Multivariate fallback: scipy ``.rvs`` seeded from the first quantile.
+
+    Mirrors reference ``modeling.py:808-812`` (seed = int(q[0] * 2**20)).
+    ``shape`` is the static output shape (n,) or (n, d).
+    """
+    import scipy.stats as sps
+
+    out_dtype = config.np_float_dtype()
+
+    def host(q_np):
+        seed = int(np.asarray(q_np).ravel()[0] * 2**20)
+        frozen = getattr(sps, name)(*args, **kwargs)
+        draws = frozen.rvs(size=shape[0], random_state=seed)
+        return np.asarray(draws, out_dtype).reshape(shape)
+
+    result = jax.ShapeDtypeStruct(shape, out_dtype)
+    return jax.pure_callback(host, result, q)

@@ -1,0 +1,268 @@
+"""Quasi-Monte-Carlo sequence generators (Sobol, Halton, Latin Hypercube).
+
+The reference delegates to ``scipy.stats.qmc`` (``modeling.py:479-489``).
+Here the generators are index-addressable XLA programs: point ``i`` of
+dimension ``j`` is a pure function of ``(i, j, key)``, so a chip holding
+samples ``[a, b)`` of a sharded run computes exactly its own block with no
+communication, and results are independent of the mesh shape.
+
+* Sobol: digital (t,s)-sequence in base 2.  Direction numbers are generated
+  at import from programmatically-found primitive polynomials over GF(2)
+  with seeded odd initial values; randomisation is hash-based Owen
+  scrambling (Laine-Karras style), applied per dimension.
+* Halton: radical-inverse in the first d primes with a Cranley-Patterson
+  random shift (scipy scrambles with digit permutations instead; both are
+  unbiased randomisations).
+* Latin hypercube: one random permutation per dimension, jittered.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probabilit_tpu import config
+
+__all__ = ["generate", "sobol", "halton", "latin_hypercube", "uniform"]
+
+_MAX_BITS = 32
+
+
+# =====================================================================
+# Direction-number generation (host, once per dimension count)
+# =====================================================================
+
+
+def _primitive_polynomials(count):
+    """First ``count`` primitive polynomials over GF(2), ascending degree.
+
+    A polynomial is returned as an int bitmask including the leading and
+    trailing 1 bits, e.g. x^3 + x + 1 -> 0b1011.
+    """
+
+    def polymulmod(a, b, mod, deg):
+        # Multiply a*b in GF(2)[x] modulo ``mod`` (degree ``deg``).
+        result = 0
+        while b:
+            if b & 1:
+                result ^= a
+            b >>= 1
+            a <<= 1
+            if a >> deg & 1:
+                a ^= mod
+        return result
+
+    def x_pow_mod(e, mod, deg):
+        # Compute x^e mod ``mod`` by square and multiply.
+        result, base = 1, 2
+        while e:
+            if e & 1:
+                result = polymulmod(result, base, mod, deg)
+            base = polymulmod(base, base, mod, deg)
+            e >>= 1
+        return result
+
+    def prime_factors(n):
+        factors, p = set(), 2
+        while p * p <= n:
+            while n % p == 0:
+                factors.add(p)
+                n //= p
+            p += 1
+        if n > 1:
+            factors.add(n)
+        return factors
+
+    found = []
+    degree = 1
+    while len(found) < count:
+        order = (1 << degree) - 1
+        factors = prime_factors(order)
+        for poly in range(1 << degree, 1 << (degree + 1)):
+            if not poly & 1:  # Constant term must be 1
+                continue
+            # Primitive iff ord(x) = 2^degree - 1 in GF(2)[x]/(poly).
+            if x_pow_mod(order, poly, degree) != 1:
+                continue
+            if any(x_pow_mod(order // q, poly, degree) == 1 for q in factors):
+                continue
+            found.append((degree, poly))
+            if len(found) == count:
+                break
+        degree += 1
+    return found
+
+
+@functools.lru_cache(maxsize=8)
+def _direction_numbers(d):
+    """(d, 32) uint32 direction-number matrix for a d-dimensional Sobol.
+
+    Dimension 0 is the van der Corput sequence; higher dimensions use the
+    classic recurrence over primitive polynomials with seeded random odd
+    initial values m_j < 2^j (any odd choice yields a valid digital
+    sequence; Owen scrambling randomises away quality differences).
+    """
+    V = np.zeros((d, _MAX_BITS), dtype=np.uint64)
+    # First dimension: v_k = 2^(31-k).
+    for k in range(_MAX_BITS):
+        V[0, k] = 1 << (_MAX_BITS - 1 - k)
+
+    if d > 1:
+        rng = np.random.RandomState(20240816)
+        polys = _primitive_polynomials(d - 1)
+        for j, (s, poly) in enumerate(polys, start=1):
+            # a-coefficients of the recurrence (exclude leading/trailing 1).
+            a = [(poly >> (s - i)) & 1 for i in range(1, s)]
+            m = [1] + [
+                int(2 * rng.randint(0, 1 << max(i - 1, 0)) + 1) for i in range(2, s + 1)
+            ]
+            m = m[:s]
+            for k in range(s, _MAX_BITS):
+                new = m[k - s] ^ (m[k - s] << s)
+                for i in range(1, s):
+                    if a[i - 1]:
+                        new ^= m[k - i] << i
+                m.append(new & 0xFFFFFFFF)
+            for k in range(_MAX_BITS):
+                V[j, k] = (m[k] << (_MAX_BITS - 1 - k)) & 0xFFFFFFFF
+    return jnp.asarray(V.astype(np.uint32))
+
+
+# =====================================================================
+# Bit manipulation (device)
+# =====================================================================
+
+
+def _reverse_bits32(x):
+    x = ((x >> 16) & jnp.uint32(0x0000FFFF)) | ((x & jnp.uint32(0x0000FFFF)) << 16)
+    x = ((x >> 8) & jnp.uint32(0x00FF00FF)) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x >> 1) & jnp.uint32(0x55555555)) | ((x & jnp.uint32(0x55555555)) << 1)
+    return x
+
+
+def _owen_scramble(bits, seeds):
+    """Hash-based nested-uniform (Owen) scrambling of radical-inverse bits.
+
+    Laine-Karras style hash operating on bit-reversed integers; ``seeds``
+    has one uint32 per dimension and broadcasts over the sample axis.
+    """
+    x = _reverse_bits32(bits)
+    x = x + seeds
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return _reverse_bits32(x)
+
+
+def _bits_to_unit(bits, dtype):
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float64):
+        return bits.astype(jnp.float64) * (2.0**-32)
+    # 24 mantissa-safe bits for float32; guarantees values in [0, 1).
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+# =====================================================================
+# Generators
+# =====================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble", "offset"))
+def sobol(key, n, d, dtype=None, scramble=True, offset=0):
+    """First ``n`` points (starting at index ``offset``) of a d-dim Sobol."""
+    dtype = config.float_dtype() if dtype is None else dtype
+    V = _direction_numbers(d)  # (d, 32)
+    idx = (jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(offset))
+    gray = idx ^ (idx >> 1)
+    acc = jnp.zeros((n, d), dtype=jnp.uint32)
+    for k in range(_MAX_BITS):
+        bit = ((gray >> jnp.uint32(k)) & jnp.uint32(1)).astype(jnp.uint32)
+        acc = acc ^ (bit[:, None] * V[None, :, k])
+    if scramble:
+        seeds = jax.random.randint(
+            key, (d,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        acc = _owen_scramble(acc, seeds[None, :])
+    return _bits_to_unit(acc, dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _first_primes(d):
+    primes, candidate = [], 2
+    while len(primes) < d:
+        if all(candidate % p for p in primes):
+            primes.append(candidate)
+        candidate += 1
+    return np.array(primes, dtype=np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble", "offset"))
+def halton(key, n, d, dtype=None, scramble=True, offset=0):
+    """First ``n`` points of a d-dimensional Halton sequence."""
+    dtype = config.float_dtype() if dtype is None else dtype
+    primes = _first_primes(d)
+    compute_dtype = jnp.float64 if jnp.dtype(dtype) == jnp.dtype(jnp.float64) else jnp.float32
+    idx = jnp.arange(offset, offset + n, dtype=jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32)
+
+    columns = []
+    for j in range(d):
+        base = int(primes[j])
+        digits = int(np.ceil(np.log(2**31) / np.log(base)))
+        i = idx
+        f = 1.0 / base
+        acc = jnp.zeros((n,), dtype=compute_dtype)
+        for _ in range(digits):
+            acc = acc + (i % base).astype(compute_dtype) * f
+            i = i // base
+            f = f / base
+        columns.append(acc)
+    pts = jnp.stack(columns, axis=1)
+    if scramble:
+        # Cranley-Patterson rotation: unbiased randomisation preserving
+        # the low-discrepancy structure.
+        shift = jax.random.uniform(key, (d,), dtype=compute_dtype)
+        pts = jnp.mod(pts + shift[None, :], 1.0)
+    return pts.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "d", "dtype"))
+def latin_hypercube(key, n, d, dtype=None):
+    """Latin hypercube sample: one stratified jittered permutation per dim."""
+    dtype = config.float_dtype() if dtype is None else dtype
+    key_u, *keys = jax.random.split(key, d + 1)
+    perms = jnp.stack(
+        [jax.random.permutation(k, n) for k in keys], axis=1
+    )  # (n, d)
+    u = jax.random.uniform(key_u, (n, d), dtype=dtype)
+    return (perms.astype(dtype) + u) / n
+
+
+def uniform(key, n, d, dtype=None):
+    """Pseudo-random quantiles (the method=None path)."""
+    dtype = config.float_dtype() if dtype is None else dtype
+    return jax.random.uniform(key, (n, d), dtype=dtype)
+
+
+_METHODS = {
+    "lhs": latin_hypercube,
+    "halton": halton,
+    "sobol": sobol,
+}
+
+
+def generate(method, key, n, d, dtype=None):
+    """Quantile matrix for a named method (None/"lhs"/"halton"/"sobol")."""
+    if method is None:
+        return uniform(key, n, d, dtype)
+    name = method.lower().strip()
+    if name not in _METHODS:
+        raise KeyError(f"Unknown sampling method: {method!r}")
+    if d == 0:
+        dtype = config.float_dtype() if dtype is None else dtype
+        return jnp.zeros((n, 0), dtype)
+    return _METHODS[name](key, n, d, dtype=dtype)

@@ -1,0 +1,176 @@
+"""Special functions for inverse-CDF sampling kernels.
+
+The reference delegates all of this to scipy.stats' compiled ppf routines
+(``modeling.py:805-807``).  On TPU we need XLA-native inverses so that a
+billion-sample ppf evaluation stays on the VPU: safeguarded Newton iterations
+on ``jax.scipy.special.gammainc`` / ``betainc`` with analytically computed
+derivatives, fully vectorised and fused into the surrounding program.
+
+All functions broadcast elementwise and operate in the configured float dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import (
+    betainc,
+    betaln,
+    gammainc,
+    gammaincc,
+    gammaln,
+    ndtr,
+    ndtri,
+)
+
+__all__ = [
+    "ndtr",
+    "ndtri",
+    "gammaincinv",
+    "gammainccinv",
+    "betaincinv",
+    "discrete_ppf_bisect",
+]
+
+_NEWTON_ITERS = 26
+_TINY = 1e-30
+
+
+def _wilson_hilferty_gamma_guess(a, p):
+    """Initial guess for the inverse regularized lower incomplete gamma.
+
+    Wilson-Hilferty: if X ~ Gamma(a), (X/a)^(1/3) is ~ Normal(1 - 1/(9a),
+    1/(9a)).  Good to a few percent for a >~ 0.5; Newton cleans it up.
+    """
+    s = 1.0 / (9.0 * a)
+    z = ndtri(p)
+    guess = a * (1.0 - s + z * jnp.sqrt(s)) ** 3
+    # Small-a fallback: P(a, x) ~ x^a / Gamma(a+1) for small x.
+    small = jnp.exp((jnp.log(jnp.clip(p, _TINY)) + gammaln(a + 1.0)) / a)
+    guess = jnp.where((a < 0.5) | (guess <= 0.0), small, guess)
+    return jnp.clip(guess, _TINY)
+
+
+def gammaincinv(a, p):
+    """Inverse of the regularized lower incomplete gamma function P(a, x).
+
+    Solves P(a, x) = p for x >= 0 with a safeguarded Newton iteration in
+    log-space (guarantees positivity).  Equivalent of
+    ``scipy.special.gammaincinv``.
+    """
+    dtype = jnp.result_type(a, p, jnp.float32)
+    a = jnp.asarray(a, dtype)
+    p = jnp.asarray(p, dtype)
+    a, p = jnp.broadcast_arrays(a, p)
+
+    p_clipped = jnp.clip(p, _TINY, 1.0 - 1e-7 if dtype == jnp.float32 else 1.0 - 1e-15)
+    x0 = _wilson_hilferty_gamma_guess(a, p_clipped)
+    log_x = jnp.log(x0)
+
+    lgam = gammaln(a)
+
+    def body(_, log_x):
+        x = jnp.exp(log_x)
+        f = gammainc(a, x) - p_clipped
+        # d/dx P(a,x) = x^(a-1) e^-x / Gamma(a);  d/dlogx = x * that
+        log_pdf_logx = a * log_x - x - lgam
+        step = f * jnp.exp(-log_pdf_logx)
+        step = jnp.clip(step, -2.0, 2.0)  # Safeguard huge steps far from root
+        return log_x - step
+
+    log_x = jax.lax.fori_loop(0, _NEWTON_ITERS, body, log_x)
+    x = jnp.exp(log_x)
+
+    x = jnp.where(p <= 0.0, 0.0, x)
+    x = jnp.where(p >= 1.0, jnp.inf, x)
+    return x
+
+
+def gammainccinv(a, q):
+    """Inverse of the regularized upper incomplete gamma function Q(a, x)."""
+    return gammaincinv(a, 1.0 - q)
+
+
+def _beta_guess(a, b, p):
+    """Initial guess for betaincinv, Abramowitz & Stegun 26.5.22."""
+    y = ndtri(p)
+    two = jnp.asarray(2.0, y.dtype)
+    la = 1.0 / (2.0 * a - 1.0)
+    lb = 1.0 / (2.0 * b - 1.0)
+    h = 2.0 / (la + lb)
+    w = y * jnp.sqrt(h + (y * y - 3.0) / 6.0) / h - (lb - la) * (
+        (y * y - 3.0) / 6.0 + 5.0 / 6.0 - two / (3.0 * h)
+    )
+    guess = a / (a + b * jnp.exp(2.0 * w))
+    # Fallback for small parameters: power-law inversion of the CDF tail.
+    t = jnp.exp((jnp.log(jnp.clip(p, _TINY)) + betaln(a, b) + jnp.log(a)) / a)
+    guess = jnp.where((a <= 1.0) | (b <= 1.0) | ~jnp.isfinite(guess), t, guess)
+    return jnp.clip(guess, 1e-6, 1.0 - 1e-6)
+
+
+def betaincinv(a, b, p):
+    """Inverse of the regularized incomplete beta function I_x(a, b).
+
+    Bisection-safeguarded Newton on ``jax.scipy.special.betainc``.
+    Equivalent of ``scipy.special.betaincinv``.
+    """
+    dtype = jnp.result_type(a, b, p, jnp.float32)
+    a = jnp.asarray(a, dtype)
+    b = jnp.asarray(b, dtype)
+    p = jnp.asarray(p, dtype)
+    a, b, p = jnp.broadcast_arrays(a, b, p)
+
+    eps = 1e-7 if dtype == jnp.float32 else 1e-15
+    p_c = jnp.clip(p, eps, 1.0 - eps)
+
+    x = _beta_guess(a, b, p_c)
+    lo = jnp.zeros_like(x)
+    hi = jnp.ones_like(x)
+    lbeta = betaln(a, b)
+
+    def body(_, carry):
+        x, lo, hi = carry
+        f = betainc(a, b, x) - p_c
+        # Maintain bracket [lo, hi] with f(lo) < 0 < f(hi).
+        lo = jnp.where(f < 0.0, x, lo)
+        hi = jnp.where(f > 0.0, x, hi)
+        log_pdf = (a - 1.0) * jnp.log(x) + (b - 1.0) * jnp.log1p(-x) - lbeta
+        newton = x - f * jnp.exp(-log_pdf)
+        # Bisect whenever Newton leaves the bracket or is non-finite.
+        bad = ~jnp.isfinite(newton) | (newton <= lo) | (newton >= hi)
+        x_new = jnp.where(bad, 0.5 * (lo + hi), newton)
+        return x_new, lo, hi
+
+    x, _, _ = jax.lax.fori_loop(0, _NEWTON_ITERS + 14, body, (x, lo, hi))
+
+    x = jnp.where(p <= 0.0, 0.0, x)
+    x = jnp.where(p >= 1.0, 1.0, x)
+    return x
+
+
+def discrete_ppf_bisect(cdf, q, hi, max_iters=40):
+    """Generic discrete ppf: smallest integer k in [0, hi] with cdf(k) >= q.
+
+    ``cdf`` maps a float array of ks to CDF values; ``hi`` is a per-element
+    upper bound on the support needed.  Runs a fixed number of bisection
+    steps (static shapes, fully vectorised), used by Poisson/Binomial/...
+    kernels when parameters are traced (composite distributions).
+    """
+    q = jnp.asarray(q)
+    lo = jnp.full(q.shape, -1.0, q.dtype)  # invariant: cdf(lo) < q
+    hi = jnp.broadcast_to(jnp.asarray(hi, q.dtype), q.shape)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = jnp.floor((lo + hi) / 2.0)
+        go_right = cdf(mid) < q
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.while_loop(
+        lambda c: jnp.any(c[1] - c[0] > 1.0),
+        lambda c: body(None, c),
+        (lo, hi),
+    )
+    return hi
