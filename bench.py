@@ -1,0 +1,161 @@
+"""Benchmark harness (driver-run, real TPU).
+
+Headline metric (BASELINE.json): samples/sec/chip on the 20-node mixed DAG
+at 1e8 draws.  Also measures Iman-Conover latency at 1e7x50 and the
+reference implementation's CPU throughput on the same DAG for
+``vs_baseline``.
+
+Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_flagship(n=100_000_000, repeats=3):
+    """Samples/sec on the 20-node DAG, sink-only materialisation."""
+    import jax
+
+    from probabilit_tpu.engine import compile as _compile
+    from probabilit_tpu.models import benchmarks
+
+    sink = benchmarks.mixed_dag_20()
+    plan = _compile.Plan(sink)
+    program = _compile.get_program(
+        plan,
+        "imanconover",
+        keep_ids=frozenset({sink._id}),
+        check_finite=False,
+        rng_inline_n=n,
+    )
+
+    import jax.numpy as jnp
+
+    def run(key):
+        out, _ = program(key)
+        # Fetch a scalar reduction: guarantees the full computation executed
+        # (block_until_ready alone is unreliable over the axon tunnel).
+        return float(jnp.mean(out[sink._id]))
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    val = run(key)
+    log(f"flagship compile+first run: {time.perf_counter() - t0:.2f}s (mean={val:.2f})")
+
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i + 1))
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"flagship run {i}: {dt * 1e3:.1f} ms -> {n / dt / 1e9:.3f} Gsamples/s")
+    return n / best
+
+
+def bench_imanconover(n=10_000_000, k=50, repeats=3):
+    """Iman-Conover wall time (ms) on an (n, k) matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    from probabilit_tpu.ops.correlation import ImanConover
+
+    corr = np.full((k, k), 0.3)
+    np.fill_diagonal(corr, 1.0)
+    transform = ImanConover().set_target(corr)
+    apply_fn = jax.jit(transform._apply)
+
+    def run(X):
+        return float(jnp.mean(apply_fn(X)))
+
+    X = jax.random.normal(jax.random.PRNGKey(0), (n, k), dtype=jnp.float32)
+    jax.block_until_ready(X)
+    t0 = time.perf_counter()
+    run(X)
+    log(f"imanconover compile+first: {time.perf_counter() - t0:.2f}s")
+
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(X)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"imanconover run {i}: {dt * 1e3:.1f} ms")
+    return best * 1e3
+
+
+def bench_reference_cpu(n=1_000_000):
+    """Reference (NumPy/SciPy) throughput on the same 20-node DAG."""
+    import types
+
+    sys.modules.setdefault("cvxpy", types.ModuleType("cvxpy"))  # unused here
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from probabilit.modeling import Distribution as RefDist
+        from probabilit.modeling import Exp as RefExp
+        from probabilit.modeling import Max as RefMax
+        from probabilit.modeling import Sqrt as RefSqrt
+    except Exception as exc:  # pragma: no cover - reference unavailable
+        log(f"reference import failed: {exc!r}")
+        return None
+
+    def ref_mixed_dag_20():
+        price = RefDist("lognorm", s=0.25, scale=50.0)
+        volume = RefDist("triang", c=0.4, loc=800, scale=600)
+        fx = RefDist("norm", loc=1.0, scale=0.05)
+        unit_cost = RefDist("uniform", loc=20, scale=15)
+        fixed_cost = RefDist("norm", loc=5000, scale=400)
+        delay = RefDist("expon", scale=0.1)
+        demand_shock = RefDist("norm", loc=0.0, scale=1.0)
+        tax_rate = RefDist("uniform", loc=0.2, scale=0.1)
+        eff_volume = volume * RefExp(demand_shock * 0.1)
+        revenue = price * eff_volume * fx
+        cost = unit_cost * eff_volume + fixed_cost
+        gross = revenue - cost
+        penalty = delay * revenue
+        pre_tax = gross - penalty
+        taxed = pre_tax * (1 - tax_rate)
+        return RefMax(taxed, pre_tax * 0.05) + RefSqrt(fx * fx)
+
+    sink = ref_mixed_dag_20()
+    t0 = time.perf_counter()
+    sink.sample(n, random_state=0)
+    dt = time.perf_counter() - t0
+    log(f"reference CPU: {n} draws in {dt:.2f}s -> {n / dt / 1e6:.2f} Msamples/s")
+    return n / dt
+
+
+def main():
+    flagship_sps = bench_flagship()
+    ic_ms = bench_imanconover()
+    ref_sps = bench_reference_cpu()
+    vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "samples_per_sec_per_chip_20node_1e8",
+                "value": flagship_sps,
+                "unit": "samples/s",
+                "vs_baseline": vs_baseline,
+                "extras": {
+                    "imanconover_1e7x50_ms": ic_ms,
+                    "reference_cpu_samples_per_sec": ref_sps,
+                    "target_samples_per_sec": 1e9,
+                    "target_imanconover_ms": 100.0,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

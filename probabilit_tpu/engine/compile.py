@@ -171,19 +171,35 @@ def resolve_correlator(correlator):
     return correlator
 
 
+def _active_mesh_key():
+    from probabilit_tpu.parallel import mesh as _par_mesh
+
+    m = _par_mesh.current_mesh()
+    return None if m is None else (m.axis_names, m.devices.shape, str(m.devices.flat[0]))
+
+
 _PROGRAM_CACHE = {}
 _CACHE_LIMIT = 128
 
 
-def get_program(plan, correlator, keep_ids, check_finite=True):
-    """Build (or fetch) the jitted sampling program for this plan."""
+def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None):
+    """Build (or fetch) the jitted sampling program for this plan.
+
+    With ``rng_inline_n=None`` the program takes a ``(n, d)`` quantile
+    matrix.  With ``rng_inline_n=n`` it takes a PRNG *key* and generates
+    the uniforms inside the traced program — the counter-based bits fuse
+    directly into the ppf kernels, so no quantile buffer ever materialises
+    in HBM (the memory- and bandwidth-optimal path for ``method=None``).
+    """
     correlator_cls = resolve_correlator(correlator)
     key = (
         plan.signature(),
         getattr(correlator_cls, "__qualname__", str(correlator_cls)),
         tuple(sorted(keep_ids)),
         bool(check_finite),
-        str(config.float_dtype().__name__ if hasattr(config.float_dtype(), "__name__") else config.float_dtype()),
+        jnp.dtype(config.float_dtype()).name,
+        rng_inline_n,
+        _active_mesh_key(),
     )
     cached = _PROGRAM_CACHE.get(key)
     if cached is not None:
@@ -196,7 +212,9 @@ def get_program(plan, correlator, keep_ids, check_finite=True):
     col_of = dict(plan.col_of)
     sink = plan.sink
 
-    def program(quantiles):
+    d = plan.d
+
+    def body(quantiles):
         n = quantiles.shape[0]
         columns = {nid: quantiles[:, col] for nid, col in col_of.items()}
         ctx = EmitContext(n=n, columns=columns)
@@ -230,6 +248,25 @@ def get_program(plan, correlator, keep_ids, check_finite=True):
                 if jnp.issubdtype(value.dtype, jnp.inexact):
                     flags[nid] = jnp.all(jnp.isfinite(value))
         return outputs, flags
+
+    if rng_inline_n is None:
+        program = body
+    else:
+        from probabilit_tpu.parallel import mesh as _par_mesh
+
+        sharding = _par_mesh.sample_sharding(ndim=2)
+
+        from probabilit_tpu.ops.qmc import clamp_open_unit
+
+        def program(rng_key):
+            quantiles = clamp_open_unit(
+                jax.random.uniform(
+                    rng_key, (rng_inline_n, d), dtype=config.float_dtype()
+                )
+            )
+            if sharding is not None:
+                quantiles = jax.lax.with_sharding_constraint(quantiles, sharding)
+            return body(quantiles)
 
     compiled = jax.jit(program)
     if len(_PROGRAM_CACHE) >= _CACHE_LIMIT:

@@ -58,6 +58,11 @@ def sample(
     size = 1 if size is None else int(size)
     plan = _compile.Plan(sink)
     key = resolve_key(random_state)
+    if method is None:
+        # Fast path: uniforms are generated inside the compiled program so
+        # random bits fuse straight into the ppf kernels (no (n, d) HBM
+        # quantile buffer, no host->device transfer).
+        return _execute(plan, key, correlator, gc_strategy, rng_inline_n=size)
     quantiles = _qmc.generate(method, key, size, plan.d, dtype=config.float_dtype())
     return _execute(plan, quantiles, correlator, gc_strategy)
 
@@ -72,7 +77,7 @@ def sample_from_quantiles(sink, quantiles, correlator="imanconover", gc_strategy
     return _execute(plan, quantiles, correlator, gc_strategy)
 
 
-def _execute(plan, quantiles, correlator, gc_strategy):
+def _execute(plan, program_input, correlator, gc_strategy, rng_inline_n=None):
     # Clear any stale samples in the graph (``modeling.py:513-515``).
     for node in plan.topo:
         if hasattr(node, "samples_"):
@@ -83,10 +88,13 @@ def _execute(plan, quantiles, correlator, gc_strategy):
     else:
         keep_ids = frozenset({plan.sink._id} | {node._id for node in gc_strategy})
 
-    program = _compile.get_program(plan, correlator, keep_ids)
+    program = _compile.get_program(
+        plan, correlator, keep_ids, rng_inline_n=rng_inline_n
+    )
 
-    quantiles = _mesh.shard_samples(quantiles)
-    outputs, flags = program(quantiles)
+    if rng_inline_n is None:
+        program_input = _mesh.shard_samples(program_input)
+    outputs, flags = program(program_input)
 
     # Non-finite guard (``modeling.py:600-606``): one scalar per kept node.
     if flags:

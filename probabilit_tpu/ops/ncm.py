@@ -55,8 +55,13 @@ def _higham(G, eps, max_iter=500, tol=1e-10):
     return (X + X.T) / 2.0
 
 
-def _admm_weighted(G, H, eps, rho=1.0, max_iter=2000, tol=1e-10):
-    """ADMM for the H-weighted problem; exact for the convex program."""
+def _admm_weighted(G, H, eps, rho=1.0, max_iter=20000, tol=1e-12):
+    """ADMM for the H-weighted problem; exact for the convex program.
+
+    Residual-balancing adaptive rho (Boyd et al. §3.4.1) — needed to reach
+    the MATLAB ``nearcorr`` reference values to ~1e-5 when the weight
+    matrix contains zeros (free entries converge slowly at fixed rho).
+    """
     n = G.shape[0]
     floor = (eps / n) * 10.0
     H2 = 2.0 * H * H
@@ -72,6 +77,12 @@ def _admm_weighted(G, H, eps, rho=1.0, max_iter=2000, tol=1e-10):
         s_norm = rho * np.linalg.norm(Z_new - Z, "fro")
         Z = Z_new
         U = U + X - Z
+        if r_norm > 10.0 * s_norm:
+            rho *= 2.0
+            U /= 2.0
+        elif s_norm > 10.0 * r_norm:
+            rho /= 2.0
+            U *= 2.0
         if max(r_norm, s_norm) < tol * max(1.0, np.linalg.norm(Z, "fro")):
             break
     X = _proj_psd(Z, floor=floor)

@@ -182,7 +182,13 @@ def arcsine(q, loc=0.0, scale=1.0):
 
 @register("hypsecant")
 def hypsecant(q, loc=0.0, scale=1.0):
-    return _f(loc) + _f(scale) * (2.0 / jnp.pi) * jnp.log(jnp.tan(0.5 * jnp.pi * _f(q)))
+    # Symmetric evaluation: tan(pi q / 2) loses float32 precision as q -> 1,
+    # so reflect the upper half onto the (accurate) small-angle branch.
+    q = _f(q)
+    tail = jnp.minimum(q, 1.0 - q)
+    mag = jnp.log(jnp.tan(0.5 * jnp.pi * tail))
+    x = jnp.where(q < 0.5, mag, -mag)
+    return _f(loc) + _f(scale) * x
 
 
 @register("fisk")

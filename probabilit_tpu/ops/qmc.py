@@ -97,8 +97,10 @@ def _primitive_polynomials(count):
 
 
 @functools.lru_cache(maxsize=8)
-def _direction_numbers(d):
+def _direction_numbers_np(d):
     """(d, 32) uint32 direction-number matrix for a d-dimensional Sobol.
+
+    Cached as a NumPy array (never cache traced arrays across jit scopes).
 
     Dimension 0 is the van der Corput sequence; higher dimensions use the
     classic recurrence over primitive polynomials with seeded random odd
@@ -128,7 +130,11 @@ def _direction_numbers(d):
                 m.append(new & 0xFFFFFFFF)
             for k in range(_MAX_BITS):
                 V[j, k] = (m[k] << (_MAX_BITS - 1 - k)) & 0xFFFFFFFF
-    return jnp.asarray(V.astype(np.uint32))
+    return V.astype(np.uint32)
+
+
+def _direction_numbers(d):
+    return jnp.asarray(_direction_numbers_np(d))
 
 
 # =====================================================================
@@ -162,9 +168,24 @@ def _owen_scramble(bits, seeds):
 
 def _bits_to_unit(bits, dtype):
     if jnp.dtype(dtype) == jnp.dtype(jnp.float64):
-        return bits.astype(jnp.float64) * (2.0**-32)
+        return clamp_open_unit(bits.astype(jnp.float64) * (2.0**-32))
     # 24 mantissa-safe bits for float32; guarantees values in [0, 1).
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+    return clamp_open_unit(
+        (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+    )
+
+
+def clamp_open_unit(q):
+    """Clamp quantiles into the OPEN interval (0, 1).
+
+    Inverse CDFs of unbounded distributions map q=0 to -inf; under float32
+    a [0,1) uniform hits exactly 0 once per ~2^24 draws, which at 1e8+
+    samples is dozens of -inf/nan results per run (the f64 reference never
+    sees this: P(0) ~ 2^-53).  The clamp shifts each endpoint by one ulp
+    of the 24-bit grid — statistically invisible, numerically essential.
+    """
+    tiny = 2.0**-24 if q.dtype == jnp.float32 else 2.0**-53
+    return jnp.clip(q, tiny, 1.0 - tiny)
 
 
 # =====================================================================
@@ -227,7 +248,7 @@ def halton(key, n, d, dtype=None, scramble=True, offset=0):
         # the low-discrepancy structure.
         shift = jax.random.uniform(key, (d,), dtype=compute_dtype)
         pts = jnp.mod(pts + shift[None, :], 1.0)
-    return pts.astype(dtype)
+    return clamp_open_unit(pts.astype(dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "d", "dtype"))
@@ -239,13 +260,13 @@ def latin_hypercube(key, n, d, dtype=None):
         [jax.random.permutation(k, n) for k in keys], axis=1
     )  # (n, d)
     u = jax.random.uniform(key_u, (n, d), dtype=dtype)
-    return (perms.astype(dtype) + u) / n
+    return clamp_open_unit((perms.astype(dtype) + u) / n)
 
 
 def uniform(key, n, d, dtype=None):
-    """Pseudo-random quantiles (the method=None path)."""
+    """Pseudo-random quantiles (the method=None path), in (0, 1)."""
     dtype = config.float_dtype() if dtype is None else dtype
-    return jax.random.uniform(key, (n, d), dtype=dtype)
+    return clamp_open_unit(jax.random.uniform(key, (n, d), dtype=dtype))
 
 
 _METHODS = {

@@ -1,0 +1,230 @@
+"""Correlation subsystem tests.
+
+Mirrors the reference suites (tests/test_correlation.py,
+tests/test_iman_conover.py): NCM vs the MATLAB ``nearcorr`` example and
+Cholesky-decomposability sweeps; Iman-Conover invariants (marginal
+preservation, error non-increase, identity fixpoint) over many seeds.
+"""
+
+import numpy as np
+import pytest
+
+from probabilit_tpu.correlation import (
+    Cholesky,
+    CorrelatorError,
+    ImanConover,
+    decorrelate,
+    nearest_correlation_matrix,
+)
+
+
+@pytest.fixture
+def sample_data(rng):
+    """Mixed-marginal data and a random PD correlation target."""
+    n, k = 200, 4
+    X = np.column_stack(
+        [
+            rng.normal(size=n),
+            rng.exponential(size=n),
+            rng.uniform(size=n),
+            rng.lognormal(size=n),
+        ]
+    )
+    A = rng.normal(size=(k, k))
+    C = A @ A.T + np.eye(k) * 0.5
+    d = np.sqrt(np.diag(C))
+    return X, C / np.outer(d, d)
+
+
+class TestNearestCorrelationMatrix:
+    @pytest.mark.parametrize("variables", range(2, 100, 10))
+    def test_result_is_cholesky_decomposable(self, variables):
+        rng = np.random.default_rng(variables)
+        observations = rng.normal(size=(variables * 2, variables))
+        matrix = np.corrcoef(observations, rowvar=False)
+        np.linalg.cholesky(matrix)
+
+        # Perturb it so it stops being PSD
+        matrix = matrix + rng.normal(size=matrix.shape, scale=0.1)
+        matrix = matrix - np.identity(variables) * np.mean(np.diag(matrix))
+        with pytest.raises(np.linalg.LinAlgError):
+            np.linalg.cholesky(matrix)
+
+        fixed = nearest_correlation_matrix(matrix)
+        np.linalg.cholesky(fixed)
+        assert np.allclose(np.diag(fixed), 1.0)
+        assert np.allclose(fixed, fixed.T)
+
+    def test_matlab_nearcorr_weighted_example(self):
+        # Matrices from the MathWorks 'nearcorr' documentation example.
+        A = np.array(
+            [
+                [1.0, 0.0, 0.0, 0.0, -0.936],
+                [0.0, 1.0, -0.55, -0.3645, -0.53],
+                [0.0, -0.55, 1.0, -0.0351, 0.0875],
+                [0.0, -0.3645, -0.0351, 1.0, 0.4557],
+                [-0.936, -0.53, 0.0875, 0.4557, 1.0],
+            ]
+        )
+        W = np.array(
+            [
+                [0.0, 1.0, 0.1, 0.15, 0.25],
+                [1.0, 0.0, 0.05, 0.025, 0.15],
+                [0.1, 0.05, 0.0, 0.25, 1.0],
+                [0.15, 0.025, 0.25, 0.0, 0.25],
+                [0.25, 0.15, 1.0, 0.25, 0.0],
+            ]
+        )
+        matlab_Y = np.array(
+            [
+                [1.0, 0.0014, 0.0287, -0.0222, -0.8777],
+                [0.0014, 1.0, -0.498, -0.7268, -0.4567],
+                [0.0287, -0.498, 1.0, -0.0358, 0.0878],
+                [-0.0222, -0.7268, -0.0358, 1.0, 0.4465],
+                [-0.8777, -0.4567, 0.0878, 0.4465, 1.0],
+            ]
+        )
+        Y = nearest_correlation_matrix(A, weights=W)
+        assert np.allclose(Y, matlab_Y, atol=1e-4)
+
+    def test_unweighted_higham_example(self):
+        # The classic 3x3 example (Higham 2002).
+        X = np.array([[1, 1, 0], [1, 1, 1], [0, 1, 1]], dtype=float)
+        Y = nearest_correlation_matrix(X)
+        expected = np.array(
+            [
+                [1.0, 0.76068985, 0.15729811],
+                [0.76068985, 1.0, 0.76068985],
+                [0.15729811, 0.76068985, 1.0],
+            ]
+        )
+        assert np.allclose(Y, expected, atol=1e-5)
+
+    def test_already_valid_matrix_unchanged(self):
+        C = np.array([[1.0, 0.4], [0.4, 1.0]])
+        assert np.allclose(nearest_correlation_matrix(C), C, atol=1e-5)
+
+    def test_type_validation(self):
+        with pytest.raises(TypeError):
+            nearest_correlation_matrix([[1, 0], [0, 1]])
+        with pytest.raises(TypeError):
+            nearest_correlation_matrix(np.eye(2), weights=[[1, 1], [1, 1]])
+
+
+class TestCorrelatorValidation:
+    def test_must_set_target_first(self):
+        with pytest.raises(CorrelatorError):
+            ImanConover()(np.random.rand(10, 2))
+
+    def test_target_validation(self):
+        ic = ImanConover()
+        with pytest.raises(ValueError, match="diagonal"):
+            ic.set_target(np.array([[2.0, 0.0], [0.0, 1.0]]))
+        with pytest.raises(ValueError, match="symmetric"):
+            ic.set_target(np.array([[1.0, 0.5], [0.2, 1.0]]))
+        with pytest.raises(ValueError, match="positive definite"):
+            ic.set_target(np.array([[1.0, 1.5], [1.5, 1.0]]))
+        with pytest.raises(TypeError):
+            ic.set_target([[1, 0], [0, 1]])
+
+    def test_shape_validation(self):
+        ic = ImanConover().set_target(np.eye(2))
+        with pytest.raises(ValueError, match="rows > columns"):
+            ic(np.random.rand(2, 2))
+        with pytest.raises(ValueError, match="does not match"):
+            ic(np.random.rand(10, 3))
+
+
+class TestImanConover:
+    @pytest.mark.parametrize("seed", range(25))
+    def test_marginals_preserved(self, seed):
+        rng = np.random.default_rng(seed)
+        X = np.column_stack(
+            [rng.exponential(size=100), rng.uniform(size=100), rng.normal(size=100)]
+        )
+        C = np.array([[1, 0.5, 0.2], [0.5, 1, 0.4], [0.2, 0.4, 1]])
+        Xt = np.asarray(ImanConover().set_target(C)(X))
+        # Each column is a permutation of the original column.
+        for k in range(X.shape[1]):
+            np.testing.assert_allclose(
+                np.sort(Xt[:, k]), np.sort(X[:, k]), rtol=1e-6
+            )
+
+    @pytest.mark.parametrize("seed", range(25))
+    def test_error_does_not_increase(self, seed):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(150, 4))
+        A = rng.normal(size=(4, 4))
+        C = A @ A.T + np.eye(4)
+        d = np.sqrt(np.diag(C))
+        C = C / np.outer(d, d)
+        Xt = np.asarray(ImanConover().set_target(C)(X))
+        before = np.linalg.norm(np.corrcoef(X, rowvar=False) - C)
+        after = np.linalg.norm(np.corrcoef(Xt, rowvar=False) - C)
+        assert after <= before + 1e-9
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_identity_target_keeps_data_nearly_decorrelated(self, seed):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(500, 3))
+        Xt = np.asarray(ImanConover().set_target(np.eye(3))(X))
+        corr = np.corrcoef(Xt, rowvar=False)
+        assert np.abs(corr - np.eye(3)).max() < 0.12
+
+    def test_achieves_target_correlation_normal_data(self, rng):
+        X = rng.normal(size=(2000, 2))
+        C = np.array([[1, 0.7], [0.7, 1]])
+        Xt = np.asarray(ImanConover().set_target(C)(X))
+        achieved = np.corrcoef(Xt, rowvar=False)[0, 1]
+        assert np.isclose(achieved, 0.7, atol=0.03)
+
+    def test_mixed_marginals(self, sample_data):
+        X, C = sample_data
+        Xt = np.asarray(ImanConover().set_target(C)(X))
+        achieved = np.corrcoef(Xt, rowvar=False)
+        # Pearson targets degrade on heavy-tailed marginals (rank-space
+        # induction; cf. reference docstring correlation.py:353-361).
+        assert np.abs(achieved - C).max() < 0.25
+
+
+class TestCholesky:
+    def test_exact_pearson_correlation(self, rng):
+        X = rng.normal(size=(100, 2))
+        C = np.array([[1, 0.7], [0.7, 1]])
+        Xt = np.asarray(Cholesky().set_target(C)(X))
+        assert np.isclose(np.corrcoef(Xt, rowvar=False)[0, 1], 0.7, atol=1e-5)
+
+    def test_mean_std_preserved(self, rng):
+        X = rng.normal(loc=3.0, scale=2.0, size=(200, 3))
+        C = np.array([[1, 0.5, 0.0], [0.5, 1, 0.3], [0.0, 0.3, 1]])
+        Xt = np.asarray(Cholesky().set_target(C)(X))
+        np.testing.assert_allclose(Xt.mean(axis=0), X.mean(axis=0), rtol=1e-4)
+        np.testing.assert_allclose(Xt.std(axis=0), X.std(axis=0), rtol=1e-4)
+
+    def test_does_not_preserve_marginals(self, rng):
+        X = rng.uniform(size=(500, 2))
+        C = np.array([[1, 0.9], [0.9, 1]])
+        Xt = np.asarray(Cholesky().set_target(C)(X))
+        # Uniform marginals are destroyed (values leave [0, 1])
+        assert (Xt.min() < 0) or (Xt.max() > 1)
+
+
+class TestDecorrelate:
+    @pytest.mark.parametrize("seed", range(10))
+    def test_identity_covariance(self, seed):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(100, 3)) @ rng.normal(size=(3, 3))
+        Xd = np.asarray(decorrelate(X))
+        np.testing.assert_allclose(
+            np.cov(Xd, rowvar=False), np.eye(3), atol=1e-3
+        )
+        np.testing.assert_allclose(Xd.mean(axis=0), X.mean(axis=0), atol=1e-3)
+
+    def test_keep_variance(self, rng):
+        X = rng.normal(size=(200, 2)) @ np.array([[1.0, 0.7], [0.0, 0.5]])
+        Xd = np.asarray(decorrelate(X, remove_variance=False))
+        cov = np.cov(Xd, rowvar=False)
+        assert abs(cov[0, 1]) < 1e-4
+        np.testing.assert_allclose(
+            np.var(Xd, axis=0, ddof=1), np.var(X, axis=0, ddof=0), rtol=0.05
+        )

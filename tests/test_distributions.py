@@ -1,0 +1,232 @@
+"""Distribution family and factory tests.
+
+Two tiers (mirroring reference tests/test_distributions.py):
+* ppf-kernel accuracy vs scipy.stats for every registered family,
+* factory parametrizations (PERT, Triangular fits, Lognormal moments).
+"""
+
+import numpy as np
+import pytest
+import scipy.stats
+
+from probabilit_tpu.distributions import (
+    PERT,
+    Lognormal,
+    Normal,
+    TruncatedNormal,
+    Triangular,
+    Uniform,
+    _fit_triangular_distribution,
+    _pert_to_beta,
+)
+from probabilit_tpu.modeling import Distribution
+from probabilit_tpu.ops import ppf as ppf_mod
+
+# (scipy name, args, kwargs) for every family with a native kernel.
+FAMILIES = [
+    ("uniform", (), {"loc": 2, "scale": 3}),
+    ("norm", (), {"loc": -1, "scale": 2.5}),
+    ("expon", (), {"scale": 0.7}),
+    ("lognorm", (0.8,), {"scale": 2.0}),
+    ("triang", (0.3,), {"loc": 1, "scale": 4}),
+    ("truncnorm", (-1.0, 2.0), {"loc": 0.5, "scale": 1.5}),
+    ("cauchy", (), {"loc": 1, "scale": 2}),
+    ("laplace", (), {"loc": 0, "scale": 1.5}),
+    ("logistic", (), {"loc": 2, "scale": 0.5}),
+    ("gumbel_r", (), {"loc": 1, "scale": 2}),
+    ("gumbel_l", (), {"loc": 1, "scale": 2}),
+    ("rayleigh", (), {"scale": 2}),
+    ("halfnorm", (), {"scale": 1.5}),
+    ("pareto", (2.5,), {}),
+    ("weibull_min", (1.7,), {"scale": 2}),
+    ("weibull_max", (1.7,), {"scale": 2}),
+    ("powerlaw", (2.0,), {}),
+    ("loguniform", (0.01, 10.0), {}),
+    ("arcsine", (), {}),
+    ("hypsecant", (), {}),
+    ("fisk", (2.0,), {}),
+    ("genpareto", (0.3,), {}),
+    ("genextreme", (0.2,), {}),
+    ("semicircular", (), {}),
+    ("gamma", (2.5,), {"scale": 1.5}),
+    ("erlang", (3,), {}),
+    ("chi2", (5.0,), {}),
+    ("chi", (3.0,), {}),
+    ("maxwell", (), {}),
+    ("invgamma", (3.0,), {}),
+    ("nakagami", (2.0,), {}),
+    ("beta", (2.0, 3.0), {}),
+    ("betaprime", (3.0, 4.0), {}),
+    ("t", (7.0,), {}),
+    ("f", (5.0, 9.0), {}),
+]
+
+DISCRETE_FAMILIES = [
+    ("bernoulli", (0.3,), {}),
+    ("binom", (12, 0.4), {}),
+    ("poisson", (3.5,), {}),
+    ("geom", (0.25,), {}),
+    ("nbinom", (5, 0.5), {}),
+    ("randint", (2, 9), {}),
+]
+
+
+class TestPpfKernelAccuracy:
+    @pytest.mark.parametrize("name,args,kwargs", FAMILIES)
+    def test_continuous_matches_scipy(self, name, args, kwargs):
+        q = np.linspace(0.001, 0.999, 2001)
+        ours = np.asarray(ppf_mod.call(name, q.astype(np.float32), *args, **kwargs))
+        expected = getattr(scipy.stats, name)(*args, **kwargs).ppf(q)
+        # f32 kernels vs f64 scipy: relative accuracy ~1e-5 away from tails.
+        np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("name,args,kwargs", DISCRETE_FAMILIES)
+    def test_discrete_matches_scipy(self, name, args, kwargs):
+        # Stay off CDF jump points: exact agreement expected elsewhere.
+        q = np.linspace(0.013, 0.987, 499)
+        ours = np.asarray(ppf_mod.call(name, q.astype(np.float32), *args, **kwargs))
+        expected = getattr(scipy.stats, name)(*args, **kwargs).ppf(q)
+        mismatch = np.mean(ours != expected)
+        assert mismatch < 0.01, f"{name}: {mismatch:.3%} mismatched"
+
+    @pytest.mark.parametrize("name,args", [("poisson", (2.7,)), ("binom", (9, 0.35))])
+    def test_discrete_traced_params_match_table_path(self, name, args):
+        """Composite (traced) parameter path == static table path."""
+        import jax.numpy as jnp
+
+        q = np.linspace(0.01, 0.99, 200).astype(np.float32)
+        static = np.asarray(ppf_mod.call(name, q, *args))
+        traced_args = [jnp.full(q.shape, a, jnp.float32) for a in args]
+        traced = np.asarray(ppf_mod.call(name, jnp.asarray(q), *traced_args))
+        np.testing.assert_array_equal(static, traced)
+
+    def test_beta_newton_extreme_params(self):
+        q = np.linspace(0.01, 0.99, 99)
+        for a, b in [(0.5, 0.5), (0.3, 2.0), (8.0, 0.4), (30.0, 30.0)]:
+            ours = np.asarray(ppf_mod.call("beta", q.astype(np.float32), a, b))
+            expected = scipy.stats.beta(a, b).ppf(q)
+            np.testing.assert_allclose(ours, expected, atol=5e-4)
+
+    def test_gamma_newton_extreme_params(self):
+        q = np.linspace(0.01, 0.99, 99)
+        for a in [0.3, 0.9, 5.0, 50.0, 500.0]:
+            ours = np.asarray(ppf_mod.call("gamma", q.astype(np.float32), a))
+            expected = scipy.stats.gamma(a).ppf(q)
+            np.testing.assert_allclose(ours, expected, rtol=1e-3)
+
+
+class TestFactories:
+    def test_uniform(self):
+        s = np.asarray(Uniform(2, 5).sample(50_000, random_state=0))
+        assert s.min() >= 2 and s.max() < 5
+        assert np.isclose(s.mean(), 3.5, atol=0.02)
+
+    def test_normal(self):
+        s = np.asarray(Normal(3, 0.5).sample(50_000, random_state=0))
+        assert np.isclose(s.mean(), 3.0, atol=0.02)
+        assert np.isclose(s.std(), 0.5, atol=0.01)
+
+    def test_truncated_normal_bounds(self):
+        distr = TruncatedNormal(loc=0, scale=1, low=3, high=3.3)
+        s = np.asarray(distr.sample(5000, random_state=0))
+        assert s.min() >= 3.0 and s.max() <= 3.3
+
+    def test_lognormal_moments(self):
+        s = np.asarray(Lognormal(mean=2, std=1).sample(200_000, random_state=0))
+        assert np.isclose(s.mean(), 2.0, rtol=0.02)
+        assert np.isclose(s.std(), 1.0, rtol=0.03)
+
+    def test_lognormal_composite(self):
+        mean = Distribution("expon", scale=1)
+        s = np.asarray(Lognormal(mean=mean, std=1).sample(5000, random_state=0))
+        assert np.all(s > 0)
+
+    def test_lognormal_from_log_params(self):
+        s = np.asarray(
+            Lognormal.from_log_params(mu=0.0, sigma=0.5).sample(
+                100_000, random_state=0
+            )
+        )
+        assert np.isclose(np.log(s).mean(), 0.0, atol=0.01)
+        assert np.isclose(np.log(s).std(), 0.5, atol=0.01)
+
+    def test_pert_repr_and_values(self):
+        assert repr(PERT(0, 6, 10)) == 'Distribution("beta", a=3.4, b=2.6, loc=0, scale=10)'
+        assert _pert_to_beta(0, 3 / 4, 1) == (4.0, 2.0, 0, 1)
+        assert _pert_to_beta(0, 9, 10, gamma=6) == (6.4, 1.6, 0, 10)
+
+    def test_pert_mean(self):
+        # PERT mean = (min + gamma*mode + max) / (gamma + 2)
+        s = np.asarray(PERT(0, 6, 10).sample(100_000, random_state=0))
+        assert np.isclose(s.mean(), (0 + 4 * 6 + 10) / 6, atol=0.03)
+
+    def test_pert_validation(self):
+        with pytest.raises(ValueError):
+            PERT(5, 2, 10)
+        with pytest.raises(ValueError):
+            PERT(0, 5, 10, gamma=-1)
+
+
+class TestTriangular:
+    @pytest.mark.parametrize("low,mode,high", [(1, 5, 9), (3, 8, 10), (0, 1, 2), (-5, 0, 10)])
+    @pytest.mark.parametrize("percs", [(0.1, 0.9), (0.25, 0.75), (0.05, 0.95)])
+    def test_fit_round_trip(self, low, mode, high, percs):
+        low_perc, high_perc = percs
+        loc, scale, c = _fit_triangular_distribution(
+            low, mode, high, low_perc=low_perc, high_perc=high_perc
+        )
+        frozen = scipy.stats.triang(c=c, loc=loc, scale=scale)
+        assert np.isclose(frozen.cdf(low), low_perc, atol=1e-8)
+        assert np.isclose(frozen.cdf(high), high_perc, atol=1e-8)
+
+    def test_exact_bounds_no_fit(self):
+        distr = Triangular(low=1, mode=5, high=9, low_perc=0, high_perc=1)
+        assert repr(distr) == 'Distribution("triang", loc=1, scale=8, c=0.5)'
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            Triangular(5, 2, 10)
+        with pytest.raises(ValueError):
+            Triangular(1, 5, 9, low_perc=-0.5)
+
+    def test_sampling_matches_percentiles(self):
+        distr = Triangular(low=1, mode=5, high=9)
+        s = np.asarray(distr.sample(100_000, random_state=0))
+        assert np.isclose(np.quantile(s, 0.1), 1.0, atol=0.1)
+        assert np.isclose(np.quantile(s, 0.9), 9.0, atol=0.1)
+
+
+class TestMultivariate:
+    def test_dirichlet_marginals_sum_to_one(self):
+        from probabilit_tpu.modeling import MultivariateDistribution
+
+        d1, d2 = MultivariateDistribution("dirichlet", alpha=[1, 2])
+        s = np.asarray((d1 + d2).sample(50, random_state=0))
+        np.testing.assert_allclose(s, 1.0, rtol=1e-5)
+
+    def test_multivariate_normal(self):
+        from probabilit_tpu.modeling import MultivariateDistribution
+
+        cov = np.array([[1, 0.5], [0.5, 1]])
+        n1, n2 = MultivariateDistribution(
+            "multivariate_normal", mean=[1, 2], cov=cov
+        )
+        s = np.asarray((n1 + n2).sample(5000, random_state=0))
+        assert np.isclose(s.mean(), 3.0, atol=0.1)
+        # var(X+Y) = 1 + 1 + 2*0.5 = 3
+        assert np.isclose(s.var(), 3.0, atol=0.2)
+
+    def test_multinomial_counts(self):
+        from probabilit_tpu.modeling import MultivariateDistribution
+
+        m1, m2, m3 = MultivariateDistribution("multinomial", n=10, p=[0.2, 0.3, 0.5])
+        s = np.asarray((m1 + m2 + m3).sample(100, random_state=0))
+        np.testing.assert_allclose(s, 10.0)
+
+    def test_marginal_repr(self):
+        from probabilit_tpu.modeling import MultivariateDistribution
+
+        d1, _ = MultivariateDistribution("dirichlet", alpha=[1, 2])
+        assert repr(d1) == (
+            'MarginalDistribution(Distribution("dirichlet", alpha=[1, 2]), d=0)'
+        )

@@ -1,0 +1,103 @@
+"""QMC sequence tests: validity, stratification, variance reduction."""
+
+import jax
+import numpy as np
+import pytest
+
+from probabilit_tpu.ops import qmc
+
+
+class TestLatinHypercube:
+    def test_stratification(self):
+        # Exactly one point per 1/n stratum per dimension.
+        n, d = 64, 5
+        pts = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(0), n, d))
+        assert pts.shape == (n, d)
+        for j in range(d):
+            strata = np.floor(pts[:, j] * n).astype(int)
+            assert sorted(strata.tolist()) == list(range(n))
+
+    def test_range(self):
+        pts = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(1), 100, 3))
+        assert pts.min() >= 0.0 and pts.max() < 1.0
+
+
+class TestSobol:
+    def test_range_and_shape(self):
+        pts = np.asarray(qmc.sobol(jax.random.PRNGKey(0), 256, 10))
+        assert pts.shape == (256, 10)
+        assert pts.min() >= 0.0 and pts.max() < 1.0
+
+    def test_unscrambled_first_dim_is_van_der_corput(self):
+        pts = np.asarray(qmc.sobol(jax.random.PRNGKey(0), 8, 1, scramble=False))
+        expected = np.array([0.0, 0.5, 0.75, 0.25, 0.375, 0.875, 0.625, 0.125])
+        np.testing.assert_allclose(pts[:, 0], expected, atol=1e-6)
+
+    def test_equidistribution_base2(self):
+        # Every dimension of the first 2^m points hits each 1/2^k bin
+        # exactly 2^(m-k) times (digital net property).
+        n = 128
+        pts = np.asarray(qmc.sobol(jax.random.PRNGKey(3), n, 8))
+        for j in range(8):
+            counts = np.bincount(np.floor(pts[:, j] * 16).astype(int), minlength=16)
+            np.testing.assert_array_equal(counts, n // 16)
+
+    def test_scrambling_randomises(self):
+        p1 = np.asarray(qmc.sobol(jax.random.PRNGKey(0), 64, 4))
+        p2 = np.asarray(qmc.sobol(jax.random.PRNGKey(1), 64, 4))
+        assert not np.allclose(p1, p2)
+
+    def test_offset_blocks_are_disjoint_slices(self):
+        # Chip k computing [offset, offset+n) must reproduce the global slice.
+        full = np.asarray(qmc.sobol(jax.random.PRNGKey(0), 64, 3))
+        lo = np.asarray(qmc.sobol(jax.random.PRNGKey(0), 32, 3, offset=0))
+        hi = np.asarray(qmc.sobol(jax.random.PRNGKey(0), 32, 3, offset=32))
+        np.testing.assert_allclose(full, np.vstack([lo, hi]), atol=1e-7)
+
+    def test_integration_beats_pseudo_random(self):
+        # Estimate E[prod(x)] on [0,1]^4 = 1/16; Sobol error should beat MC.
+        n, d = 1024, 4
+        sob = np.asarray(qmc.sobol(jax.random.PRNGKey(0), n, d, dtype=np.float32))
+        mc = np.asarray(jax.random.uniform(jax.random.PRNGKey(0), (n, d)))
+        err_sob = abs(np.prod(sob, axis=1).mean() - 1 / 16)
+        err_mc = abs(np.prod(mc, axis=1).mean() - 1 / 16)
+        assert err_sob < err_mc
+
+
+class TestHalton:
+    def test_unscrambled_prefix(self):
+        pts = np.asarray(qmc.halton(jax.random.PRNGKey(0), 4, 2, scramble=False))
+        np.testing.assert_allclose(pts[:, 0], [0, 0.5, 0.25, 0.75], atol=1e-6)
+        np.testing.assert_allclose(pts[:, 1], [0, 1 / 3, 2 / 3, 1 / 9], atol=1e-6)
+
+    def test_scrambled_in_range(self):
+        pts = np.asarray(qmc.halton(jax.random.PRNGKey(5), 200, 6))
+        assert pts.min() >= 0.0 and pts.max() < 1.0
+        assert np.allclose(pts.mean(axis=0), 0.5, atol=0.06)
+
+
+class TestMethodPlumbing:
+    @pytest.mark.parametrize("method", ["lhs", "halton", "sobol"])
+    def test_sample_method_argument(self, method):
+        from probabilit_tpu.modeling import Distribution
+
+        s = np.asarray(
+            Distribution("uniform").sample(128, random_state=0, method=method)
+        )
+        assert s.shape == (128,)
+        assert np.isclose(s.mean(), 0.5, atol=0.05)
+
+    def test_unknown_method_raises(self):
+        from probabilit_tpu.modeling import Distribution
+
+        with pytest.raises(KeyError):
+            Distribution("uniform").sample(10, random_state=0, method="bogus")
+
+    def test_qmc_improves_mean_estimate(self):
+        from probabilit_tpu.modeling import Distribution
+
+        # LHS stratification: uniform mean estimate is near-exact.
+        s = np.asarray(
+            Distribution("uniform").sample(256, random_state=0, method="lhs")
+        )
+        assert abs(s.mean() - 0.5) < 0.002
