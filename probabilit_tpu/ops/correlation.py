@@ -25,7 +25,7 @@ import abc
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import ndtri
+from probabilit_tpu.ops.special import ndtri_fast as ndtri
 
 __all__ = [
     "CorrelatorError",
@@ -185,13 +185,17 @@ class ImanConover(Correlator):
         return self._apply(jnp.asarray(X))
 
     def _apply(self, X):
+        from probabilit_tpu.ops.sort import invert_permutation, sort_with_order
+
         X = jnp.asarray(X)
         N, K = X.shape
         dtype = X.dtype
 
-        # STEP 1: van der Waerden scores from ordinal ranks.
-        order = jnp.argsort(X, axis=0)
-        ranks = _invert_permutation(order)
+        # STEP 1: van der Waerden scores from ordinal ranks.  One chunked
+        # variadic sort yields both the sorted columns (needed in step 4)
+        # and the permutation; memory stays bounded for 1e7 x 50 inputs.
+        X_sorted, order = sort_with_order(X)
+        ranks = invert_permutation(order)
         scores = ndtri((ranks.astype(dtype) + 1.0) / (N + 1.0))
 
         # STEP 2: empirical correlation of the scores. Score columns are
@@ -211,18 +215,12 @@ class ImanConover(Correlator):
         M = inv_L.T @ target_P.T
         correlated_scores = (Sc / std) @ M
 
-        # STEP 4: reorder original columns by the rank of the scored column.
-        final_ranks = _invert_permutation(jnp.argsort(correlated_scores, axis=0))
-        X_sorted = jnp.take_along_axis(X, order, axis=0)
+        # STEP 4: reorder original columns by the rank of the scored column
+        # (chunked argsort + two gathers; X_sorted came free from step 1).
+        from probabilit_tpu.ops.sort import argsort_columns
+
+        final_ranks = invert_permutation(argsort_columns(correlated_scores))
         return jnp.take_along_axis(X_sorted, final_ranks, axis=0)
-
-
-def _invert_permutation(order):
-    """Per-column inverse permutation: inv[order[j], k] = j."""
-    n = order.shape[0]
-    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], order.shape)
-    inv = jnp.zeros(order.shape, dtype=jnp.int32)
-    return jnp.put_along_axis(inv, order, iota, axis=0, inplace=False)
 
 
 def decorrelate(X, remove_variance=True):

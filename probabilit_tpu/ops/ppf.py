@@ -31,7 +31,7 @@ import numbers
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import betainc, gammaincc, ndtr, ndtri
+from jax.scipy.special import betainc, gammaincc, ndtr
 
 from probabilit_tpu import config
 from probabilit_tpu.ops import special
@@ -82,7 +82,7 @@ def uniform(q, loc=0.0, scale=1.0):
 
 @register("norm")
 def norm(q, loc=0.0, scale=1.0):
-    return _f(loc) + _f(scale) * ndtri(_f(q))
+    return _f(loc) + _f(scale) * special.ndtri_fast(_f(q))
 
 
 @register("expon")
@@ -92,7 +92,7 @@ def expon(q, loc=0.0, scale=1.0):
 
 @register("lognorm")
 def lognorm(q, s, loc=0.0, scale=1.0):
-    return _f(loc) + _f(scale) * jnp.exp(_f(s) * ndtri(_f(q)))
+    return _f(loc) + _f(scale) * jnp.exp(_f(s) * special.ndtri_fast(_f(q)))
 
 
 @register("triang")
@@ -108,7 +108,7 @@ def triang(q, c, loc=0.0, scale=1.0):
 def truncnorm(q, a, b, loc=0.0, scale=1.0):
     a, b, q = _f(a), _f(b), _f(q)
     fa, fb = ndtr(a), ndtr(b)
-    return _f(loc) + _f(scale) * ndtri(fa + q * (fb - fa))
+    return _f(loc) + _f(scale) * special.ndtri_fast(fa + q * (fb - fa))
 
 
 @register("cauchy")
@@ -146,7 +146,7 @@ def rayleigh(q, loc=0.0, scale=1.0):
 
 @register("halfnorm")
 def halfnorm(q, loc=0.0, scale=1.0):
-    return _f(loc) + _f(scale) * ndtri(0.5 * (1.0 + _f(q)))
+    return _f(loc) + _f(scale) * special.ndtri_fast(0.5 * (1.0 + _f(q)))
 
 
 @register("pareto")

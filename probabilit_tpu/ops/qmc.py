@@ -96,6 +96,15 @@ def _primitive_polynomials(count):
     return found
 
 
+def _splitmix64(x):
+    """Language-independent counter hash (matches native/sobol.cpp)."""
+    mask = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & mask
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+    return x ^ (x >> 31)
+
+
 @functools.lru_cache(maxsize=8)
 def _direction_numbers_np(d):
     """(d, 32) uint32 direction-number matrix for a d-dimensional Sobol.
@@ -103,23 +112,31 @@ def _direction_numbers_np(d):
     Cached as a NumPy array (never cache traced arrays across jit scopes).
 
     Dimension 0 is the van der Corput sequence; higher dimensions use the
-    classic recurrence over primitive polynomials with seeded random odd
-    initial values m_j < 2^j (any odd choice yields a valid digital
-    sequence; Owen scrambling randomises away quality differences).
+    classic recurrence over primitive polynomials with odd initial values
+    m_i < 2^i drawn from a splitmix64 counter hash (any odd choice yields
+    a valid digital sequence; Owen scrambling randomises away quality
+    differences).  The native C++ path (probabilit_tpu.native) computes a
+    bit-identical table ~100x faster and is preferred when available.
     """
+    from probabilit_tpu import native
+
+    native_table = native.sobol_directions(d)
+    if native_table is not None:
+        return native_table
+
     V = np.zeros((d, _MAX_BITS), dtype=np.uint64)
     # First dimension: v_k = 2^(31-k).
     for k in range(_MAX_BITS):
         V[0, k] = 1 << (_MAX_BITS - 1 - k)
 
     if d > 1:
-        rng = np.random.RandomState(20240816)
         polys = _primitive_polynomials(d - 1)
         for j, (s, poly) in enumerate(polys, start=1):
             # a-coefficients of the recurrence (exclude leading/trailing 1).
             a = [(poly >> (s - i)) & 1 for i in range(1, s)]
             m = [1] + [
-                int(2 * rng.randint(0, 1 << max(i - 1, 0)) + 1) for i in range(2, s + 1)
+                int((_splitmix64(j * 64 + i) % (1 << (i - 1))) * 2 + 1)
+                for i in range(2, s + 1)
             ]
             m = m[:s]
             for k in range(s, _MAX_BITS):

@@ -26,11 +26,60 @@ from jax.scipy.special import (
 __all__ = [
     "ndtr",
     "ndtri",
+    "ndtri_fast",
+    "erfinv_f32",
     "gammaincinv",
     "gammainccinv",
     "betaincinv",
     "discrete_ppf_bisect",
 ]
+
+
+def erfinv_f32(x):
+    """Fast single-precision inverse error function (Giles 2012 scheme).
+
+    Two short polynomial branches in w = -log(1-x^2); ~20 fma + one log +
+    one select, no divisions — ~4x cheaper than the XLA ndtri rational on
+    the TPU VPU.  Max relative error ~1e-6, well inside the framework's
+    float32 sampling accuracy contract.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    w = -jnp.log(jnp.clip((1.0 - x) * (1.0 + x), 1e-37))
+
+    wc = w - 2.5
+    p1 = jnp.float32(2.81022636e-08)
+    p1 = jnp.float32(3.43273939e-07) + p1 * wc
+    p1 = jnp.float32(-3.5233877e-06) + p1 * wc
+    p1 = jnp.float32(-4.39150654e-06) + p1 * wc
+    p1 = jnp.float32(0.00021858087) + p1 * wc
+    p1 = jnp.float32(-0.00125372503) + p1 * wc
+    p1 = jnp.float32(-0.00417768164) + p1 * wc
+    p1 = jnp.float32(0.246640727) + p1 * wc
+    p1 = jnp.float32(1.50140941) + p1 * wc
+
+    ws = jnp.sqrt(w) - 3.0
+    p2 = jnp.float32(-0.000200214257)
+    p2 = jnp.float32(0.000100950558) + p2 * ws
+    p2 = jnp.float32(0.00134934322) + p2 * ws
+    p2 = jnp.float32(-0.00367342844) + p2 * ws
+    p2 = jnp.float32(0.00573950773) + p2 * ws
+    p2 = jnp.float32(-0.0076224613) + p2 * ws
+    p2 = jnp.float32(0.00943887047) + p2 * ws
+    p2 = jnp.float32(1.00167406) + p2 * ws
+    p2 = jnp.float32(2.83297682) + p2 * ws
+
+    return jnp.where(w < 5.0, p1, p2) * x
+
+
+_SQRT2 = 1.4142135623730951
+
+
+def ndtri_fast(q):
+    """Standard-normal quantile function; fast f32 path, exact f64 path."""
+    q = jnp.asarray(q)
+    if q.dtype == jnp.float32:
+        return jnp.float32(_SQRT2) * erfinv_f32(2.0 * q - 1.0)
+    return ndtri(q)
 
 _NEWTON_ITERS = 26
 _TINY = 1e-30

@@ -1,0 +1,113 @@
+"""Streamed sampling, streaming estimates, checkpoint/resume, profiling."""
+
+import numpy as np
+import pytest
+
+from probabilit_tpu.engine import checkpoint, streaming
+from probabilit_tpu.modeling import Distribution, Exp
+
+
+class TestStreaming:
+    def test_streamed_equals_blocked_total(self):
+        model = Distribution("norm", loc=2.0, scale=0.5) * 3
+        out = streaming.sample_streaming(model, 10_000, block_size=1024, random_state=0)
+        assert out.shape == (10_000,)
+        assert np.isclose(out.mean(), 6.0, atol=0.05)
+        assert np.isfinite(out).all()
+
+    def test_non_block_multiple_size(self):
+        model = Distribution("uniform")
+        out = streaming.sample_streaming(model, 1000, block_size=333, random_state=1)
+        assert out.shape == (1000,)
+        assert out.min() >= 0 and out.max() < 1
+
+    def test_blocks_are_independent(self):
+        model = Distribution("norm")
+        out = streaming.sample_streaming(model, 2048, block_size=1024, random_state=0)
+        # Different blocks must not repeat the same random values.
+        assert not np.allclose(out[:1024], out[1024:])
+
+    def test_estimate_matches_analytic(self):
+        model = Distribution("norm", loc=5, scale=2)
+        stats = streaming.estimate(model, 400_000, block_size=65_536, random_state=0)
+        assert stats["n"] == 400_000
+        assert np.isclose(stats["mean"], 5.0, atol=0.02)
+        assert np.isclose(stats["std"], 2.0, atol=0.02)
+        assert stats["min"] < 0 < stats["max"]
+
+    def test_estimate_partial_last_block(self):
+        model = Distribution("uniform")
+        stats = streaming.estimate(model, 1000, block_size=512, random_state=0)
+        assert stats["n"] == 1000
+        assert 0.4 < stats["mean"] < 0.6
+
+    def test_correlated_graph_rejected(self):
+        a, b = Distribution("norm"), Distribution("norm")
+        expr = (a + b).correlate(a, b, corr_mat=np.eye(2))
+        with pytest.raises(ValueError, match="correlation-free"):
+            streaming.sample_streaming(expr, 100, block_size=64)
+
+
+class TestCheckpoint:
+    def test_roundtrip_in_process(self, tmp_path):
+        a = Distribution("norm")
+        expr = Exp(a) + 1
+        expr.sample(100, random_state=0)
+        path = checkpoint.save(expr, tmp_path / "state.npz")
+
+        original = np.asarray(expr.samples_)
+        expr.sample(100, random_state=1)  # Overwrite with different state
+        assert not np.allclose(np.asarray(expr.samples_), original)
+
+        checkpoint.load(expr, path)
+        np.testing.assert_allclose(np.asarray(expr.samples_), original)
+        assert hasattr(a, "samples_")
+
+    def test_restore_into_fresh_graph(self, tmp_path):
+        def build():
+            a = Distribution("norm", loc=1, scale=2)
+            return Exp(a) * 3
+
+        g1 = build()
+        g1.sample(50, random_state=7)
+        path = checkpoint.save(g1, tmp_path / "s.npz")
+
+        g2 = build()  # Different _ids, same structure
+        checkpoint.load(g2, path)
+        np.testing.assert_allclose(
+            np.asarray(g2.samples_), np.asarray(g1.samples_)
+        )
+
+    def test_gc_state_roundtrip(self, tmp_path):
+        a = Distribution("norm")
+        expr = a + 1
+        expr.sample(10, random_state=0, gc_strategy=[])
+        path = checkpoint.save(expr, tmp_path / "gc.npz")
+        g2 = (Distribution("norm") + 1)
+        checkpoint.load(g2, path)
+        assert hasattr(g2, "samples_")
+        parents = list(g2.get_parents())
+        assert not hasattr(parents[0], "samples_")
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        from probabilit_tpu.utils.profiling import PhaseTimer
+
+        t = PhaseTimer()
+        with t.phase("a"):
+            pass
+        with t.phase("b"):
+            pass
+        report = t.report()
+        assert "a" in report and "b" in report
+
+    def test_compiled_stats(self):
+        import jax
+        import jax.numpy as jnp
+
+        from probabilit_tpu.utils.profiling import compiled_stats
+
+        f = jax.jit(lambda x: jnp.sum(x * 2.0))
+        stats = compiled_stats(f, jnp.ones((128, 128)))
+        assert stats["flops"] is None or stats["flops"] > 0
