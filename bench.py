@@ -71,12 +71,12 @@ def bench_imanconover(n=10_000_000, k=50, repeats=3):
     corr = np.full((k, k), 0.3)
     np.fill_diagonal(corr, 1.0)
     transform = ImanConover().set_target(corr)
-    apply_fn = jax.jit(transform._apply)
+    apply_fn = jax.jit(transform._apply_rows)  # (K, N) lane-aligned layout
 
     def run(X):
         return float(jnp.mean(apply_fn(X)))
 
-    X = jax.random.normal(jax.random.PRNGKey(0), (n, k), dtype=jnp.float32)
+    X = jax.random.normal(jax.random.PRNGKey(0), (k, n), dtype=jnp.float32)
     jax.block_until_ready(X)
     t0 = time.perf_counter()
     run(X)

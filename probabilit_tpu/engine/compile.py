@@ -23,11 +23,8 @@ graph structure:
 
 from __future__ import annotations
 
-import numbers
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from probabilit_tpu import config
 from probabilit_tpu.models import graph as _graph
@@ -225,13 +222,18 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
             ctx.value(node)
 
         # Phase 2: correlation induction on the declared variables.
+        # Variables stack on the leading axis ((K, N), lane-aligned) so the
+        # Iman-Conover sort pipeline runs without transposes.
         if corr_matrix is not None:
             instance = correlator_cls().set_target(corr_matrix)
-            X = jnp.stack([ctx.value(v) for v in corr_vars], axis=1)
-            X = X.astype(config.float_dtype())
-            X_corr = instance._apply(X)
+            XT = jnp.stack([ctx.value(v) for v in corr_vars], axis=0)
+            XT = XT.astype(config.float_dtype())
+            if hasattr(instance, "_apply_rows"):
+                X_corr_T = instance._apply_rows(XT)
+            else:
+                X_corr_T = instance._apply(XT.T).T
             for i, var in enumerate(corr_vars):
-                ctx.set_value(var, X_corr[:, i])
+                ctx.set_value(var, X_corr_T[i])
 
         # Phase 3: propagate to the sink and materialise kept outputs.
         outputs = {}

@@ -5,10 +5,10 @@ TPU-first re-design of the reference correlators (``correlation.py:161-425``):
 * ``ImanConover`` — rank-based, marginal-preserving correlation induction
   (Iman & Conover 1982).  The reference pipeline is rankdata -> norm.ppf ->
   Cholesky -> per-column triangular solve -> K Python-loop sorts.  Here the
-  whole transform is one traced program: two batched argsorts (XLA sort over
-  the sample axis, vectorised across the K columns), rank inversion by
-  scatter, a single fused (N,K)@(K,K) matmul on the MXU (the decorrelation
-  and recoloring K x K factors are combined first), and gathers.
+  whole transform is one traced program of exactly FOUR batched sorts and
+  one MXU matmul and nothing else — permutation inversion/application is
+  expressed as integer-key variadic sorts because TPU scatter/gather costs
+  2-4x a sort at 1e7 elements (see ``_apply_rows`` and ops/sort.py).
 * ``Cholesky`` — exact Pearson induction by whiten-then-color; the two
   K x K triangular factors are combined into one (N,K)@(K,K) matmul.
 * ``decorrelate`` — whitening helper.
@@ -185,42 +185,81 @@ class ImanConover(Correlator):
         return self._apply(jnp.asarray(X))
 
     def _apply(self, X):
-        from probabilit_tpu.ops.sort import invert_permutation, sort_with_order
-
+        """Standard (N, K) layout entry; work happens in ``_apply_rows``."""
         X = jnp.asarray(X)
-        N, K = X.shape
-        dtype = X.dtype
+        return self._apply_rows(X.T).T
 
-        # STEP 1: van der Waerden scores from ordinal ranks.  One chunked
-        # variadic sort yields both the sorted columns (needed in step 4)
-        # and the permutation; memory stays bounded for 1e7 x 50 inputs.
-        X_sorted, order = sort_with_order(X)
-        ranks = invert_permutation(order)
-        scores = ndtri((ranks.astype(dtype) + 1.0) / (N + 1.0))
+    def _apply_rows(self, XT):
+        """Iman-Conover on a (K, N) matrix — exactly four sorts, no gathers.
 
-        # STEP 2: empirical correlation of the scores. Score columns are
-        # permutations of one common symmetric multiset, so means are zero;
-        # keep the general computation for numerical faithfulness.
-        mean = jnp.mean(scores, axis=0)
-        Sc = scores - mean
-        cov = (Sc.T @ Sc) / N
-        std = jnp.sqrt(jnp.diagonal(cov))
-        emp_corr = cov / jnp.outer(std, std)
+        TPU scatter/gather over 1e7-element permutations costs 2-4x a sort
+        (measured), so every permutation application is expressed as a
+        variadic sort (see ops/sort.py).  Per statistical column:
+
+        1. ``sort(X, iota)``            -> X_sorted, order
+        2. ``sort(order, s_sorted)``    -> van der Waerden scores in
+           original row order (this IS the rank->score scatter); s_sorted
+           = ndtri(arange(1..N)/(N+1)) is one shared (N,) vector, so no
+           (N, K) ndtri evaluation is needed at all
+        3. one (K,K)@(K,N) MXU matmul recolors the scores (empirical
+           decorrelation and target coloring factors pre-combined)
+        4. ``sort(corr, iota)`` -> order2; ``sort(order2, X_sorted)``
+           places the k-th largest original value at the row of the k-th
+           largest correlated score — marginals restored exactly.
+        """
+        from probabilit_tpu.ops.sort import (
+            apply_inverse_permutation_rows,
+            rowsort_with_order,
+        )
+
+        XT = jnp.asarray(XT)
+        K, N = XT.shape
+        dtype = XT.dtype
+
+        # STEP 1: sorted values + order, one variadic sort per chunk.
+        X_sorted, order = rowsort_with_order(XT)
+
+        # STEP 2: scores in original order via integer-key sort. All score
+        # columns are permutations of the same symmetric multiset, so the
+        # column means/stds are known exactly from the shared vector.
+        s_sorted = ndtri(
+            (jnp.arange(1, N + 1, dtype=dtype)) / jnp.asarray(N + 1, dtype)
+        )
+        scores = apply_inverse_permutation_rows(
+            order, jnp.broadcast_to(s_sorted[None, :], (K, N))
+        )
+        s_mean = jnp.mean(s_sorted)
+        s_var = jnp.mean(jnp.square(s_sorted - s_mean))
+
+        # Empirical correlation of the scores from one MXU Gram matrix.
+        acc_type = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        gram = (
+            jax.lax.dot_general(
+                scores,
+                scores,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_type,
+            ).astype(dtype)
+            / N
+        )
+        emp_corr = (gram - s_mean * s_mean) / s_var
         L = jnp.linalg.cholesky(emp_corr)
 
-        # STEPS 2+3 fused: scores @ (inv(L).T @ P.T) — one big MXU matmul.
+        # STEP 3: decorrelate + recolor in one (K,K) @ (K,N) matmul.
         eye = jnp.eye(K, dtype=dtype)
         inv_L = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
         target_P = jnp.asarray(self.P, dtype)
-        M = inv_L.T @ target_P.T
-        correlated_scores = (Sc / std) @ M
+        M = target_P @ inv_L  # corr_T = M @ standardized scores_T
+        correlated = jax.lax.dot_general(
+            M,
+            (scores - s_mean) / jnp.sqrt(s_var),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_type,
+        ).astype(dtype)
 
-        # STEP 4: reorder original columns by the rank of the scored column
-        # (chunked argsort + two gathers; X_sorted came free from step 1).
-        from probabilit_tpu.ops.sort import argsort_columns
-
-        final_ranks = invert_permutation(argsort_columns(correlated_scores))
-        return jnp.take_along_axis(X_sorted, final_ranks, axis=0)
+        # STEP 4: two more sorts place sorted originals at score ranks.
+        _, order2 = rowsort_with_order(correlated)
+        return apply_inverse_permutation_rows(order2, X_sorted)
 
 
 def decorrelate(X, remove_variance=True):
@@ -231,9 +270,9 @@ def decorrelate(X, remove_variance=True):
     >>> X = np.array([[1. , 1. ],
     ...               [2. , 1.1],
     ...               [2.1, 3. ]])
-    >>> np.asarray(np.cov(np.asarray(decorrelate(X)), rowvar=False)).round(6)
-    array([[ 1., -0.],
-           [-0.,  1.]])
+    >>> np.asarray(np.cov(np.asarray(decorrelate(X)), rowvar=False)).round(6) + 0.0
+    array([[1., 0.],
+           [0., 1.]])
     """
     X = jnp.asarray(X)
     N = X.shape[0]

@@ -106,10 +106,10 @@ def nearest_correlation_matrix(matrix, *, weights=None, eps=1e-6, verbose=False)
     >>> X = np.array([[1, 1, 0],
     ...               [1, 1, 1],
     ...               [0, 1, 1]])
-    >>> nearest_correlation_matrix(X).round(5)
-    array([[1.     , 0.76069, 0.15729],
-           [0.76069, 1.     , 0.76069],
-           [0.15729, 0.76069, 1.     ]])
+    >>> nearest_correlation_matrix(X).round(4)
+    array([[1.    , 0.7607, 0.1573],
+           [0.7607, 1.    , 0.7607],
+           [0.1573, 0.7607, 1.    ]])
     """
     if not isinstance(matrix, np.ndarray):
         raise TypeError("Input argument `matrix` must be np.ndarray.")

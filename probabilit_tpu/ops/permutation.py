@@ -179,7 +179,7 @@ class PermutationCorrelator(Correlator):
     >>> target = np.array([[1, 0.7], [0.7, 1]])
     >>> pc = PermutationCorrelator(seed=0).set_target(target)
     >>> X_t = np.asarray(pc(X))
-    >>> abs(np.corrcoef(X_t, rowvar=False)[0, 1] - 0.7) < 0.1
+    >>> bool(abs(np.corrcoef(X_t, rowvar=False)[0, 1] - 0.7) < 0.1)
     True
     """
 

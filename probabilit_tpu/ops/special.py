@@ -17,7 +17,6 @@ from jax.scipy.special import (
     betainc,
     betaln,
     gammainc,
-    gammaincc,
     gammaln,
     ndtr,
     ndtri,

@@ -1,0 +1,78 @@
+"""Same-program-different-mesh tests (SURVEY §4's added tier).
+
+Runs on the 8 virtual CPU devices from conftest: results must be invariant
+to the mesh shape (counter-based RNG + sharding-annotation-only layout),
+and the full sampling step — including Iman-Conover collectives — must
+compile and execute under every mesh size.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from probabilit_tpu.modeling import Distribution, Exp
+from probabilit_tpu.parallel import make_mesh, sample_sharding, use_mesh
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_devices
+class TestMeshInvariance:
+    @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+    def test_identical_results_any_mesh(self, n_dev):
+        expr = Distribution("norm", loc=1, scale=2) * Exp(Distribution("expon"))
+        baseline = np.asarray(expr.sample(4096, random_state=3))
+        with use_mesh(make_mesh(jax.devices()[:n_dev])):
+            sharded = np.asarray(expr.sample(4096, random_state=3))
+        np.testing.assert_array_equal(baseline, sharded)
+
+    def test_quantile_matrix_is_sharded(self):
+        with use_mesh(make_mesh()):
+            sharding = sample_sharding(ndim=2)
+            assert sharding is not None
+            x = jax.device_put(np.zeros((64, 2), np.float32), sharding)
+            # Samples axis split over all 8 devices
+            assert len({d for d in x.sharding.device_set}) == 8
+
+    def test_correlated_sampling_under_mesh(self):
+        a, b = Distribution("uniform"), Distribution("expon")
+        corr = np.array([[1, 0.6], [0.6, 1]])
+        expr = (a + b).correlate(a, b, corr_mat=corr)
+        with use_mesh(make_mesh()):
+            expr.sample(4096, random_state=0)
+            achieved = np.corrcoef(
+                np.asarray(a.samples_), np.asarray(b.samples_)
+            )[0, 1]
+        assert np.isclose(achieved, 0.6, atol=0.1)
+
+    def test_streaming_under_mesh(self):
+        from probabilit_tpu.engine import streaming
+
+        model = Distribution("norm", loc=4)
+        with use_mesh(make_mesh()):
+            stats = streaming.estimate(model, 100_000, block_size=8192, random_state=0)
+        assert np.isclose(stats["mean"], 4.0, atol=0.05)
+
+
+@needs_devices
+class TestGraftEntryPoints:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import entry
+
+        fn, args = entry()
+        out = np.asarray(jax.jit(fn)(*args))
+        assert out.shape == (8192,)
+        assert np.isfinite(out).all()
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
