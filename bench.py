@@ -22,8 +22,46 @@ def log(*args):
 
 
 def bench_flagship(n=100_000_000, repeats=3):
-    """Samples/sec on the 20-node DAG, sink-only materialisation."""
+    """Samples/sec on the 20-node DAG via the Pallas megakernel executor.
+
+    The whole DAG (8 ppf kernels + 12 transforms + hardware PRNG) runs as
+    one Pallas kernel gridded over sample blocks; only the sink column is
+    written to HBM.  See engine/pallas_exec.py.
+    """
+    import jax.numpy as jnp
+
+    from probabilit_tpu.engine import compile as _compile
+    from probabilit_tpu.engine import pallas_exec
+    from probabilit_tpu.models import benchmarks
+
+    sink = benchmarks.mixed_dag_20()
+    plan = _compile.Plan(sink)
+    assert pallas_exec.supports(plan, frozenset({sink._id}))
+    fn = pallas_exec.run_jitted(plan, n)
+
+    def run(seed):
+        # Fetch a scalar reduction: guarantees the full computation executed
+        # (block_until_ready alone is unreliable over the axon tunnel).
+        return float(jnp.mean(fn(seed)))
+
+    t0 = time.perf_counter()
+    val = run(0)
+    log(f"flagship compile+first run: {time.perf_counter() - t0:.2f}s (mean={val:.2f})")
+
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"flagship run {i}: {dt * 1e3:.1f} ms -> {n / dt / 1e9:.3f} Gsamples/s")
+    return n / best
+
+
+def bench_flagship_xla(n=100_000_000, repeats=2):
+    """Same DAG through the general XLA executor (for the extras record)."""
     import jax
+    import jax.numpy as jnp
 
     from probabilit_tpu.engine import compile as _compile
     from probabilit_tpu.models import benchmarks
@@ -38,26 +76,20 @@ def bench_flagship(n=100_000_000, repeats=3):
         rng_inline_n=n,
     )
 
-    import jax.numpy as jnp
-
     def run(key):
         out, _ = program(key)
-        # Fetch a scalar reduction: guarantees the full computation executed
-        # (block_until_ready alone is unreliable over the axon tunnel).
         return float(jnp.mean(out[sink._id]))
 
-    key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    val = run(key)
-    log(f"flagship compile+first run: {time.perf_counter() - t0:.2f}s (mean={val:.2f})")
-
+    run(jax.random.PRNGKey(0))
+    log(f"flagship-xla compile+first: {time.perf_counter() - t0:.2f}s")
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
         run(jax.random.PRNGKey(i + 1))
         dt = time.perf_counter() - t0
         best = min(best, dt)
-        log(f"flagship run {i}: {dt * 1e3:.1f} ms -> {n / dt / 1e9:.3f} Gsamples/s")
+        log(f"flagship-xla run {i}: {dt * 1e3:.1f} ms")
     return n / best
 
 
@@ -135,6 +167,7 @@ def bench_reference_cpu(n=1_000_000):
 
 def main():
     flagship_sps = bench_flagship()
+    xla_sps = bench_flagship_xla()
     ic_ms = bench_imanconover()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
@@ -147,6 +180,7 @@ def main():
                 "unit": "samples/s",
                 "vs_baseline": vs_baseline,
                 "extras": {
+                    "xla_executor_samples_per_sec": xla_sps,
                     "imanconover_1e7x50_ms": ic_ms,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,

@@ -25,6 +25,19 @@ from probabilit_tpu.parallel import mesh as _mesh
 
 __all__ = ["sample", "sample_from_quantiles", "resolve_key"]
 
+_PALLAS_FN_CACHE = {}
+
+
+def _get_pallas_fn(plan, size):
+    from probabilit_tpu.engine import pallas_exec
+
+    key = (plan.signature(), size)
+    if key not in _PALLAS_FN_CACHE:
+        if len(_PALLAS_FN_CACHE) > 64:
+            _PALLAS_FN_CACHE.pop(next(iter(_PALLAS_FN_CACHE)))
+        _PALLAS_FN_CACHE[key] = pallas_exec.run_jitted(plan, size)
+    return _PALLAS_FN_CACHE[key]
+
 
 def resolve_key(random_state):
     """Map reference-style ``random_state`` values onto a JAX PRNG key.
@@ -54,9 +67,37 @@ def sample(
     method=None,
     correlator="imanconover",
     gc_strategy=None,
+    executor=None,
 ):
     size = 1 if size is None else int(size)
     plan = _compile.Plan(sink)
+
+    if executor == "pallas":
+        # Opt-in megakernel path (single kernel, hardware PRNG); falls back
+        # loudly if the graph is not eligible. See engine/pallas_exec.py.
+        from probabilit_tpu.engine import pallas_exec
+
+        keep_ids = (
+            frozenset({sink._id})
+            if gc_strategy is not None
+            else frozenset(n._id for n in plan.topo)
+        )
+        if not pallas_exec.supports(plan, frozenset({sink._id})) or keep_ids != frozenset({sink._id}):
+            raise ValueError(
+                "executor='pallas' requires method=None, gc_strategy=[], no "
+                "correlations, and whitelisted distribution families."
+            )
+        if method is not None:
+            raise ValueError("executor='pallas' supports method=None only.")
+        seed = random_state if isinstance(random_state, (int,)) else 0
+        fn = _get_pallas_fn(plan, size)
+        out = fn(seed)
+        for node in plan.topo:
+            if hasattr(node, "samples_"):
+                delattr(node, "samples_")
+        sink.samples_ = out
+        return out
+
     key = resolve_key(random_state)
     if method is None:
         # Fast path: uniforms are generated inside the compiled program so

@@ -248,13 +248,16 @@ class Node(abc.ABC):
         method=None,
         correlator="imanconover",
         gc_strategy=None,
+        executor=None,
     ):
         """Sample this node; populates ``.samples_`` on ancestors.
 
         Same signature and semantics as reference ``modeling.py:431-493``:
         ``method`` in {None, "lhs", "halton", "sobol"}, ``correlator`` a name
         or Correlator class, ``gc_strategy`` None (keep everything) or a list
-        of nodes to keep in addition to the sink.
+        of nodes to keep in addition to the sink.  The extra keyword
+        ``executor="pallas"`` opts into the single-megakernel fast path
+        (see ``engine/pallas_exec.py``).
         """
         from probabilit_tpu.engine import sampler
 
@@ -265,6 +268,7 @@ class Node(abc.ABC):
             method=method,
             correlator=correlator,
             gc_strategy=gc_strategy,
+            executor=executor,
         )
 
     def sample_from_quantiles(self, quantiles, correlator="imanconover", gc_strategy=None):
@@ -429,7 +433,9 @@ class Constant(Node, OverloadMixin):
             dtype = config.int_dtype()
         else:
             dtype = config.float_dtype()
-        return jnp.full((ctx.n,), self.value, dtype=dtype)
+        # ctx.n is an int (XLA executor) or a block shape tuple (Pallas).
+        shape = ctx.n if isinstance(ctx.n, tuple) else (ctx.n,)
+        return jnp.full(shape, self.value, dtype=dtype)
 
 
 # =====================================================================
