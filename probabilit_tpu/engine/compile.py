@@ -175,6 +175,34 @@ def _active_mesh_key():
     return None if m is None else (m.axis_names, m.devices.shape, str(m.devices.flat[0]))
 
 
+def _generatable(var):
+    """Can this variable's sorted marginal be generated directly?
+
+    True when the node's sampler is a monotone scalar inverse-CDF (so
+    sorted uniforms map to sorted samples).
+    """
+    import numpy as np
+
+    from probabilit_tpu.models.distributions import (
+        CumulativeDistribution,
+        Distribution,
+        DiscreteDistribution,
+        EmpiricalDistribution,
+        _scipy_is_multivariate,
+    )
+
+    if isinstance(var, Distribution):
+        try:
+            return not _scipy_is_multivariate(var.distr)
+        except AttributeError:
+            return False
+    if isinstance(var, (EmpiricalDistribution, CumulativeDistribution)):
+        return True
+    if isinstance(var, DiscreteDistribution):
+        return np.issubdtype(var.values.dtype, np.number)
+    return False
+
+
 _PROGRAM_CACHE = {}
 _CACHE_LIMIT = 128
 
@@ -211,14 +239,30 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
 
     d = plan.d
 
-    def body(quantiles):
+    # The two-sort "generated" Iman-Conover variant applies when the engine
+    # itself draws the samples (a PRNG key is available) and every
+    # correlated variable has a monotone inverse-CDF: sorted marginals come
+    # from uniform order statistics instead of a data sort, and the
+    # variables' own quantile columns provide the normal scores.
+    generated_ok = (
+        corr_matrix is not None
+        and rng_inline_n is not None
+        and hasattr(correlator_cls, "_apply_generated")
+        and all(_generatable(v) for v in corr_vars)
+    )
+    corr_var_ids = frozenset(v._id for v in corr_vars)
+
+    def body(quantiles, gen_key=None):
         n = quantiles.shape[0]
         columns = {nid: quantiles[:, col] for nid, col in col_of.items()}
         ctx = EmitContext(n=n, columns=columns)
+        fast = generated_ok and gen_key is not None
 
         # Phase 1: initial sampling nodes (their Constant/Transform
         # parameter subgraphs evaluate lazily through ctx.value).
         for node in isns:
+            if fast and node._id in corr_var_ids:
+                continue  # Produced by the generated correlator below.
             ctx.value(node)
 
         # Phase 2: correlation induction on the declared variables.
@@ -226,12 +270,39 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
         # Iman-Conover sort pipeline runs without transposes.
         if corr_matrix is not None:
             instance = correlator_cls().set_target(corr_matrix)
-            XT = jnp.stack([ctx.value(v) for v in corr_vars], axis=0)
-            XT = XT.astype(config.float_dtype())
-            if hasattr(instance, "_apply_rows"):
-                X_corr_T = instance._apply_rows(XT)
+            if fast:
+                from probabilit_tpu.ops import orderstats
+                from probabilit_tpu.ops import special as _special
+
+                dtype = config.float_dtype()
+                z = jnp.stack(
+                    [
+                        _special.ndtri_fast(ctx.column(v).astype(dtype))
+                        for v in corr_vars
+                    ],
+                    axis=0,
+                )
+                xs_rows = []
+                for i, var in enumerate(corr_vars):
+                    # One variable at a time: the order-statistics scratch
+                    # (exponentials + blocked cumsum) stays O(n), not O(Kn).
+                    u_sorted_i = orderstats.sorted_uniforms(
+                        jax.random.fold_in(gen_key, i), 1, n, dtype
+                    )[0]
+                    saved = ctx._columns[var._id]
+                    ctx._columns[var._id] = u_sorted_i
+                    xs_rows.append(var._emit(ctx))
+                    ctx._columns[var._id] = saved
+                X_corr_T = instance._apply_generated(
+                    z, jnp.stack(xs_rows, axis=0).astype(dtype)
+                )
             else:
-                X_corr_T = instance._apply(XT.T).T
+                XT = jnp.stack([ctx.value(v) for v in corr_vars], axis=0)
+                XT = XT.astype(config.float_dtype())
+                if hasattr(instance, "_apply_rows"):
+                    X_corr_T = instance._apply_rows(XT)
+                else:
+                    X_corr_T = instance._apply(XT.T).T
             for i, var in enumerate(corr_vars):
                 ctx.set_value(var, X_corr_T[i])
 
@@ -261,6 +332,7 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
         from probabilit_tpu.ops.qmc import clamp_open_unit
 
         def program(rng_key):
+            gen_key = jax.random.fold_in(rng_key, 0x0D0E5)
             quantiles = clamp_open_unit(
                 jax.random.uniform(
                     rng_key, (rng_inline_n, d), dtype=config.float_dtype()
@@ -268,7 +340,7 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
             )
             if sharding is not None:
                 quantiles = jax.lax.with_sharding_constraint(quantiles, sharding)
-            return body(quantiles)
+            return body(quantiles, gen_key=gen_key)
 
     compiled = jax.jit(program)
     if len(_PROGRAM_CACHE) >= _CACHE_LIMIT:

@@ -23,6 +23,7 @@ __all__ = [
     "mutual_fund",
     "portfolio_model",
     "mixed_dag_20",
+    "mixed_correlated_50",
 ]
 
 
@@ -88,3 +89,41 @@ def mixed_dag_20():
     taxed = pre_tax * (1 - tax_rate)  # 19 (Subtract), 20 (Multiply)
     profit = Max(taxed, pre_tax * 0.05) + Sqrt(fx * fx)  # a few extra nodes
     return profit
+
+
+def mixed_correlated_50():
+    """BASELINE config 5: ~50-node mixed DAG, nearest-corr repair + IC.
+
+    Ten correlated drivers with a deliberately *invalid* target correlation
+    matrix (inconsistent pairwise specs) so the engine's NCM repair runs,
+    feeding a transform lattice of ~40 more nodes.
+    """
+    drivers = [
+        Distribution("norm", loc=0.0, scale=1.0),
+        Distribution("lognorm", s=0.3, scale=10.0),
+        Distribution("uniform", loc=-1, scale=2),
+        Distribution("expon", scale=0.5),
+        Distribution("triang", c=0.5, loc=0, scale=2),
+        Distribution("norm", loc=5.0, scale=2.0),
+        Distribution("uniform", loc=0, scale=1),
+        Distribution("lognorm", s=0.5, scale=1.0),
+        Distribution("norm", loc=-2.0, scale=0.5),
+        Distribution("expon", scale=2.0),
+    ]
+    # Inconsistent spec: strong a-b and b-c correlation with strong negative
+    # a-c is not PSD -> forces nearest_correlation_matrix repair.
+    corr = np.eye(10)
+    corr[0, 1] = corr[1, 0] = 0.9
+    corr[1, 2] = corr[2, 1] = 0.9
+    corr[0, 2] = corr[2, 0] = -0.9
+    for i in range(3, 10):
+        corr[0, i] = corr[i, 0] = 0.3
+
+    layer = []
+    for i in range(0, 10, 2):
+        layer.append(drivers[i] * drivers[i + 1] + i)  # 3 nodes per pair
+    total = layer[0]
+    for term in layer[1:]:
+        total = Max(total, term) + Sqrt(Exp(term * 0.01))
+    total = total.correlate(*drivers, corr_mat=corr)
+    return total

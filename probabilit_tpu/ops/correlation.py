@@ -261,6 +261,59 @@ class ImanConover(Correlator):
         _, order2 = rowsort_with_order(correlated)
         return apply_inverse_permutation_rows(order2, X_sorted)
 
+    def _apply_generated(self, z, x_sorted):
+        """Two-sort Iman-Conover for engine-generated sampling.
+
+        When the engine *generates* the samples (rather than transforming
+        user data), the four-sort pipeline collapses: ``x_sorted`` rows are
+        produced pre-sorted from uniform order statistics (no sort), and
+        ``z`` rows are iid standard-normal scores (the variables' own
+        quantile columns through ndtri) taking the role of the van der
+        Waerden scores — the original Iman-Conover formulation with random
+        normal scores; the decorrelation step removes their empirical
+        correlation exactly as with rank-based scores.
+
+        z : (K, N) iid normal scores.
+        x_sorted : (K, N) ascending marginal values per variable.
+        Returns (K, N) correlated samples with exact marginals.
+        """
+        from probabilit_tpu.ops.sort import (
+            apply_inverse_permutation_rows,
+            rowsort_with_order,
+        )
+
+        z = jnp.asarray(z)
+        K, N = z.shape
+        dtype = z.dtype
+        acc_type = jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+        mean = jnp.mean(z, axis=1, keepdims=True)
+        zc = z - mean
+        gram = (
+            jax.lax.dot_general(
+                zc,
+                zc,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_type,
+            ).astype(dtype)
+            / N
+        )
+        std = jnp.sqrt(jnp.diagonal(gram))
+        emp_corr = gram / jnp.outer(std, std)
+        L = jnp.linalg.cholesky(emp_corr)
+        eye = jnp.eye(K, dtype=dtype)
+        inv_L = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        M = jnp.asarray(self.P, dtype) @ inv_L
+        correlated = jax.lax.dot_general(
+            M,
+            zc / std[:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_type,
+        ).astype(dtype)
+
+        _, order2 = rowsort_with_order(correlated)
+        return apply_inverse_permutation_rows(order2, jnp.asarray(x_sorted, dtype))
+
 
 def decorrelate(X, remove_variance=True):
     """Remove covariance from X, preserving the mean.

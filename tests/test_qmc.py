@@ -101,3 +101,33 @@ class TestMethodPlumbing:
             Distribution("uniform").sample(256, random_state=0, method="lhs")
         )
         assert abs(s.mean() - 0.5) < 0.002
+
+
+class TestOrderStatistics:
+    def test_sorted_and_uniform(self):
+        import jax
+
+        from probabilit_tpu.ops.orderstats import sorted_uniforms
+
+        u = np.asarray(sorted_uniforms(jax.random.PRNGKey(0), 3, 50_000))
+        assert u.shape == (3, 50_000)
+        # Rows sorted and strictly inside (0, 1)
+        assert (np.diff(u, axis=1) >= 0).all()
+        assert u.min() > 0 and u.max() < 1
+        # Each row is distributed as U(0,1) order statistics = a sorted
+        # uniform sample: KS against the uniform CDF.
+        import scipy.stats
+
+        for row in u:
+            assert scipy.stats.kstest(row, "uniform").pvalue > 1e-3
+
+    def test_exact_count_boundaries(self):
+        import jax
+
+        from probabilit_tpu.ops.orderstats import sorted_uniforms
+
+        # n exactly at and around the block size
+        for n in [1, 2, 4095, 4096, 4097]:
+            u = np.asarray(sorted_uniforms(jax.random.PRNGKey(1), 1, n))
+            assert u.shape == (1, n)
+            assert (np.diff(u[0]) >= 0).all()
