@@ -77,19 +77,26 @@ def sample(
         # loudly if the graph is not eligible. See engine/pallas_exec.py.
         from probabilit_tpu.engine import pallas_exec
 
-        keep_ids = (
-            frozenset({sink._id})
-            if gc_strategy is not None
-            else frozenset(n._id for n in plan.topo)
-        )
-        if not pallas_exec.supports(plan, frozenset({sink._id})) or keep_ids != frozenset({sink._id}):
+        gc_sink_only = gc_strategy is not None and len(gc_strategy) == 0
+        if (
+            method is not None
+            or not gc_sink_only
+            or not pallas_exec.supports(plan, frozenset({sink._id}))
+        ):
             raise ValueError(
                 "executor='pallas' requires method=None, gc_strategy=[], no "
                 "correlations, and whitelisted distribution families."
             )
-        if method is not None:
-            raise ValueError("executor='pallas' supports method=None only.")
-        seed = random_state if isinstance(random_state, (int,)) else 0
+        if random_state is None:
+            seed = int(np.random.SeedSequence().entropy % (2**31))
+        elif isinstance(random_state, (int, np.integer)):
+            seed = int(random_state)
+        elif isinstance(random_state, np.random.Generator):
+            seed = int(random_state.integers(2**31))
+        else:
+            raise TypeError(
+                "executor='pallas' takes an int/Generator/None random_state."
+            )
         fn = _get_pallas_fn(plan, size)
         out = fn(seed)
         for node in plan.topo:

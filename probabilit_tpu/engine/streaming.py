@@ -31,35 +31,70 @@ from probabilit_tpu.engine.sampler import resolve_key
 __all__ = ["sample_streaming", "estimate"]
 
 
-def _block_program(sink, block_size, keep_ids=None):
+def _block_program(sink, block_size, executor="auto"):
+    """(plan, run) where ``run(block_key) -> sink block array``.
+
+    ``executor="auto"`` picks the Pallas megakernel when the graph is
+    eligible (fastest path, hardware PRNG stream); "xla" forces the
+    general path (threefry stream, matches ``sample()``'s values).
+    """
     plan = _compile.Plan(sink)
     if plan.corr_matrix is not None:
         raise ValueError(
             "Streamed sampling requires a correlation-free graph: "
             "correlation induction needs global ranks across all samples."
         )
-    keep = frozenset({sink._id}) if keep_ids is None else keep_ids
+    keep = frozenset({sink._id})
+
+    if executor in ("auto", "pallas"):
+        from probabilit_tpu import config
+        from probabilit_tpu.engine import pallas_exec
+        from probabilit_tpu.parallel import mesh as _par_mesh
+
+        eligible = (
+            pallas_exec.supports(plan, keep)
+            and config.float_dtype() == jnp.float32
+            and _par_mesh.current_mesh() is None
+            and jax.devices()[0].platform == "tpu"
+        )
+        if executor == "pallas" and not eligible:
+            raise ValueError("Graph not eligible for the pallas executor.")
+        if eligible:
+            fn = pallas_exec.run_jitted(plan, block_size)
+
+            def run(block_key):
+                seed = jax.random.key_data(block_key).ravel()[-1].astype(jnp.int32)
+                return fn(seed)
+
+            return plan, run
+
     program = _compile.get_program(
         plan, "imanconover", keep, check_finite=False, rng_inline_n=block_size
     )
-    return plan, program
+
+    def run(block_key):
+        outputs, _ = program(block_key)
+        return outputs[plan.sink._id]
+
+    return plan, run
 
 
-def sample_streaming(sink, size, block_size=16_777_216, random_state=None):
+def sample_streaming(
+    sink, size, block_size=16_777_216, random_state=None, executor="auto"
+):
     """Sample ``size`` draws of ``sink`` in device-sized blocks.
 
     Returns a host ndarray of length ``size``; device memory is bounded by
     one block regardless of ``size``.
     """
-    plan, program = _block_program(sink, block_size)
+    plan, run = _block_program(sink, block_size, executor)
     key = resolve_key(random_state)
 
     n_blocks = -(-size // block_size)
     out = None
     for b in range(n_blocks):
         block_key = jax.random.fold_in(key, b)
-        outputs, _ = program(block_key)
-        block = np.asarray(outputs[sink._id])
+        block = np.asarray(run(block_key))
         if out is None:
             out = np.empty((size,), dtype=block.dtype)
         lo = b * block_size
@@ -68,7 +103,7 @@ def sample_streaming(sink, size, block_size=16_777_216, random_state=None):
     return out
 
 
-def estimate(sink, size, block_size=16_777_216, random_state=None):
+def estimate(sink, size, block_size=16_777_216, random_state=None, executor="auto"):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
 
     Numerically stable parallel-merge of per-block moments (Chan et al.);
@@ -77,46 +112,45 @@ def estimate(sink, size, block_size=16_777_216, random_state=None):
 
     Returns a dict with n, mean, var, std, min, max.
     """
-    plan, program = _block_program(sink, block_size)
+    plan, run = _block_program(sink, block_size, executor)
     key = resolve_key(random_state)
+    n_blocks = -(-size // block_size)
 
     @jax.jit
-    def block_stats(block_key, count):
-        outputs, _ = program(block_key)  # Nested jit inlines into this one.
-        x = outputs[plan.sink._id].astype(jnp.float32)
-        valid = jnp.arange(x.shape[0]) < count
-        n = count.astype(jnp.float32)
-        mean = jnp.sum(jnp.where(valid, x, 0.0)) / n
-        m2 = jnp.sum(jnp.where(valid, jnp.square(x - mean), 0.0))
-        bmin = jnp.min(jnp.where(valid, x, jnp.inf))
-        bmax = jnp.max(jnp.where(valid, x, -jnp.inf))
-        return mean, m2, bmin, bmax
+    def all_blocks(key):
+        # One dispatch for the whole run: lax.fori_loop folds every block
+        # into the running (mean, M2, min, max); only five scalars ever
+        # reach the host.  Counts carried in f32 (exact merge weights are
+        # unnecessary; relative 2^-24 is far below MC noise).
+        def body(b, carry):
+            n_prev, mean, m2, vmin, vmax = carry
+            x = run(jax.random.fold_in(key, b)).astype(jnp.float32)
+            count = jnp.minimum(block_size, size - b * block_size)
+            valid = jnp.arange(x.shape[0]) < count
+            bn = count.astype(jnp.float32)
+            bm = jnp.sum(jnp.where(valid, x, 0.0)) / bn
+            bm2 = jnp.sum(jnp.where(valid, jnp.square(x - bm), 0.0))
+            delta = bm - mean
+            nn = n_prev + bn
+            mean = mean + delta * bn / nn
+            m2 = m2 + bm2 + delta * delta * n_prev * bn / nn
+            vmin = jnp.minimum(vmin, jnp.min(jnp.where(valid, x, jnp.inf)))
+            vmax = jnp.maximum(vmax, jnp.max(jnp.where(valid, x, -jnp.inf)))
+            return nn, mean, m2, vmin, vmax
 
-    n_blocks = -(-size // block_size)
-    total_n = 0
-    mean = 0.0
-    m2 = 0.0
-    vmin, vmax = np.inf, -np.inf
-    for b in range(n_blocks):
-        block_key = jax.random.fold_in(key, b)
-        bn = min(block_size, size - total_n)
-        bm, bss, bmin, bmax = jax.device_get(
-            block_stats(block_key, jnp.int32(bn))
+        init = (
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.float32(jnp.inf),
+            jnp.float32(-jnp.inf),
         )
-        bm = float(bm)
-        bss = float(bss)
-        # Chan/Welford merge of per-block (mean, M2) pairs.
-        delta = bm - mean
-        new_n = total_n + bn
-        mean = mean + delta * bn / new_n
-        m2 = m2 + bss + delta * delta * total_n * bn / new_n
-        total_n = new_n
-        vmin = min(vmin, float(bmin))
-        vmax = max(vmax, float(bmax))
+        return jax.lax.fori_loop(0, n_blocks, body, init)
 
-    var = m2 / total_n if total_n else float("nan")
+    total, mean, m2, vmin, vmax = (float(v) for v in jax.device_get(all_blocks(key)))
+    var = m2 / total if total else float("nan")
     return {
-        "n": total_n,
+        "n": size,
         "mean": mean,
         "var": var,
         "std": var**0.5,

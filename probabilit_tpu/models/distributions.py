@@ -113,9 +113,15 @@ class Distribution(AbstractDistribution):
         kwargs = {k: unpack(v) for k, v in self.kwargs.items()}
 
         if _scipy_is_multivariate(self.distr):
-            # Multivariate leaf: scipy .rvs seeded from q[0], reference
-            # ``modeling.py:808-812``. Must be a leaf (static params).
+            # Multivariate leaf, seeded from q[0] like the reference
+            # (``modeling.py:808-812``).  Common families sample natively
+            # on device; anything else goes through a scipy host callback.
+            from probabilit_tpu.ops import multivariate as mv
+
             shape = (ctx.n, self._mv_dim())
+            native = mv.lookup(self.distr)
+            if native is not None:
+                return native(q, shape, *args, **kwargs)
             return ppf.scipy_fallback_rvs(self.distr, q, shape, *args, **kwargs)
 
         return ppf.call(self.distr, q, *args, **kwargs)
