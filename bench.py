@@ -165,9 +165,24 @@ def bench_reference_cpu(n=1_000_000):
     return n / dt
 
 
+def bench_streaming_1e9():
+    """Full 1e9-draw estimation (single on-device dispatch)."""
+    from probabilit_tpu.engine import streaming
+    from probabilit_tpu.models import benchmarks
+
+    sink = benchmarks.mixed_dag_20()
+    streaming.estimate(sink, 1 << 26, block_size=1 << 26, random_state=0)  # warm
+    t0 = time.perf_counter()
+    stats = streaming.estimate(sink, 10**9, block_size=1 << 26, random_state=0)
+    dt = time.perf_counter() - t0
+    log(f"streaming 1e9: {dt:.2f}s (mean={stats['mean']:.1f})")
+    return 10**9 / dt
+
+
 def main():
     flagship_sps = bench_flagship()
     xla_sps = bench_flagship_xla()
+    streaming_sps = bench_streaming_1e9()
     ic_ms = bench_imanconover()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
@@ -181,6 +196,7 @@ def main():
                 "vs_baseline": vs_baseline,
                 "extras": {
                     "xla_executor_samples_per_sec": xla_sps,
+                    "streaming_1e9_samples_per_sec": streaming_sps,
                     "imanconover_1e7x50_ms": ic_ms,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
