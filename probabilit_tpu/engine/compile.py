@@ -37,6 +37,8 @@ CORRELATOR_MAP = {
     "cholesky": _correlation.Cholesky,
 }
 
+_NCM_CACHE = {}
+
 
 class EmitContext:
     """Tracing context handed to ``Node._emit``: memoised lazy evaluation."""
@@ -144,7 +146,16 @@ class Plan:
         ]
         self.corr_vars = all_variables
         raw = build_corrmat(indexed)
-        self.corr_matrix = _ncm.nearest_correlation_matrix(raw)
+        # Plans are rebuilt per sample() call; cache the (host, O(K^3))
+        # nearest-correlation-matrix solve across calls.
+        cache_key = raw.tobytes()
+        cached = _NCM_CACHE.get(cache_key)
+        if cached is None:
+            cached = _ncm.nearest_correlation_matrix(raw)
+            if len(_NCM_CACHE) > 64:
+                _NCM_CACHE.pop(next(iter(_NCM_CACHE)))
+            _NCM_CACHE[cache_key] = cached
+        self.corr_matrix = cached
 
     def signature(self):
         sig = []

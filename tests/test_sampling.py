@@ -275,3 +275,26 @@ class TestQuantileAPI:
     def test_constant_dtype_preserved(self):
         s = np.asarray(Constant(2).sample(3, random_state=0))
         assert np.issubdtype(s.dtype, np.integer)
+
+
+class TestFloat64Mode:
+    def test_x64_subprocess(self):
+        """PROBABILIT_TPU_X64=1 runs the whole pipeline in float64."""
+        import subprocess
+        import sys
+
+        code = (
+            "import os; os.environ['PROBABILIT_TPU_X64']='1';\n"
+            "import jax; jax.config.update('jax_platforms','cpu')\n"
+            "import numpy as np\n"
+            "from probabilit_tpu.modeling import Distribution\n"
+            "a, b = Distribution('norm', loc=5), Distribution('beta', a=2, b=3)\n"
+            "s = np.asarray(((a * b)).sample(20000, random_state=0))\n"
+            "assert s.dtype == np.float64, s.dtype\n"
+            "assert abs(s.mean() - 2.0) < 0.05, s.mean()\n"
+            "print('OK')\n"
+        )
+        result = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+        )
+        assert "OK" in result.stdout, result.stderr[-2000:]
