@@ -107,7 +107,7 @@ def triang(q, c, loc=0.0, scale=1.0):
 @register("truncnorm")
 def truncnorm(q, a, b, loc=0.0, scale=1.0):
     a, b, q = _f(a), _f(b), _f(q)
-    fa, fb = ndtr(a), ndtr(b)
+    fa, fb = special.ndtr_fast(a), special.ndtr_fast(b)
     return _f(loc) + _f(scale) * special.ndtri_fast(fa + q * (fb - fa))
 
 
@@ -203,7 +203,7 @@ def genpareto(q, c, loc=0.0, scale=1.0):
     x = jnp.where(
         jnp.abs(c) < 1e-9,
         -jnp.log1p(-q),
-        jnp.expm1(-c * jnp.log1p(-q)) / jnp.where(jnp.abs(c) < 1e-9, 1.0, c),
+        special.expm1_safe(-c * jnp.log1p(-q)) / jnp.where(jnp.abs(c) < 1e-9, 1.0, c),
     )
     return _f(loc) + _f(scale) * x
 
@@ -215,7 +215,7 @@ def genextreme(q, c, loc=0.0, scale=1.0):
     x = jnp.where(
         jnp.abs(c) < 1e-9,
         -jnp.log(lq),
-        -jnp.expm1(c * jnp.log(lq)) / jnp.where(jnp.abs(c) < 1e-9, 1.0, c),
+        -special.expm1_safe(c * jnp.log(lq)) / jnp.where(jnp.abs(c) < 1e-9, 1.0, c),
     )
     return _f(loc) + _f(scale) * x
 

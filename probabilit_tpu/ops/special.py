@@ -80,6 +80,48 @@ def ndtri_fast(q):
         return jnp.float32(_SQRT2) * erfinv_f32(2.0 * q - 1.0)
     return ndtri(q)
 
+
+def ndtr_fast(x):
+    """Standard-normal CDF; polynomial f32 path (Mosaic has no ``erf``).
+
+    Abramowitz & Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7),
+    which also keeps truncnorm ppf usable inside Pallas kernels.
+    """
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float32:
+        return ndtr(x)
+    z = jnp.abs(x) * jnp.float32(1.0 / _SQRT2)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * z)
+    poly = t * (
+        jnp.float32(0.254829592)
+        + t
+        * (
+            jnp.float32(-0.284496736)
+            + t
+            * (
+                jnp.float32(1.421413741)
+                + t * (jnp.float32(-1.453152027) + t * jnp.float32(1.061405429))
+            )
+        )
+    )
+    erf_abs = 1.0 - poly * jnp.exp(-z * z)
+    cdf_abs = 0.5 * (1.0 + erf_abs)
+    return jnp.where(x >= 0, cdf_abs, 1.0 - cdf_abs)
+
+
+def expm1_safe(x):
+    """exp(x) - 1, accurate near zero, without the ``expm1`` primitive.
+
+    Mosaic does not lower ``expm1``; a 6-term Taylor branch below |x|<0.5
+    keeps relative error ~2e-6 (beyond float32's own ppf accuracy).
+    """
+    x = jnp.asarray(x)
+    small = (
+        x
+        * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (1.0 / 24.0 + x * (1.0 / 120.0)))))
+    )
+    return jnp.where(jnp.abs(x) < 0.5, small, jnp.exp(x) - 1.0)
+
 _NEWTON_ITERS = 26
 _TINY = 1e-30
 
