@@ -47,7 +47,6 @@ class EmitContext:
         self.n = n
         self._columns = columns  # node_id -> traced quantile column
         self._values = {}
-        self.finalizers = {}
 
     def value(self, node):
         nid = node._id
@@ -60,9 +59,6 @@ class EmitContext:
 
     def column(self, node):
         return self._columns[node._id]
-
-    def add_finalizer(self, node, fn):
-        self.finalizers[node._id] = fn
 
 
 class Plan:

@@ -115,8 +115,6 @@ class _BlockContext:
     def column(self, node):
         return self._columns[node._id]
 
-    def add_finalizer(self, node, fn):  # pragma: no cover - ineligible nodes
-        raise NotImplementedError
 
 
 def _bits_to_open_unit(bits):

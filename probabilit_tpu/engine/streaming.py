@@ -122,10 +122,15 @@ def estimate(sink, size, block_size=16_777_216, random_state=None, executor="aut
         # into the running (mean, M2, min, max); only five scalars ever
         # reach the host.  Counts carried in f32 (exact merge weights are
         # unnecessary; relative 2^-24 is far below MC noise).
+        # Only the final block can be partial; its exact count is a static
+        # Python int, so no size-dependent (int32-overflowing at >2^31)
+        # arithmetic is ever traced.
+        last_count = size - (n_blocks - 1) * block_size
+
         def body(b, carry):
             n_prev, mean, m2, vmin, vmax = carry
             x = run(jax.random.fold_in(key, b)).astype(jnp.float32)
-            count = jnp.minimum(block_size, size - b * block_size)
+            count = jnp.where(b == n_blocks - 1, last_count, block_size)
             valid = jnp.arange(x.shape[0]) < count
             bn = count.astype(jnp.float32)
             bm = jnp.sum(jnp.where(valid, x, 0.0)) / bn

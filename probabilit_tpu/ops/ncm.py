@@ -113,7 +113,7 @@ def nearest_correlation_matrix(matrix, *, weights=None, eps=1e-6, verbose=False)
     """
     if not isinstance(matrix, np.ndarray):
         raise TypeError("Input argument `matrix` must be np.ndarray.")
-    if not matrix.ndim == 2 and matrix.shape[0] == matrix.shape[1]:
+    if not (matrix.ndim == 2 and matrix.shape[0] == matrix.shape[1]):
         raise ValueError("Input argument `matrix` must be square.")
 
     G = np.asarray(matrix, dtype=np.float64).copy()

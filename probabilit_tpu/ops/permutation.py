@@ -197,8 +197,8 @@ class PermutationCorrelator(Correlator):
             raise ValueError("`weights` must have positive entries.")
         if not (isinstance(iterations, int) and iterations >= 0):
             raise ValueError("`iterations` must be non-negative integer.")
-        if not isinstance(tol, float) and tol > 0:
-            raise ValueError("`tol` must be a positive float.")
+        if not (isinstance(tol, (int, float)) and tol > 0):
+            raise ValueError("`tol` must be a positive number.")
         if not (seed is None or isinstance(seed, int)):
             raise TypeError("`seed` must be None or an integer")
         if not isinstance(verbose, bool):
@@ -256,6 +256,10 @@ class PermutationCorrelator(Correlator):
     def _apply(self, X):
         X = jnp.asarray(X)
         num_obs, num_vars = X.shape
+        # Reference semantics: iterations=0 means "unbounded, run to
+        # tolerance" (correlation.py:493-495). A jitted while_loop needs a
+        # finite bound, so 0 maps to a 10,000-iteration safety cap (the
+        # tolerance check still exits early).
         total_iters = self.iters if self.iters else 10_000
         n_sched = self.iters if self.iters else 10_000
         cooling_c = np.log2(n_sched) + 1.0

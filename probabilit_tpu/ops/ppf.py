@@ -31,7 +31,7 @@ import numbers
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import betainc, gammaincc, ndtr
+from jax.scipy.special import betainc, gammaincc
 
 from probabilit_tpu import config
 from probabilit_tpu.ops import special
@@ -107,8 +107,17 @@ def triang(q, c, loc=0.0, scale=1.0):
 @register("truncnorm")
 def truncnorm(q, a, b, loc=0.0, scale=1.0):
     a, b, q = _f(a), _f(b), _f(q)
+    # Two algebraically-identical formulations; the CDF form loses all
+    # resolution for windows in the upper tail (ndtr saturates at 1.0 in
+    # float32 beyond ~5 sigma), the survival form for the lower tail.
+    # Select per-element by the window midpoint.
     fa, fb = special.ndtr_fast(a), special.ndtr_fast(b)
-    return _f(loc) + _f(scale) * special.ndtri_fast(fa + q * (fb - fa))
+    x_cdf = special.ndtri_fast(fa + q * (fb - fa))
+    sa, sb = special.ndtr_neg_fast(a), special.ndtr_neg_fast(b)
+    x_sf = -special.ndtri_fast(sa + q * (sb - sa))
+    x = jnp.where(a + b > 0, x_sf, x_cdf)
+    x = jnp.clip(x, a, b)  # Rounding must never leave the support.
+    return _f(loc) + _f(scale) * x
 
 
 @register("cauchy")
@@ -146,7 +155,10 @@ def rayleigh(q, loc=0.0, scale=1.0):
 
 @register("halfnorm")
 def halfnorm(q, loc=0.0, scale=1.0):
-    return _f(loc) + _f(scale) * special.ndtri_fast(0.5 * (1.0 + _f(q)))
+    # ndtri((1+q)/2) == -ndtri((1-q)/2); the latter keeps precision as
+    # q -> 1, where (1+q)/2 rounds to exactly 1.0 in float32.
+    q = _f(q)
+    return _f(loc) - _f(scale) * special.ndtri_fast(0.5 * (1.0 - q))
 
 
 @register("pareto")

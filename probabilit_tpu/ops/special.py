@@ -26,7 +26,10 @@ __all__ = [
     "ndtr",
     "ndtri",
     "ndtri_fast",
+    "ndtr_fast",
+    "ndtr_neg_fast",
     "erfinv_f32",
+    "expm1_safe",
     "gammaincinv",
     "gammainccinv",
     "betaincinv",
@@ -41,9 +44,19 @@ def erfinv_f32(x):
     one select, no divisions — ~4x cheaper than the XLA ndtri rational on
     the TPU VPU.  Max relative error ~1e-6, well inside the framework's
     float32 sampling accuracy contract.
+
+    Three branches: the two Giles polynomials (central w < 5, tail
+    5 <= w <~ 16.6 — i.e. |x| up to ~1 - 2^-24), plus an asymptotic
+    branch for the FAR tail (w up to ~85, quantiles down to ~1e-37,
+    reachable through survival-space formulations like truncnorm windows
+    at 6+ sigma): two fixed-point iterations of
+    y^2 = w + ln 2 - ln(y * sqrt(pi)), from erfc(y) ~ exp(-y^2)/(y sqrt(pi)).
+    Inputs that reach exactly +/-1 through upstream rounding saturate at
+    the w = 85 clip (output ~ +/-9.1) with the correct sign.
     """
     x = jnp.asarray(x, jnp.float32)
-    w = -jnp.log(jnp.clip((1.0 - x) * (1.0 + x), 1e-37))
+    w_full = -jnp.log(jnp.clip((1.0 - x) * (1.0 + x), 1e-37))
+    w = jnp.minimum(w_full, jnp.float32(16.64))
 
     wc = w - 2.5
     p1 = jnp.float32(2.81022636e-08)
@@ -67,25 +80,88 @@ def erfinv_f32(x):
     p2 = jnp.float32(1.00167406) + p2 * ws
     p2 = jnp.float32(2.83297682) + p2 * ws
 
-    return jnp.where(w < 5.0, p1, p2) * x
+    # Far-tail asymptotic branch (w in the Giles-unfitted range).
+    ln2 = jnp.float32(0.6931472)
+    ln_sqrt_pi = jnp.float32(0.5723649)
+    y = jnp.sqrt(w_full)
+    y = jnp.sqrt(jnp.maximum(w_full + ln2 - ln_sqrt_pi - jnp.log(y), 1.0))
+    y = jnp.sqrt(jnp.maximum(w_full + ln2 - ln_sqrt_pi - jnp.log(y), 1.0))
+
+    giles = jnp.where(w < 5.0, p1, p2) * x
+    far_tail = y * jnp.sign(x)
+    return jnp.where(w_full > 16.3, far_tail, giles)
 
 
 _SQRT2 = 1.4142135623730951
 
 
 def ndtri_fast(q):
-    """Standard-normal quantile function; fast f32 path, exact f64 path."""
+    """Standard-normal quantile function; fast f32 path, exact f64 path.
+
+    Same Giles polynomial branches as :func:`erfinv_f32`, but the working
+    variable w = -log((1-x)(1+x)) = -log(4 q (1-q)) is computed DIRECTLY
+    from q via log/log1p.  Going through x = 2q-1 (as a plain
+    erfinv(2q-1) call would) collapses any q below ~3e-8 onto x = -1 in
+    float32; the direct form stays accurate for q down to 1e-38, which
+    survival-space formulations (truncnorm windows at 6+ sigma) rely on.
+    Exactly-0/1 inputs saturate at ~+/-13 with the correct sign.
+    """
     q = jnp.asarray(q)
-    if q.dtype == jnp.float32:
-        return jnp.float32(_SQRT2) * erfinv_f32(2.0 * q - 1.0)
-    return ndtri(q)
+    if q.dtype != jnp.float32:
+        return ndtri(q)
+
+    tail = jnp.minimum(q, 1.0 - q)
+    # 1e-37 is the smallest NORMAL-range clip: float32 subnormals flush to
+    # zero under XLA, which would reintroduce -inf/NaN at q exactly 0/1.
+    tail_c = jnp.clip(tail, jnp.float32(1e-37))
+    log4 = jnp.float32(1.3862944)
+    w = -(jnp.log(tail_c) + jnp.log1p(-tail_c) + log4)
+    x = 2.0 * q - 1.0
+    sign = jnp.where(q >= 0.5, jnp.float32(1.0), jnp.float32(-1.0))
+
+    wc = w - 2.5
+    p1 = jnp.float32(2.81022636e-08)
+    p1 = jnp.float32(3.43273939e-07) + p1 * wc
+    p1 = jnp.float32(-3.5233877e-06) + p1 * wc
+    p1 = jnp.float32(-4.39150654e-06) + p1 * wc
+    p1 = jnp.float32(0.00021858087) + p1 * wc
+    p1 = jnp.float32(-0.00125372503) + p1 * wc
+    p1 = jnp.float32(-0.00417768164) + p1 * wc
+    p1 = jnp.float32(0.246640727) + p1 * wc
+    p1 = jnp.float32(1.50140941) + p1 * wc
+
+    ws = jnp.sqrt(jnp.minimum(w, jnp.float32(16.64))) - 3.0
+    p2 = jnp.float32(-0.000200214257)
+    p2 = jnp.float32(0.000100950558) + p2 * ws
+    p2 = jnp.float32(0.00134934322) + p2 * ws
+    p2 = jnp.float32(-0.00367342844) + p2 * ws
+    p2 = jnp.float32(0.00573950773) + p2 * ws
+    p2 = jnp.float32(-0.0076224613) + p2 * ws
+    p2 = jnp.float32(0.00943887047) + p2 * ws
+    p2 = jnp.float32(1.00167406) + p2 * ws
+    p2 = jnp.float32(2.83297682) + p2 * ws
+
+    # Far tail (w beyond the Giles fit): erfc(y) ~ exp(-y^2)/(y sqrt(pi)),
+    # two fixed-point iterations of y^2 = w + ln2 - ln(y sqrt(pi)).
+    ln2 = jnp.float32(0.6931472)
+    ln_sqrt_pi = jnp.float32(0.5723649)
+    y = jnp.sqrt(w)
+    y = jnp.sqrt(jnp.maximum(w + ln2 - ln_sqrt_pi - jnp.log(y), 1.0))
+    y = jnp.sqrt(jnp.maximum(w + ln2 - ln_sqrt_pi - jnp.log(y), 1.0))
+
+    erfinv = jnp.where(
+        w > 16.3, y * sign, jnp.where(w < 5.0, p1 * x, p2 * x)
+    )
+    return jnp.float32(_SQRT2) * erfinv
 
 
 def ndtr_fast(x):
     """Standard-normal CDF; polynomial f32 path (Mosaic has no ``erf``).
 
-    Abramowitz & Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7),
-    which also keeps truncnorm ppf usable inside Pallas kernels.
+    Abramowitz & Stegun 7.1.26, restructured so the LOWER tail is the
+    directly-computed quantity ``0.5 * poly * exp(-z^2)`` — never
+    ``1 - (something near 1)`` — keeping relative (not just absolute)
+    accuracy for x << 0, which truncated-normal windows depend on.
     """
     x = jnp.asarray(x)
     if x.dtype != jnp.float32:
@@ -104,23 +180,39 @@ def ndtr_fast(x):
             )
         )
     )
-    erf_abs = 1.0 - poly * jnp.exp(-z * z)
-    cdf_abs = 0.5 * (1.0 + erf_abs)
-    return jnp.where(x >= 0, cdf_abs, 1.0 - cdf_abs)
+    tail = 0.5 * poly * jnp.exp(-z * z)  # = ndtr(-|x|), relative-accurate
+    return jnp.where(x >= 0, 1.0 - tail, tail)
+
+
+def ndtr_neg_fast(x):
+    """Survival function ndtr(-x) = P(Z > x), relative-accurate for x > 0."""
+    return ndtr_fast(-jnp.asarray(x))
 
 
 def expm1_safe(x):
     """exp(x) - 1, accurate near zero, without the ``expm1`` primitive.
 
-    Mosaic does not lower ``expm1``; a 6-term Taylor branch below |x|<0.5
-    keeps relative error ~2e-6 (beyond float32's own ppf accuracy).
+    Mosaic does not lower ``expm1``, so the float32 path uses a 7-term
+    Taylor branch below |x| < 0.25 (relative error ~2e-9, below float32
+    epsilon).  float64 arrays never run inside Pallas kernels and keep
+    the exact ``jnp.expm1``.
     """
     x = jnp.asarray(x)
-    small = (
-        x
-        * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (1.0 / 24.0 + x * (1.0 / 120.0)))))
+    if x.dtype == jnp.float64:
+        return jnp.expm1(x)
+    small = x * (
+        1.0
+        + x
+        * (
+            0.5
+            + x
+            * (
+                1.0 / 6.0
+                + x * (1.0 / 24.0 + x * (1.0 / 120.0 + x * (1.0 / 720.0 + x / 5040.0)))
+            )
+        )
     )
-    return jnp.where(jnp.abs(x) < 0.5, small, jnp.exp(x) - 1.0)
+    return jnp.where(jnp.abs(x) < 0.25, small, jnp.exp(x) - 1.0)
 
 _NEWTON_ITERS = 26
 _TINY = 1e-30
