@@ -25,7 +25,7 @@ import abc
 import jax
 import jax.numpy as jnp
 import numpy as np
-from probabilit_tpu.ops.special import ndtri_fast as ndtri
+from probabilit_tpu.ops.special import ndtri_fast_wide as ndtri
 
 __all__ = [
     "CorrelatorError",

@@ -112,9 +112,9 @@ def truncnorm(q, a, b, loc=0.0, scale=1.0):
     # float32 beyond ~5 sigma), the survival form for the lower tail.
     # Select per-element by the window midpoint.
     fa, fb = special.ndtr_fast(a), special.ndtr_fast(b)
-    x_cdf = special.ndtri_fast(fa + q * (fb - fa))
+    x_cdf = special.ndtri_fast_wide(fa + q * (fb - fa))
     sa, sb = special.ndtr_neg_fast(a), special.ndtr_neg_fast(b)
-    x_sf = -special.ndtri_fast(sa + q * (sb - sa))
+    x_sf = -special.ndtri_fast_wide(sa + q * (sb - sa))
     x = jnp.where(a + b > 0, x_sf, x_cdf)
     x = jnp.clip(x, a, b)  # Rounding must never leave the support.
     return _f(loc) + _f(scale) * x
@@ -158,7 +158,7 @@ def halfnorm(q, loc=0.0, scale=1.0):
     # ndtri((1+q)/2) == -ndtri((1-q)/2); the latter keeps precision as
     # q -> 1, where (1+q)/2 rounds to exactly 1.0 in float32.
     q = _f(q)
-    return _f(loc) - _f(scale) * special.ndtri_fast(0.5 * (1.0 - q))
+    return _f(loc) - _f(scale) * special.ndtri_fast_wide(0.5 * (1.0 - q))
 
 
 @register("pareto")

@@ -26,6 +26,7 @@ __all__ = [
     "ndtr",
     "ndtri",
     "ndtri_fast",
+    "ndtri_fast_wide",
     "ndtr_fast",
     "ndtr_neg_fast",
     "erfinv_f32",
@@ -45,18 +46,16 @@ def erfinv_f32(x):
     the TPU VPU.  Max relative error ~1e-6, well inside the framework's
     float32 sampling accuracy contract.
 
-    Three branches: the two Giles polynomials (central w < 5, tail
-    5 <= w <~ 16.6 — i.e. |x| up to ~1 - 2^-24), plus an asymptotic
-    branch for the FAR tail (w up to ~85, quantiles down to ~1e-37,
-    reachable through survival-space formulations like truncnorm windows
-    at 6+ sigma): two fixed-point iterations of
-    y^2 = w + ln 2 - ln(y * sqrt(pi)), from erfc(y) ~ exp(-y^2)/(y sqrt(pi)).
-    Inputs that reach exactly +/-1 through upstream rounding saturate at
-    the w = 85 clip (output ~ +/-9.1) with the correct sign.
+    The tail branch is fitted up to w ~ 16.6 (|x| up to ~1 - 2^-24, the
+    densest float32 value the engine's clamped uniforms can produce);
+    beyond that w is clamped, so inputs that round to exactly +/-1
+    saturate at ~+/-4 (with the correct sign) instead of evaluating the
+    polynomial outside its fit range.  For genuinely tiny tail
+    probabilities use :func:`ndtri_fast_wide`.
     """
     x = jnp.asarray(x, jnp.float32)
-    w_full = -jnp.log(jnp.clip((1.0 - x) * (1.0 + x), 1e-37))
-    w = jnp.minimum(w_full, jnp.float32(16.64))
+    w = -jnp.log(jnp.clip((1.0 - x) * (1.0 + x), 1e-37))
+    w = jnp.minimum(w, jnp.float32(16.64))
 
     wc = w - 2.5
     p1 = jnp.float32(2.81022636e-08)
@@ -80,23 +79,31 @@ def erfinv_f32(x):
     p2 = jnp.float32(1.00167406) + p2 * ws
     p2 = jnp.float32(2.83297682) + p2 * ws
 
-    # Far-tail asymptotic branch (w in the Giles-unfitted range).
-    ln2 = jnp.float32(0.6931472)
-    ln_sqrt_pi = jnp.float32(0.5723649)
-    y = jnp.sqrt(w_full)
-    y = jnp.sqrt(jnp.maximum(w_full + ln2 - ln_sqrt_pi - jnp.log(y), 1.0))
-    y = jnp.sqrt(jnp.maximum(w_full + ln2 - ln_sqrt_pi - jnp.log(y), 1.0))
-
-    giles = jnp.where(w < 5.0, p1, p2) * x
-    far_tail = y * jnp.sign(x)
-    return jnp.where(w_full > 16.3, far_tail, giles)
+    return jnp.where(w < 5.0, p1, p2) * x
 
 
 _SQRT2 = 1.4142135623730951
 
 
 def ndtri_fast(q):
-    """Standard-normal quantile function; fast f32 path, exact f64 path.
+    """Standard-normal quantile; the HOT sampling path (f32), exact in f64.
+
+    One log + two short polynomials (Giles erfinv branches).  Valid for
+    quantiles in [2^-24, 1 - 2^-24] — exactly the open-interval range the
+    engine's generators produce (``qmc.clamp_open_unit``); quantiles
+    beyond that saturate at ~+/-5.66 sigma with the correct sign (they
+    are not resolvable by float32 uniforms anyway).  Use
+    :func:`ndtri_fast_wide` when quantiles are *derived* (survival-space
+    windows) and can be legitimately tiny.
+    """
+    q = jnp.asarray(q)
+    if q.dtype != jnp.float32:
+        return ndtri(q)
+    return jnp.float32(_SQRT2) * erfinv_f32(2.0 * q - 1.0)
+
+
+def ndtri_fast_wide(q):
+    """Standard-normal quantile, accurate for q down to 1e-37 (f32).
 
     Same Giles polynomial branches as :func:`erfinv_f32`, but the working
     variable w = -log((1-x)(1+x)) = -log(4 q (1-q)) is computed DIRECTLY
@@ -104,7 +111,9 @@ def ndtri_fast(q):
     erfinv(2q-1) call would) collapses any q below ~3e-8 onto x = -1 in
     float32; the direct form stays accurate for q down to 1e-38, which
     survival-space formulations (truncnorm windows at 6+ sigma) rely on.
-    Exactly-0/1 inputs saturate at ~+/-13 with the correct sign.
+    An extra asymptotic branch covers w beyond the Giles fit (rel err
+    <~1e-3).  Exactly-0/1 inputs saturate at ~+/-13, correct sign.
+    Costs ~2x :func:`ndtri_fast`; use only off the hot path.
     """
     q = jnp.asarray(q)
     if q.dtype != jnp.float32:

@@ -260,23 +260,29 @@ class TestTailAccuracy:
         assert ours > 0  # regression: used to return -504.87
         assert np.isclose(ours, scipy.stats.halfnorm.ppf(float(q)), rtol=1e-4)
 
-    def test_ndtri_fast_tiny_quantiles(self):
+    def test_ndtri_fast_wide_tiny_quantiles(self):
         import scipy.special
 
-        from probabilit_tpu.ops.special import ndtri_fast
+        from probabilit_tpu.ops.special import ndtri_fast_wide
 
         for eps in [1e-8, 1e-12, 1e-20, 1e-30, 1e-37]:
-            ours = float(ndtri_fast(np.float32(eps)))
+            ours = float(ndtri_fast_wide(np.float32(eps)))
             exact = scipy.special.ndtri(eps)
             assert abs(ours - exact) / abs(exact) < 2e-3, eps
 
-    def test_ndtri_fast_degenerate_inputs_saturate(self):
-        from probabilit_tpu.ops.special import ndtri_fast
+    def test_ndtri_degenerate_inputs_saturate(self):
+        from probabilit_tpu.ops.special import ndtri_fast, ndtri_fast_wide
 
-        lo = float(ndtri_fast(np.float32(0.0)))
-        hi = float(ndtri_fast(np.float32(1.0)))
+        lo = float(ndtri_fast_wide(np.float32(0.0)))
+        hi = float(ndtri_fast_wide(np.float32(1.0)))
         assert np.isfinite(lo) and np.isfinite(hi)
         assert lo < -10 and hi > 10 and lo == -hi
+        # The narrow hot-path variant saturates at the float32-resolvable
+        # extreme (~5.66 sigma) with the correct sign, never NaN/garbage.
+        lo_n = float(ndtri_fast(np.float32(0.0)))
+        hi_n = float(ndtri_fast(np.float32(1.0)))
+        assert np.isfinite(lo_n) and np.isfinite(hi_n)
+        assert -6.0 < lo_n < -5.0 and 5.0 < hi_n < 6.0
 
     def test_ndtr_fast_relative_tail_accuracy(self):
         import scipy.special
