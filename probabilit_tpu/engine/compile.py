@@ -95,6 +95,22 @@ class Plan:
         self.col_of = {n._id: i for i, n in enumerate(self.dist_nodes)}
         self.d = len(self.dist_nodes)
 
+        # Topo-ordered prefix needed before correlation induction: the ISNs
+        # and their (Constant/Transform) ancestors.  Evaluating strictly in
+        # topological order keeps the emitter's memoised recursion at
+        # depth 1, so arbitrarily deep graphs trace without hitting
+        # Python's recursion limit.
+        isn_ids = {n._id for n in self.isns}
+        in_prefix = set()
+        stack = list(self.isns)
+        while stack:
+            node = stack.pop()
+            if node._id in in_prefix:
+                continue
+            in_prefix.add(node._id)
+            stack.extend(node.get_parents())
+        self.pre_topo = [n for n in self.topo if n._id in in_prefix or n._id in isn_ids]
+
         self._analyze_correlations()
 
         # Host-side output finalizers (e.g. string-valued categorical
@@ -213,6 +229,10 @@ def _generatable(var):
 _PROGRAM_CACHE = {}
 _CACHE_LIMIT = 128
 
+# Keep-sets wider than this get a host-side finite check instead of
+# in-program flags (see the note in the program body).
+_INLINE_FINITE_CHECK_MAX = 64
+
 
 def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None):
     """Build (or fetch) the jitted sampling program for this plan.
@@ -240,7 +260,7 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
     corr_matrix = plan.corr_matrix
     corr_vars = list(plan.corr_vars)
     topo = list(plan.topo)
-    isns = list(plan.isns)
+    pre_topo = list(plan.pre_topo)
     col_of = dict(plan.col_of)
     sink = plan.sink
 
@@ -265,9 +285,9 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
         ctx = EmitContext(n=n, columns=columns)
         fast = generated_ok and gen_key is not None
 
-        # Phase 1: initial sampling nodes (their Constant/Transform
-        # parameter subgraphs evaluate lazily through ctx.value).
-        for node in isns:
+        # Phase 1: initial sampling nodes and their Constant/Transform
+        # parameter ancestors, in topological order (bounded recursion).
+        for node in pre_topo:
             if fast and node._id in corr_var_ids:
                 continue  # Produced by the generated correlator below.
             ctx.value(node)
@@ -313,21 +333,32 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
             for i, var in enumerate(corr_vars):
                 ctx.set_value(var, X_corr_T[i])
 
-        # Phase 3: propagate to the sink and materialise kept outputs.
+        # Phase 3: propagate in topological order (every node evaluates
+        # with its parents already memoised — depth-1 recursion, so deep
+        # graphs trace fine); materialise only the kept outputs, XLA
+        # dead-code-eliminates the rest.
         outputs = {}
         for node in topo:
+            value = ctx.value(node)
             if node._id in keep_ids:
-                outputs[node._id] = ctx.value(node)
+                outputs[node._id] = value
         ctx.value(sink)
 
-        flags = {}
-        if check_finite:
-            for nid, value in outputs.items():
-                if value is None:
+        # One fused scalar over the kept inexact outputs. Only emitted for
+        # narrow keep-sets: hundreds of small reduction ops measurably blow
+        # up XLA compile time (a 1200-output keep-all graph compiled 3x
+        # slower with per-node flags), so wide keep-sets are checked
+        # host-side by the sampler instead (they are small-n by nature —
+        # keeping every node's samples at large n is host-memory-bound
+        # anyway). The offending node is identified host-side either way.
+        flag = None
+        if check_finite and len(keep_ids) <= _INLINE_FINITE_CHECK_MAX:
+            for value in outputs.values():
+                if value is None or not jnp.issubdtype(value.dtype, jnp.inexact):
                     continue
-                if jnp.issubdtype(value.dtype, jnp.inexact):
-                    flags[nid] = jnp.all(jnp.isfinite(value))
-        return outputs, flags
+                ok = jnp.all(jnp.isfinite(value))
+                flag = ok if flag is None else jnp.logical_and(flag, ok)
+        return outputs, flag
 
     if rng_inline_n is None:
         program = body

@@ -142,19 +142,25 @@ def _execute(plan, program_input, correlator, gc_strategy, rng_inline_n=None):
 
     if rng_inline_n is None:
         program_input = _mesh.shard_samples(program_input)
-    outputs, flags = program(program_input)
+    outputs, all_finite = program(program_input)
 
-    # Non-finite guard (``modeling.py:600-606``): one scalar per kept node.
-    if flags:
-        flag_values = jax.device_get(flags)
+    # Non-finite guard (``modeling.py:600-606``). Narrow keep-sets carry a
+    # fused in-program flag; wide keep-sets (no flag emitted, to keep XLA
+    # compile time bounded) are scanned host-side unconditionally.
+    wide_keep = len(keep_ids) > _compile._INLINE_FINITE_CHECK_MAX
+    flag_tripped = all_finite is not None and not bool(jax.device_get(all_finite))
+    if flag_tripped or wide_keep:
         by_id = {node._id: node for node in plan.topo}
-        for nid, ok in flag_values.items():
-            if not bool(ok):
-                node = by_id[nid]
+        for nid, value in outputs.items():
+            if value is None:
+                continue
+            arr = np.asarray(value)
+            if np.issubdtype(arr.dtype, np.inexact) and not np.isfinite(arr).all():
                 raise ValueError(
-                    f"Sampling this node gave non-finite values: {node}\n"
-                    f"{np.asarray(outputs[nid])}"
+                    f"Sampling this node gave non-finite values: {by_id[nid]}\n{arr}"
                 )
+        if flag_tripped:
+            raise ValueError("Sampling produced non-finite values.")
 
     # Host finalizers (string-valued categoricals etc.).
     for nid, fn in plan.finalizers.items():

@@ -279,6 +279,22 @@ class Node(abc.ABC):
             self, quantiles, correlator=correlator, gc_strategy=gc_strategy
         )
 
+    def sample_streaming(self, size, block_size=16_777_216, random_state=None):
+        """Sample in device-sized blocks; see ``engine.streaming``."""
+        from probabilit_tpu.engine import streaming
+
+        return streaming.sample_streaming(
+            self, size, block_size=block_size, random_state=random_state
+        )
+
+    def estimate(self, size, block_size=16_777_216, random_state=None):
+        """Streaming mean/var/min/max at any sample count; O(block) memory."""
+        from probabilit_tpu.engine import streaming
+
+        return streaming.estimate(
+            self, size, block_size=block_size, random_state=random_state
+        )
+
     def _is_initial_sampling_node(self):
         """Distribution with no Distribution ancestors (``modeling.py:616-626``)."""
         if not self._is_distribution:

@@ -154,3 +154,15 @@ class TestOverloads:
         parents = list(expr.get_parents())
         assert isinstance(parents[1], Constant)
         assert parents[1].value == 2.5
+
+
+class TestDeepGraphs:
+    def test_deep_chain_traces_without_recursion_error(self):
+        # ~1200-node chain (depth ~2x the default Python recursion limit
+        # in emitter frames); the lazy-recursive emit used to raise
+        # RecursionError at trace time with gc_strategy=[].
+        total = Distribution("norm", loc=1.01, scale=0.01)
+        for _ in range(400):
+            total = total * 1.0001 + 0.5
+        s = np.asarray(total.sample(8, random_state=0, gc_strategy=[]))
+        assert np.isfinite(s).all()

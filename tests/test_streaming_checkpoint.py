@@ -111,3 +111,22 @@ class TestProfiling:
         f = jax.jit(lambda x: jnp.sum(x * 2.0))
         stats = compiled_stats(f, jnp.ones((128, 128)))
         assert stats["flops"] is None or stats["flops"] > 0
+
+
+class TestNodeConvenienceMethods:
+    def test_node_estimate(self):
+        from probabilit_tpu.modeling import Distribution
+
+        stats = Distribution("norm", loc=7).estimate(
+            50_000, block_size=8192, random_state=0
+        )
+        assert np.isclose(stats["mean"], 7.0, atol=0.05)
+
+    def test_node_sample_streaming(self):
+        from probabilit_tpu.modeling import Distribution
+
+        out = (Distribution("uniform") * 2).sample_streaming(
+            10_000, block_size=4096, random_state=1
+        )
+        assert out.shape == (10_000,)
+        assert 0.95 < out.mean() < 1.05
