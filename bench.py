@@ -165,6 +165,30 @@ def bench_reference_cpu(n=1_000_000):
     return n / dt
 
 
+def bench_qmc_portfolio(n=1_000_000, repeats=2):
+    """BASELINE config 4: 10-dim QMC portfolio with Iman-Conover, 1e6 draws."""
+    import jax.numpy as jnp
+
+    from probabilit_tpu.models import benchmarks
+
+    sink = benchmarks.portfolio_model(d=10, target_corr=0.3)
+
+    def run(seed):
+        s = sink.sample(n, random_state=seed, method="sobol", gc_strategy=[])
+        return float(jnp.mean(s))
+
+    t0 = time.perf_counter()
+    run(0)
+    log(f"qmc portfolio compile+first: {time.perf_counter() - t0:.2f}s")
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        best = min(best, time.perf_counter() - t0)
+        log(f"qmc portfolio run {i}: {best * 1e3:.0f} ms")
+    return best * 1e3
+
+
 def bench_streaming_1e9():
     """Full 1e9-draw estimation (single on-device dispatch)."""
     from probabilit_tpu.engine import streaming
@@ -183,6 +207,7 @@ def main():
     flagship_sps = bench_flagship()
     xla_sps = bench_flagship_xla()
     streaming_sps = bench_streaming_1e9()
+    qmc_ms = bench_qmc_portfolio()
     ic_ms = bench_imanconover()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
@@ -197,6 +222,7 @@ def main():
                 "extras": {
                     "xla_executor_samples_per_sec": xla_sps,
                     "streaming_1e9_samples_per_sec": streaming_sps,
+                    "qmc_portfolio_1e6x10_ic_ms": qmc_ms,
                     "imanconover_1e7x50_ms": ic_ms,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
