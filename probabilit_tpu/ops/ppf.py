@@ -282,6 +282,41 @@ def invgamma(q, a, loc=0.0, scale=1.0):
     return _f(loc) + _f(scale) / special.gammaincinv(_f(a), 1.0 - _f(q))
 
 
+@register("invgauss")
+def invgauss(q, mu, loc=0.0, scale=1.0):
+    """Inverse Gaussian: Newton on the closed-form (Shuster 1968) CDF.
+
+    F(x; mu) = ndtr((x/mu - 1)/sqrt(x)) + exp(2/mu) ndtr(-(x/mu + 1)/sqrt(x)).
+    """
+    q, mu = _f(q), _f(mu)
+    e2mu = jnp.exp(jnp.clip(2.0 / mu, None, 80.0))
+
+    def cdf(x):
+        rx = jax.lax.rsqrt(jnp.clip(x, 1e-30))
+        a = (x / mu - 1.0) * rx
+        b = -(x / mu + 1.0) * rx
+        return special.ndtr_fast(a) + e2mu * special.ndtr_fast(b)
+
+    def pdf(x):
+        xc = jnp.clip(x, 1e-30)
+        return jnp.exp(
+            -0.5 * jnp.log(2.0 * jnp.pi * xc**3)
+            - jnp.square(xc - mu) / (2.0 * mu * mu * xc)
+        )
+
+    # Mode-anchored start; bracket generously around the distribution body.
+    x0 = jnp.broadcast_to(mu, jnp.broadcast_shapes(jnp.shape(q), jnp.shape(mu)))
+    hi = mu * (1.0 + 50.0 * (1.0 + mu))
+    x = special.continuous_ppf_newton(cdf, pdf, q, x0, 1e-12, hi)
+    return _f(loc) + _f(scale) * x
+
+
+@register("wald")
+def wald(q, loc=0.0, scale=1.0):
+    """Wald = inverse Gaussian with mu = 1 (scipy parametrization)."""
+    return invgauss(q, 1.0, loc=loc, scale=scale)
+
+
 @register("nakagami")
 def nakagami(q, nu, loc=0.0, scale=1.0):
     nu = _f(nu)

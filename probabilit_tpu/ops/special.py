@@ -35,6 +35,7 @@ __all__ = [
     "gammainccinv",
     "betaincinv",
     "discrete_ppf_bisect",
+    "continuous_ppf_newton",
 ]
 
 
@@ -336,6 +337,32 @@ def betaincinv(a, b, p):
 
     x = jnp.where(p <= 0.0, 0.0, x)
     x = jnp.where(p >= 1.0, 1.0, x)
+    return x
+
+
+def continuous_ppf_newton(cdf, pdf, q, x0, lo, hi, iters=40):
+    """Generic continuous ppf: solve cdf(x) = q with safeguarded Newton.
+
+    ``cdf``/``pdf`` are elementwise functions; ``x0`` the initial guess and
+    [lo, hi] a bracket with cdf(lo) <= q <= cdf(hi).  Newton steps that
+    leave the bracket fall back to bisection.  Used by kernels whose CDF
+    is closed-form but whose quantile function is not (e.g. invgauss).
+    """
+    q = jnp.asarray(q)
+    x = jnp.clip(jnp.broadcast_to(jnp.asarray(x0, q.dtype), q.shape), lo, hi)
+    lo = jnp.broadcast_to(jnp.asarray(lo, q.dtype), q.shape)
+    hi = jnp.broadcast_to(jnp.asarray(hi, q.dtype), q.shape)
+
+    def body(_, carry):
+        x, lo, hi = carry
+        f = cdf(x) - q
+        lo = jnp.where(f < 0.0, x, lo)
+        hi = jnp.where(f > 0.0, x, hi)
+        newton = x - f / jnp.clip(pdf(x), 1e-30)
+        bad = ~jnp.isfinite(newton) | (newton <= lo) | (newton >= hi)
+        return jnp.where(bad, 0.5 * (lo + hi), newton), lo, hi
+
+    x, _, _ = jax.lax.fori_loop(0, iters, body, (x, lo, hi))
     return x
 
 

@@ -59,6 +59,8 @@ FAMILIES = [
     ("betaprime", (3.0, 4.0), {}),
     ("t", (7.0,), {}),
     ("f", (5.0, 9.0), {}),
+    ("invgauss", (1.5,), {"scale": 2.0}),
+    ("wald", (), {}),
 ]
 
 DISCRETE_FAMILIES = [
