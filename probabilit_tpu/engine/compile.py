@@ -281,6 +281,14 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
 
     def body(quantiles, gen_key=None):
         n = quantiles.shape[0]
+        if corr_matrix is not None and n <= len(corr_vars):
+            # Static at trace time; mirrors the reference's eager guard
+            # (correlation.py:193-195) instead of surfacing a downstream
+            # NaN-Cholesky as a generic non-finite error.
+            raise ValueError(
+                "The matrix X must have rows > columns. Got shape: "
+                f"({n}, {len(corr_vars)})"
+            )
         columns = {nid: quantiles[:, col] for nid, col in col_of.items()}
         ctx = EmitContext(n=n, columns=columns)
         fast = generated_ok and gen_key is not None

@@ -133,9 +133,13 @@ def _make_kernel(plan):
 
     def kernel(seed_ref, out_ref):
         block_id = pl.program_id(0)
-        # Two-word seed: distinct (user_seed, block) pairs get distinct
-        # hardware-PRNG streams.
-        pltpu.prng_seed(seed_ref[0], block_id)
+        # Both 32-bit words of the caller's key reach the PRNG, so
+        # fold_in-derived block keys keep their full 64-bit entropy
+        # (single-word seeding collides at ~k^2/2^33 over k blocks).
+        # Mosaic allows at most two seed words, so the grid block id is
+        # mixed into the first word: distinct within a call by
+        # construction, and across calls the key words are pseudorandom.
+        pltpu.prng_seed(seed_ref[0] ^ block_id, seed_ref[1])
         shape = (_SUBLANES, _LANES)
         columns = {}
         # Columns drawn in plan order: deterministic per (seed, block).
@@ -151,12 +155,19 @@ def _make_kernel(plan):
 
 
 def run(plan, seed, n):
-    """Execute the megakernel; returns the sink's (n,) sample array."""
+    """Execute the megakernel; returns the sink's (n,) sample array.
+
+    ``seed`` is an int scalar or an array of up to two int32 words (e.g.
+    both words of a JAX key); missing words are zero-padded.
+    """
     if config.float_dtype() != jnp.float32:
         raise ValueError("The pallas executor is float32-only.")
     block = _SUBLANES * _LANES
     n_pad = -(-n // block) * block
     grid = n_pad // block
+
+    words = jnp.reshape(jnp.asarray(seed, jnp.int32), (-1,))[:2]
+    words = jnp.concatenate([words, jnp.zeros((2 - words.shape[0],), jnp.int32)])
 
     kernel = _make_kernel(plan)
     out = pl.pallas_call(
@@ -167,7 +178,7 @@ def run(plan, seed, n):
             (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((grid * _SUBLANES, _LANES), jnp.float32),
-    )(jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)))
+    )(words)
     return out.reshape(-1)[:n]
 
 

@@ -63,8 +63,13 @@ def _block_program(sink, block_size, executor="auto"):
             fn = pallas_exec.run_jitted(plan, block_size)
 
             def run(block_key):
-                seed = jax.random.key_data(block_key).ravel()[-1].astype(jnp.int32)
-                return fn(seed)
+                # Both 32-bit words of the folded key reach the kernel, so
+                # per-block hardware-PRNG streams are keyed by the full
+                # 64-bit fold_in output (no k^2/2^33 block collisions).
+                words = jax.lax.bitcast_convert_type(
+                    jax.random.key_data(block_key).ravel()[-2:], jnp.int32
+                )
+                return fn(words)
 
             return plan, run
 
@@ -100,6 +105,14 @@ def sample_streaming(
         lo = b * block_size
         hi = min(size, lo + block_size)
         out[lo:hi] = block[: hi - lo]
+        # Same safety contract as sample(): streamed runs must not return
+        # non-finite samples silently.
+        if np.issubdtype(block.dtype, np.inexact) and not np.isfinite(
+            out[lo:hi]
+        ).all():
+            raise ValueError(
+                f"Sampling produced non-finite values (block {b})."
+            )
     return out
 
 
@@ -128,10 +141,11 @@ def estimate(sink, size, block_size=16_777_216, random_state=None, executor="aut
         last_count = size - (n_blocks - 1) * block_size
 
         def body(b, carry):
-            n_prev, mean, m2, vmin, vmax = carry
+            n_prev, mean, m2, vmin, vmax, finite = carry
             x = run(jax.random.fold_in(key, b)).astype(jnp.float32)
             count = jnp.where(b == n_blocks - 1, last_count, block_size)
             valid = jnp.arange(x.shape[0]) < count
+            finite &= jnp.all(jnp.isfinite(x) | ~valid)
             bn = count.astype(jnp.float32)
             bm = jnp.sum(jnp.where(valid, x, 0.0)) / bn
             bm2 = jnp.sum(jnp.where(valid, jnp.square(x - bm), 0.0))
@@ -141,7 +155,7 @@ def estimate(sink, size, block_size=16_777_216, random_state=None, executor="aut
             m2 = m2 + bm2 + delta * delta * n_prev * bn / nn
             vmin = jnp.minimum(vmin, jnp.min(jnp.where(valid, x, jnp.inf)))
             vmax = jnp.maximum(vmax, jnp.max(jnp.where(valid, x, -jnp.inf)))
-            return nn, mean, m2, vmin, vmax
+            return nn, mean, m2, vmin, vmax, finite
 
         init = (
             jnp.float32(0.0),
@@ -149,10 +163,15 @@ def estimate(sink, size, block_size=16_777_216, random_state=None, executor="aut
             jnp.float32(0.0),
             jnp.float32(jnp.inf),
             jnp.float32(-jnp.inf),
+            jnp.bool_(True),
         )
         return jax.lax.fori_loop(0, n_blocks, body, init)
 
-    total, mean, m2, vmin, vmax = (float(v) for v in jax.device_get(all_blocks(key)))
+    total, mean, m2, vmin, vmax, finite = (
+        float(v) for v in jax.device_get(all_blocks(key))
+    )
+    if not finite:
+        raise ValueError("Sampling produced non-finite values.")
     var = m2 / total if total else float("nan")
     return {
         "n": size,

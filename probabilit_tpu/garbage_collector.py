@@ -1,62 +1,73 @@
-"""Reference-counting `.samples_` garbage collector (API parity).
+"""Eager ``.samples_`` release during host-driven topological sampling.
 
-In the compiled engine, garbage collection is *output selection*: nodes not
-kept by the ``gc_strategy`` are never returned from the jitted program and
-XLA dead-code-eliminates their intermediates (see ``engine/compile.py``).
+The compiled engine does not need this: there, "garbage collection" is
+output selection — nodes outside the keep-set are simply never fetched
+from the jitted program, and XLA's dead-code elimination drops their
+intermediates on-device (``engine/compile.py``).  This class exists for
+API parity with the reference's host-side mechanism
+(``garbage_collector.py:5-71``) and for users who drive a graph manually,
+assigning ``node.samples_`` in topological order.
 
-This class reproduces the reference's host-side mechanism
-(``garbage_collector.py:5-71``) for users who drive graphs manually and for
-behavioural parity tests: ``strategy=None`` keeps everything; a list keeps
-the listed nodes plus the sink and frees every other node's ``samples_`` as
-soon as all of its children have been sampled.
+Contract: a node's samples may be released once every graph edge pointing
+at it has been consumed, i.e. all of its children have been sampled.
+Edges are counted through :meth:`Node.nodes`, which (like the reference
+traversal) revisits shared subtrees once per path, so the release schedule
+is path-multiplicity-aware in exactly the same way.
 """
 
 from __future__ import annotations
 
-import collections
+from collections import Counter
 from collections.abc import Collection
 
 __all__ = ["GarbageCollector"]
 
 
 class GarbageCollector:
+    """Release ``.samples_`` as soon as every consumer of a node has run.
+
+    Parameters
+    ----------
+    strategy : None or collection of nodes
+        ``None`` disables collection entirely (every node keeps its
+        samples).  A collection lists nodes to *protect*; everything else
+        is released once fully consumed.  ``[]`` therefore frees all
+        intermediates, leaving only the sink (which has no consumers and
+        is never a candidate).
+    """
+
     def __init__(self, strategy=None):
-        if not (strategy is None or isinstance(strategy, Collection)):
+        if strategy is not None and not isinstance(strategy, Collection):
             raise TypeError(f"`strategy` must be None or a collection, got: {strategy}")
         self.strategy = strategy
 
     def set_sink(self, sink):
-        """Set the sink node, whose samples will always be kept."""
+        """Register the output node and take the edge census of its graph."""
         self.sink = sink
-        if self.strategy is None:
-            return self
-
-        # Number of unsampled children per node; a node whose count reaches
-        # zero has served every consumer and can be freed.
-        self._unsampled_children = collections.defaultdict(int)
-        for node in self.sink.nodes():
-            for parent in node.get_parents():
-                self._unsampled_children[parent] += 1
+        if self.strategy is not None:
+            self._edges_left = Counter(
+                parent for node in sink.nodes() for parent in node.get_parents()
+            )
         return self
 
     def decrement_and_delete(self, node):
-        """Mark ``node`` sampled; free parents with no unsampled children.
+        """Record that ``node`` has been sampled; release exhausted parents.
 
-        Returns the list of garbage-collected nodes.
+        Every parent edge of ``node`` is consumed.  A parent whose edge
+        count hits zero and is not protected by the strategy loses its
+        ``samples_`` attribute.  Returns the nodes released by this call.
         """
         if not hasattr(self, "sink"):
             raise ValueError("You must call 'set_sink' first.")
-
         if self.strategy is None:
             return []
 
-        garbage_collected = []
+        released = []
         for parent in node.get_parents():
-            self._unsampled_children[parent] -= 1
-            zero_count = self._unsampled_children[parent] == 0
-            protected = parent in self.strategy
-            if zero_count and not protected:
+            self._edges_left[parent] -= 1
+            remaining = self._edges_left[parent]
+            assert remaining >= 0, "node sampled more often than it has consumers"
+            if remaining == 0 and parent not in self.strategy:
                 del parent.samples_
-                garbage_collected.append(parent)
-            assert self._unsampled_children[parent] >= 0
-        return garbage_collected
+                released.append(parent)
+        return released

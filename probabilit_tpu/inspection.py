@@ -1,8 +1,8 @@
-"""Inspection: plotting and tree-printing of computational graphs.
+"""Graph inspection: pair-plotting and tree rendering.
 
-Mirrors reference ``inspection.py:15-98``.  Plotting dependencies
-(seaborn/pandas) are imported lazily so the compute path has no
-visualisation requirements.
+Behavioral parity with reference ``inspection.py:15-98`` (same rendering
+format and sampling defaults); plotting dependencies (seaborn/pandas) are
+imported lazily so the compute path carries no visualization requirements.
 """
 
 from __future__ import annotations
@@ -17,11 +17,14 @@ __all__ = ["plot", "treeprint"]
 
 
 def plot(*variables, corr=None, sample_kwargs=None, **kwargs):
-    """Quick pairplot of one or several variables.
+    """Pairplot one or more variables, sampling them if needed.
 
-    Copies the graph via a NoOp wrapper so the user's nodes are not
-    mutated; samples (defaults size=999, seed 0) if needed; optionally
-    induces a pairwise correlation first.
+    The variables are detached first (wrapped in a throwaway sink and
+    deep-copied) so the caller's graph is never mutated.  Unsampled
+    variables are drawn with ``size=999, random_state=0`` unless
+    ``sample_kwargs`` overrides; passing ``corr`` (a matrix, or a scalar
+    for exactly two variables) induces that correlation before sampling.
+    Extra keyword arguments go to ``seaborn.pairplot``.
 
     >>> from probabilit_tpu.models.distributions import Distribution
     >>> a = Distribution("uniform", loc=0, scale=1)
@@ -30,30 +33,36 @@ def plot(*variables, corr=None, sample_kwargs=None, **kwargs):
     import pandas as pd
     import seaborn
 
-    no_operation = NoOp(*variables).copy()
-    variables = no_operation.parents
+    detached_sink = NoOp(*variables).copy()
+    variables = detached_sink.parents
 
-    if len(variables) == 2 and isinstance(corr, Number):
-        corr = np.array([[1.0, corr], [corr, 1.0]])
-
-    sampled = [hasattr(v, "samples_") for v in variables]
-    if any(sampled) and not all(sampled):
+    n_sampled = sum(hasattr(v, "samples_") for v in variables)
+    if 0 < n_sampled < len(variables):
         raise ValueError("Either all variables must be sampled, or none.")
 
-    if not any(sampled) or (corr is not None) or (sample_kwargs is not None):
-        sample_kwargs = {"size": 999, "random_state": 0} | (sample_kwargs or {})
+    must_sample = n_sampled == 0 or corr is not None or sample_kwargs is not None
+    if must_sample:
         if corr is not None:
-            no_operation.correlate(*variables, corr_mat=corr)
-        no_operation.sample(**sample_kwargs)
+            if isinstance(corr, Number) and len(variables) == 2:
+                corr = np.array([[1.0, corr], [corr, 1.0]])
+            detached_sink.correlate(*variables, corr_mat=corr)
+        options = dict(size=999, random_state=0)
+        options.update(sample_kwargs or {})
+        detached_sink.sample(**options)
 
-    df = pd.DataFrame(
-        {f"var_{i}": np.asarray(var.samples_) for (i, var) in enumerate(variables, 1)}
-    )
-    return seaborn.pairplot(df, **kwargs)
+    frame = pd.DataFrame()
+    for i, var in enumerate(variables, start=1):
+        frame[f"var_{i}"] = np.asarray(var.samples_)
+    return seaborn.pairplot(frame, **kwargs)
+
+
+def _node_label(node):
+    """Transforms render as their class name, everything else via repr."""
+    return type(node).__name__ if isinstance(node, Transform) else str(node)
 
 
 def treeprint(node):
-    """Print a computational graph as a box-drawing tree.
+    """Render a computational graph as a box-drawing tree.
 
     >>> from probabilit_tpu.models.distributions import Distribution
     >>> scale = Distribution("expon")
@@ -68,17 +77,19 @@ def treeprint(node):
           ├──Distribution("expon")
           └──Constant(2)
     """
-    elbow, pipe, tee, blank = "└──", "│  ", "├──", "   "
+    lines = []
 
-    def _treeprint(node, last=True, header="", root=False):
-        output = type(node).__name__ if isinstance(node, Transform) else str(node)
-        print(header + ("" if root else (elbow if last else tee)) + output)
-        if parents := list(node.get_parents()):
-            for i, parent in enumerate(parents):
-                _treeprint(
-                    parent,
-                    header=header + (blank if last else pipe),
-                    last=i == len(parents) - 1,
-                )
+    def render(n, indent, connector):
+        lines.append(indent + connector + _node_label(n))
+        children = list(n.get_parents())
+        if not children:
+            return
+        # A node drawn on a "last branch" (or the root) contributes blank
+        # indentation below itself; a middle branch keeps its pipe running.
+        deeper = indent + ("│  " if connector == "├──" else "   ")
+        for child in children[:-1]:
+            render(child, deeper, "├──")
+        render(children[-1], deeper, "└──")
 
-    return _treeprint(node, last=True, header="", root=True)
+    render(node, indent="", connector="")
+    print("\n".join(lines))

@@ -49,25 +49,60 @@ def _is_positive_definite(X):
         return False
 
 
-def rankdata(X, axis=0):
-    """0-based ordinal ranks along ``axis`` (ties broken by order).
+def _sorted_average_ranks(X_sorted):
+    """0-based average-tie ranks for each pre-sorted row of ``(K, N)``.
 
-    The reference uses scipy's average-tie ranks (``correlation.py:394``);
-    for continuous samples ties have probability zero, and ordinal ranks
-    need only one argsort plus one scatter instead of a double argsort.
+    Tie runs are resolved with two cumulative scans (no segment ids, no
+    scatter): ``first`` propagates each run's start index forward,
+    ``last`` propagates its end index backward; the average rank is their
+    midpoint.  Cost: two O(KN) scans — negligible next to a sort.
     """
-    X = jnp.asarray(X)
-    order = jnp.argsort(X, axis=axis)
-    n = X.shape[axis]
-    iota_shape = [1] * X.ndim
-    iota_shape[axis] = n
-    iota = jnp.arange(n).reshape(iota_shape)
-    iota = jnp.broadcast_to(iota, X.shape)
-    ranks = jnp.zeros(X.shape, dtype=jnp.int32)
-    ranks = jnp.put_along_axis(
-        ranks, order, iota.astype(jnp.int32), axis=axis, inplace=False
+    K, N = X_sorted.shape
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N))
+    boundary = X_sorted[:, 1:] != X_sorted[:, :-1]
+    edge = jnp.ones((K, 1), dtype=bool)
+    starts = jnp.concatenate([edge, boundary], axis=1)
+    ends = jnp.concatenate([boundary, edge], axis=1)
+    first = jax.lax.cummax(jnp.where(starts, pos, -1), axis=1)
+    last = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(ends, pos, N), axis=1), axis=1), axis=1
     )
-    return ranks
+    return (first + last).astype(X_sorted.dtype) * 0.5
+
+
+def rankdata(X, axis=0, method="average"):
+    """0-based ranks along ``axis`` (``+ 1`` gives the scipy convention).
+
+    ``method="average"`` assigns tied values the mean of their ordinal
+    ranks, matching the reference's scipy ``rankdata`` semantics
+    (``correlation.py:394``); ``method="ordinal"`` breaks ties by position.
+    Both are expressed as sorts (plus two scans for ties) because TPU
+    scatter costs 2-4x a sort at 1e7 elements.
+    """
+    from probabilit_tpu.ops.sort import (
+        apply_inverse_permutation_rows,
+        rowsort_with_order,
+    )
+
+    if method not in ("average", "ordinal"):
+        raise ValueError(f"method must be 'average' or 'ordinal', got {method!r}")
+    X = jnp.asarray(X)
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+        axis = 0
+    XT = X.T if axis == 0 else X
+    X_sorted, order = rowsort_with_order(XT)
+    if method == "ordinal":
+        n = XT.shape[1]
+        sorted_ranks = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, :], XT.shape
+        )
+    else:
+        sorted_ranks = _sorted_average_ranks(X_sorted.astype(jnp.float32))
+    ranks = apply_inverse_permutation_rows(order, sorted_ranks)
+    ranks = ranks.T if axis == 0 else ranks
+    return ranks[:, 0] if squeeze else ranks
 
 
 class Correlator(abc.ABC):
@@ -159,13 +194,41 @@ class ImanConover(Correlator):
 
     Reference: ``correlation.py:288-425``.  Steps (all one traced program):
 
-    1. van der Waerden scores  ndtri(rank / (N+1))  — one argsort + scatter,
+    1. van der Waerden scores  ndtri(rank / (N+1))  — rank->score scatter
+       expressed as an integer-key sort,
     2. decorrelate scores via Cholesky of their empirical correlation,
     3. recolor with the target factor  P  (steps 2+3 fuse into a single
        (N,K) @ (K,K) matmul),
-    4. reorder each original column by the rank of its scored column
-       (argsort + two gathers), which restores the exact original marginals.
+    4. reorder each original column by the rank of its scored column,
+       which restores the exact original marginals.
+
+    ``ties="average"`` (default) matches the reference's scipy ``rankdata``
+    semantics: tied values share the mean rank of their run, so discrete
+    marginals (bernoulli, DiscreteDistribution) score identically to the
+    reference.  ``ties="ordinal"`` breaks ties by position — slightly
+    cheaper and equivalent for continuous marginals (ties have measure
+    zero, modulo the ~N^2/2^33 float32 collision rate).
+
+    Two intentional divergences, both marginal-exact:
+
+    * when two *correlated scores* tie, the reference's
+      ``rankdata(...).astype(int)`` (correlation.py:421-422) maps both
+      rows to the same original value, duplicating one marginal entry and
+      dropping another; the sort-based step 4 here keeps the marginals
+      exactly.
+    * score columns are standardized before decorrelation/recoloring.
+      The reference applies ``inv(L)`` and ``P`` to raw scores
+      (correlation.py:411-418); with continuous marginals all score
+      columns share the same scale so this cancels, but with ties the
+      scales differ and the reference's mixing weights are distorted
+      (measured: bernoulli+normal at target 0.6 achieves 0.45 in the
+      reference vs 0.59 here).
     """
+
+    def __init__(self, ties="average"):
+        if ties not in ("average", "ordinal"):
+            raise ValueError(f"ties must be 'average' or 'ordinal', got {ties!r}")
+        self.ties = ties
 
     def __call__(self, X):
         self._validate_X(X)
@@ -173,10 +236,9 @@ class ImanConover(Correlator):
             # Eager path: reproduce the reference's PD guard on rank data
             # (correlation.py:399-403). The traced path skips it (cannot
             # raise data-dependent errors under jit).
-            N, K = X.shape
-            ranks = np.asarray(rankdata(X, axis=0)) + 1.0
-            scores = np.asarray(ndtri(ranks / (N + 1)))
-            emp = np.corrcoef(scores, rowvar=False)
+            XT = jnp.asarray(X.T, jnp.float32)
+            scores, _, _ = self._scores_rows(*self._sort_rows(XT))
+            emp = np.corrcoef(np.asarray(scores), rowvar=True)
             if not _is_positive_definite(np.atleast_2d(emp)):
                 msg = "Rank data correlation not positive definite."
                 msg += "There are perfect correlations in the ranked data."
@@ -189,6 +251,34 @@ class ImanConover(Correlator):
         X = jnp.asarray(X)
         return self._apply_rows(X.T).T
 
+    def _sort_rows(self, XT):
+        from probabilit_tpu.ops.sort import rowsort_with_order
+
+        return rowsort_with_order(jnp.asarray(XT))
+
+    def _scores_rows(self, X_sorted, order):
+        """(scores, mean, var): van der Waerden scores in original order.
+
+        Scores per sorted position come straight from the (tie-resolved)
+        rank — no (N, K) gather; the unsort back to original row order is
+        one integer-key variadic sort (see ops/sort.py).
+        """
+        from probabilit_tpu.ops.sort import apply_inverse_permutation_rows
+
+        K, N = X_sorted.shape
+        dtype = X_sorted.dtype
+        if self.ties == "average":
+            ranks1 = _sorted_average_ranks(X_sorted) + 1.0
+            scores_sorted = ndtri(ranks1 / jnp.asarray(N + 1, dtype))
+        else:
+            s_row = ndtri(jnp.arange(1, N + 1, dtype=dtype) / jnp.asarray(N + 1, dtype))
+            scores_sorted = jnp.broadcast_to(s_row[None, :], (K, N))
+        scores = apply_inverse_permutation_rows(order, scores_sorted)
+        # Per-row moments from the sorted domain (same multiset per row).
+        mean = jnp.mean(scores_sorted, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(scores_sorted - mean), axis=1, keepdims=True)
+        return scores, mean, var
+
     def _apply_rows(self, XT):
         """Iman-Conover on a (K, N) matrix — exactly four sorts, no gathers.
 
@@ -198,9 +288,7 @@ class ImanConover(Correlator):
 
         1. ``sort(X, iota)``            -> X_sorted, order
         2. ``sort(order, s_sorted)``    -> van der Waerden scores in
-           original row order (this IS the rank->score scatter); s_sorted
-           = ndtri(arange(1..N)/(N+1)) is one shared (N,) vector, so no
-           (N, K) ndtri evaluation is needed at all
+           original row order (this IS the rank->score scatter)
         3. one (K,K)@(K,N) MXU matmul recolors the scores (empirical
            decorrelation and target coloring factors pre-combined)
         4. ``sort(corr, iota)`` -> order2; ``sort(order2, X_sorted)``
@@ -216,20 +304,9 @@ class ImanConover(Correlator):
         K, N = XT.shape
         dtype = XT.dtype
 
-        # STEP 1: sorted values + order, one variadic sort per chunk.
+        # STEPS 1+2: sorted values + order, then tie-resolved scores.
         X_sorted, order = rowsort_with_order(XT)
-
-        # STEP 2: scores in original order via integer-key sort. All score
-        # columns are permutations of the same symmetric multiset, so the
-        # column means/stds are known exactly from the shared vector.
-        s_sorted = ndtri(
-            (jnp.arange(1, N + 1, dtype=dtype)) / jnp.asarray(N + 1, dtype)
-        )
-        scores = apply_inverse_permutation_rows(
-            order, jnp.broadcast_to(s_sorted[None, :], (K, N))
-        )
-        s_mean = jnp.mean(s_sorted)
-        s_var = jnp.mean(jnp.square(s_sorted - s_mean))
+        scores, s_mean, s_var = self._scores_rows(X_sorted, order)
 
         # Empirical correlation of the scores from one MXU Gram matrix.
         acc_type = jnp.float64 if dtype == jnp.float64 else jnp.float32
@@ -242,7 +319,8 @@ class ImanConover(Correlator):
             ).astype(dtype)
             / N
         )
-        emp_corr = (gram - s_mean * s_mean) / s_var
+        s_std = jnp.sqrt(s_var)
+        emp_corr = (gram - s_mean * s_mean.T) / (s_std * s_std.T)
         L = jnp.linalg.cholesky(emp_corr)
 
         # STEP 3: decorrelate + recolor in one (K,K) @ (K,N) matmul.
@@ -252,7 +330,7 @@ class ImanConover(Correlator):
         M = target_P @ inv_L  # corr_T = M @ standardized scores_T
         correlated = jax.lax.dot_general(
             M,
-            (scores - s_mean) / jnp.sqrt(s_var),
+            (scores - s_mean) / s_std,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_type,
         ).astype(dtype)

@@ -445,8 +445,11 @@ def nbinom(q, n, p, loc=0):
 
 @register("randint")
 def randint(q, low, high, loc=0):
+    # scipy convention: k = ceil(q*(high-low)) - 1 + low, so exact-integer
+    # quantiles (reachable on the float32 2^-24 uniform grid and via QMC
+    # lattices) land on the scipy/reference value, not one above it.
     low, high = _f(low), _f(high)
-    k = jnp.floor(low + _f(q) * (high - low))
+    k = jnp.ceil(_f(q) * (high - low)) - 1.0 + low
     return jnp.clip(k, low, high - 1.0) + _f(loc)
 
 

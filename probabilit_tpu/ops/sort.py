@@ -58,7 +58,12 @@ def rowsort_with_order(XT, chunk_elems=_DEFAULT_CHUNK_ELEMS):
     sorted_parts, order_parts = [], []
     for lo, hi in _row_chunks(K, c):
         block = XT[lo:hi]
-        s, o = jax.lax.sort((block, iota[: hi - lo]), dimension=1, num_keys=1)
+        # Unstable: measured 1.5x cheaper on v5e (523 vs 787 ms at (16,1e7))
+        # and safe here — callers needing tie determinism resolve ties by
+        # value (average-rank scores) rather than by position.
+        s, o = jax.lax.sort(
+            (block, iota[: hi - lo]), dimension=1, num_keys=1, is_stable=False
+        )
         sorted_parts.append(s)
         order_parts.append(o)
     if len(sorted_parts) == 1:
@@ -79,8 +84,9 @@ def apply_inverse_permutation_rows(order, payload, chunk_elems=_DEFAULT_CHUNK_EL
     c = row_chunk_count(K, N, chunk_elems)
     parts = []
     for lo, hi in _row_chunks(K, c):
+        # Permutation keys are unique, so an unstable sort is exact.
         _, restored = jax.lax.sort(
-            (order[lo:hi], payload[lo:hi]), dimension=1, num_keys=1
+            (order[lo:hi], payload[lo:hi]), dimension=1, num_keys=1, is_stable=False
         )
         parts.append(restored)
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)

@@ -30,24 +30,26 @@ def build_corrmat(correlations):
 
 
 def zip_args(args, kwargs):
-    """Zip positional and keyword argument streams for repeated scalar calls.
+    """Turn per-argument streams into a stream of per-call ``(args, kwargs)``.
 
-    Reference ``utils.py:73-90``.
+    Each entry of ``args``/``kwargs`` is an iterable giving that argument's
+    value for call 0, 1, 2, ...; the output yields one positional tuple and
+    one keyword dict per call, stopping with the shortest stream.  Used for
+    repeated scalar-function invocation (reference ``utils.py:73-90``).
 
     Examples
     --------
-    >>> args = ((1, 2, 3), itertools.repeat(None))
-    >>> kwargs = {"a": (5, 6, 7), "b": itertools.repeat(9)}
-    >>> for args_i, kwargs_i in zip_args(args, kwargs):
+    >>> calls = zip_args((("x", "y"),), {"n": (10, 20)})
+    >>> for args_i, kwargs_i in calls:
     ...     print(args_i, kwargs_i)
-    (1, None) {'a': 5, 'b': 9}
-    (2, None) {'a': 6, 'b': 9}
-    (3, None) {'a': 7, 'b': 9}
+    ('x',) {'n': 10}
+    ('y',) {'n': 20}
     """
-    zipped_args = zip(*args) if args else itertools.repeat(args)
-    zipped_kwargs = zip(*kwargs.values()) if kwargs else itertools.repeat(kwargs)
-    for args_i, kwargs_i in zip(zipped_args, zipped_kwargs):
-        yield args_i, dict(zip(kwargs.keys(), kwargs_i))
+    names = list(kwargs)
+    positional = zip(*args) if args else itertools.repeat(())
+    keyword = zip(*(kwargs[k] for k in names)) if names else itertools.repeat(())
+    for pos_i, kw_i in zip(positional, keyword):
+        yield pos_i, dict(zip(names, kw_i))
 
 
 def _histogram_mean(quantiles, cumulatives):

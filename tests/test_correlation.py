@@ -228,3 +228,81 @@ class TestDecorrelate:
         np.testing.assert_allclose(
             np.var(Xd, axis=0, ddof=1), np.var(X, axis=0, ddof=0), rtol=0.05
         )
+
+
+class TestTieHandling:
+    """Average-tie ranks: parity with the reference on discrete marginals."""
+
+    def test_rankdata_average_matches_scipy(self, rng):
+        import scipy.stats
+
+        from probabilit_tpu.ops.correlation import rankdata
+
+        X = rng.integers(0, 4, size=(60, 3)).astype(float)
+        mine = np.asarray(rankdata(X, axis=0)) + 1.0
+        ref = np.apply_along_axis(scipy.stats.rankdata, 0, X)
+        np.testing.assert_allclose(mine, ref)
+
+    def test_rankdata_ordinal_is_permutation(self, rng):
+        from probabilit_tpu.ops.correlation import rankdata
+
+        x = rng.normal(size=50)
+        r = np.asarray(rankdata(x, method="ordinal"))
+        assert sorted(r.tolist()) == list(range(50))
+
+    def test_reference_doctest_tie_case(self):
+        # The reference's own ImanConover doctest (correlation.py:315-330):
+        # a fully tied 6x2 input must transform to this exact matrix.
+        C = np.array([[1.0, 0.7], [0.7, 1.0]])
+        X = np.array(
+            [[0, 0], [0, 0.5], [0, 1], [1, 0], [1, 0.5], [1, 1]], dtype=float
+        )
+        out = np.asarray(ImanConover().set_target(C)(X))
+        expected = np.array(
+            [[0, 0], [0, 0], [0, 0.5], [1, 0.5], [1, 1], [1, 1]], dtype=float
+        )
+        np.testing.assert_allclose(out, expected)
+
+    def test_perfect_rank_correlation_raises(self, rng):
+        # Duplicated discrete columns have singular rank correlation; the
+        # eager path must raise like the reference (correlation.py:399-403).
+        col = rng.integers(0, 2, size=500).astype(float)
+        X = np.column_stack([col, col])
+        C = np.array([[1.0, 0.5], [0.5, 1.0]])
+        with pytest.raises(ValueError, match="positive definite"):
+            ImanConover().set_target(C)(X)
+
+    def test_discrete_marginals_hit_target(self, rng):
+        # bernoulli + normal: ties dominate one column; average-rank
+        # scores + per-column standardization must still induce a rank
+        # correlation near the target while preserving marginals exactly.
+        X = np.column_stack(
+            [rng.integers(0, 2, size=4000).astype(float), rng.normal(size=4000)]
+        )
+        C = np.array([[1.0, 0.6], [0.6, 1.0]])
+        out = np.asarray(ImanConover().set_target(C)(X))
+        for k in range(2):
+            np.testing.assert_allclose(np.sort(out[:, k]), np.sort(X[:, k]))
+        achieved = np.corrcoef(out, rowvar=False)[0, 1]
+        assert abs(achieved - 0.6) < 0.1
+
+    def test_ordinal_mode_continuous_equivalent(self, rng):
+        X = rng.normal(size=(300, 3))
+        C = np.eye(3) * 0.5 + 0.5
+        a = np.asarray(ImanConover(ties="average").set_target(C)(X))
+        b = np.asarray(ImanConover(ties="ordinal").set_target(C)(X))
+        np.testing.assert_allclose(a, b)
+
+    def test_correlated_discrete_nodes_in_graph(self):
+        # Graph-level: correlate a bernoulli ISN with a continuous one.
+        from probabilit_tpu.modeling import Distribution
+
+        a = Distribution("bernoulli", p=0.5)
+        b = Distribution("norm")
+        corr = np.array([[1.0, 0.5], [0.5, 1.0]])
+        sink = (a + b).correlate(a, b, corr_mat=corr)
+        sink.sample(4000, random_state=0)
+        sa, sb = np.asarray(a.samples_), np.asarray(b.samples_)
+        assert set(np.unique(sa)) <= {0.0, 1.0}
+        achieved = np.corrcoef(sa, sb)[0, 1]
+        assert abs(achieved - 0.5) < 0.12

@@ -346,3 +346,17 @@ class TestStreamingLargeSizes:
 
         out = jax.jit(body)(jnp.int32(0) if False else 0)
         assert int(out) == 4096
+
+
+class TestRandintBoundaryQuantiles:
+    def test_exact_integer_quantiles_match_scipy(self):
+        # q*(high-low) hitting an exact integer is reachable on the f32
+        # uniform grid and via QMC lattices; the kernel must follow the
+        # scipy convention ceil(q*(high-low)) - 1 + low there.
+        # Dyadic quantiles are exact in BOTH float32 and float64, so the
+        # kernel and scipy see the same product q*(high-low).
+        low, high = 0, 8
+        q = np.array([0.125, 0.25, 0.5, 0.625, 0.875], dtype=np.float32)
+        ours = np.asarray(ppf_mod.call("randint", q, low, high))
+        expected = scipy.stats.randint(low, high).ppf(np.float64(q))
+        np.testing.assert_allclose(ours, expected)

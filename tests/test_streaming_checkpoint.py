@@ -130,3 +130,50 @@ class TestNodeConvenienceMethods:
         )
         assert out.shape == (10_000,)
         assert 0.95 < out.mean() < 1.05
+
+
+class TestCheckpointFingerprint:
+    def test_mismatched_graph_rejected(self, tmp_path):
+        from probabilit_tpu.engine import checkpoint
+        from probabilit_tpu.modeling import Distribution
+
+        g1 = Distribution("norm") + Distribution("expon")
+        g1.sample(10, random_state=0)
+        path = checkpoint.save(g1, tmp_path / "fp.npz")
+
+        different = Distribution("norm") * Distribution("expon")
+        with pytest.raises(ValueError, match="fingerprint"):
+            checkpoint.load(different, path)
+
+    def test_fingerprint_stable_across_rebuilds(self):
+        from probabilit_tpu.engine import checkpoint
+        from probabilit_tpu.modeling import Distribution
+
+        def build():
+            return Distribution("norm", loc=2) ** Distribution("uniform")
+
+        assert checkpoint.graph_fingerprint(build()) == checkpoint.graph_fingerprint(
+            build()
+        )
+
+
+class TestStreamingFiniteGuard:
+    def test_estimate_raises_on_nonfinite(self):
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        # log of a negative-location normal produces NaNs.
+        from probabilit_tpu.models.graph import Log
+
+        model = Log(Distribution("norm", loc=-100.0, scale=1.0))
+        with pytest.raises(ValueError, match="non-finite"):
+            streaming.estimate(model, 10_000, block_size=4096, random_state=0)
+
+    def test_sample_streaming_raises_on_nonfinite(self):
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.models.graph import Log
+        from probabilit_tpu.modeling import Distribution
+
+        model = Log(Distribution("norm", loc=-100.0, scale=1.0))
+        with pytest.raises(ValueError, match="non-finite"):
+            streaming.sample_streaming(model, 10_000, block_size=4096, random_state=0)
