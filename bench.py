@@ -21,12 +21,16 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def bench_flagship(n=100_000_000, repeats=3):
+def bench_flagship(n=100_000_000, repeats=5):
     """Samples/sec on the 20-node DAG via the Pallas megakernel executor.
 
     The whole DAG (8 ppf kernels + 12 transforms + hardware PRNG) runs as
     one Pallas kernel gridded over sample blocks; only the sink column is
     written to HBM.  See engine/pallas_exec.py.
+
+    Reports the MEDIAN of ``repeats`` runs (run-to-run spread over the
+    axon tunnel was measured at up to 1.6x, so a best-of is not
+    defensible); returns (samples_per_sec_median, spread_dict).
     """
     import jax.numpy as jnp
 
@@ -48,14 +52,54 @@ def bench_flagship(n=100_000_000, repeats=3):
     val = run(0)
     log(f"flagship compile+first run: {time.perf_counter() - t0:.2f}s (mean={val:.2f})")
 
-    best = float("inf")
+    times = []
     for i in range(repeats):
         t0 = time.perf_counter()
         run(i + 1)
         dt = time.perf_counter() - t0
-        best = min(best, dt)
+        times.append(dt)
         log(f"flagship run {i}: {dt * 1e3:.1f} ms -> {n / dt / 1e9:.3f} Gsamples/s")
-    return n / best
+    med = float(np.median(times))
+    spread = {
+        "flagship_ms_median": med * 1e3,
+        "flagship_ms_min": min(times) * 1e3,
+        "flagship_ms_max": max(times) * 1e3,
+        "flagship_repeats": repeats,
+    }
+    log(
+        f"flagship median {med * 1e3:.1f} ms (min {min(times) * 1e3:.1f} / "
+        f"max {max(times) * 1e3:.1f})"
+    )
+    return n / med, spread
+
+
+def bench_pallas_statistics(n=500_000):
+    """Distributional sanity of the megakernel PRNG path on the real chip.
+
+    Interpret-mode ``pltpu.prng_*`` is degenerate, so the only place the
+    Pallas executor's output distribution can be proven is here, in the
+    driver-run artifact: KS-test a normal model against scipy's exact CDF
+    and check first moments.  Returns extras fields.
+    """
+    import scipy.stats
+
+    from probabilit_tpu.modeling import Distribution
+
+    s = np.asarray(
+        Distribution("norm", loc=3.0, scale=2.0).sample(
+            n, random_state=7, gc_strategy=[], executor="pallas"
+        )
+    )
+    ks = scipy.stats.kstest(s, scipy.stats.norm(loc=3.0, scale=2.0).cdf)
+    log(
+        f"pallas stats: n={n} mean={s.mean():.4f} std={s.std():.4f} "
+        f"ks_p={ks.pvalue:.4f}"
+    )
+    return {
+        "pallas_ks_pvalue": float(ks.pvalue),
+        "pallas_mean_err": float(abs(s.mean() - 3.0)),
+        "pallas_std_err": float(abs(s.std() - 2.0)),
+    }
 
 
 def bench_flagship_xla(n=100_000_000, repeats=2):
@@ -204,7 +248,8 @@ def bench_streaming_1e9():
 
 
 def main():
-    flagship_sps = bench_flagship()
+    flagship_sps, spread = bench_flagship()
+    pallas_stats = bench_pallas_statistics()
     xla_sps = bench_flagship_xla()
     streaming_sps = bench_streaming_1e9()
     qmc_ms = bench_qmc_portfolio()
@@ -227,6 +272,8 @@ def main():
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
                     "target_imanconover_ms": 100.0,
+                    **spread,
+                    **pallas_stats,
                 },
             }
         )

@@ -13,6 +13,9 @@ compiled XLA program (see ``engine/compile.py``):
 
 from __future__ import annotations
 
+import contextlib
+import sys
+
 import numpy as np
 
 import jax
@@ -126,6 +129,10 @@ def sample_from_quantiles(sink, quantiles, correlator="imanconover", gc_strategy
 
 
 def _execute(plan, program_input, correlator, gc_strategy, rng_inline_n=None):
+    from probabilit_tpu.utils import profiling
+
+    timer = profiling.PhaseTimer() if profiling.profiling_enabled() else None
+
     # Clear any stale samples in the graph (``modeling.py:513-515``).
     for node in plan.topo:
         if hasattr(node, "samples_"):
@@ -136,39 +143,48 @@ def _execute(plan, program_input, correlator, gc_strategy, rng_inline_n=None):
     else:
         keep_ids = frozenset({plan.sink._id} | {node._id for node in gc_strategy})
 
-    program = _compile.get_program(
-        plan, correlator, keep_ids, rng_inline_n=rng_inline_n
-    )
+    with timer.phase("build+compile") if timer else contextlib.nullcontext():
+        program = _compile.get_program(
+            plan, correlator, keep_ids, rng_inline_n=rng_inline_n
+        )
 
-    if rng_inline_n is None:
-        program_input = _mesh.shard_samples(program_input)
-    outputs, all_finite = program(program_input)
+    with timer.phase("execute") if timer else contextlib.nullcontext():
+        if rng_inline_n is None:
+            program_input = _mesh.shard_samples(program_input)
+        outputs, all_finite = program(program_input)
 
     # Non-finite guard (``modeling.py:600-606``). Narrow keep-sets carry a
     # fused in-program flag; wide keep-sets (no flag emitted, to keep XLA
     # compile time bounded) are scanned host-side unconditionally.
-    wide_keep = len(keep_ids) > _compile._INLINE_FINITE_CHECK_MAX
-    flag_tripped = all_finite is not None and not bool(jax.device_get(all_finite))
-    if flag_tripped or wide_keep:
-        by_id = {node._id: node for node in plan.topo}
-        for nid, value in outputs.items():
-            if value is None:
-                continue
-            arr = np.asarray(value)
-            if np.issubdtype(arr.dtype, np.inexact) and not np.isfinite(arr).all():
-                raise ValueError(
-                    f"Sampling this node gave non-finite values: {by_id[nid]}\n{arr}"
-                )
-        if flag_tripped:
-            raise ValueError("Sampling produced non-finite values.")
+    with timer.phase("host") if timer else contextlib.nullcontext():
+        wide_keep = len(keep_ids) > _compile._INLINE_FINITE_CHECK_MAX
+        flag_tripped = all_finite is not None and not bool(jax.device_get(all_finite))
+        if flag_tripped or wide_keep:
+            by_id = {node._id: node for node in plan.topo}
+            for nid, value in outputs.items():
+                if value is None:
+                    continue
+                arr = np.asarray(value)
+                if np.issubdtype(arr.dtype, np.inexact) and not np.isfinite(arr).all():
+                    raise ValueError(
+                        f"Sampling this node gave non-finite values: "
+                        f"{by_id[nid]}\n{arr}"
+                    )
+            if flag_tripped:
+                raise ValueError("Sampling produced non-finite values.")
 
-    # Host finalizers (string-valued categoricals etc.).
-    for nid, fn in plan.finalizers.items():
-        if nid in outputs:
-            outputs[nid] = fn(outputs[nid])
+        # Host finalizers (string-valued categoricals etc.).
+        for nid, fn in plan.finalizers.items():
+            if nid in outputs:
+                outputs[nid] = fn(outputs[nid])
 
-    for node in plan.topo:
-        if node._id in outputs:
-            node.samples_ = outputs[node._id]
+        for node in plan.topo:
+            if node._id in outputs:
+                node.samples_ = outputs[node._id]
 
+    if timer is not None:
+        print(
+            f"[probabilit-tpu profile] sample() phases:\n{timer.report()}",
+            file=sys.stderr,
+        )
     return plan.sink.samples_

@@ -6,8 +6,10 @@ device traces plus phase timers:
 
 * :func:`trace` — context manager around ``jax.profiler`` writing a
   TensorBoard-loadable device trace;
-* :class:`PhaseTimer` — lightweight named wall-clock phases with a report,
-  used by the engine when ``PROBABILIT_TPU_PROFILE=1``;
+* :class:`PhaseTimer` — lightweight named wall-clock phases with a report.
+  With ``PROBABILIT_TPU_PROFILE=1``, ``sample()`` times its build+compile /
+  execute / host phases and prints the report to stderr
+  (``engine/sampler.py:_execute``);
 * :func:`compiled_stats` — FLOP/memory analysis of a compiled sampling
   program via XLA's cost analysis.
 """

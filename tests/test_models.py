@@ -101,22 +101,31 @@ class TestClassicProblems:
         assert np.all(off_diag > 0.2)
 
 
+def _all_package_modules():
+    """Every importable module in the package (reference CI runs
+    ``pytest . --doctest-modules``, python.yml:41-44 — this is the
+    equivalent sweep, discovered instead of hand-listed)."""
+    import importlib.util
+    import pkgutil
+
+    import probabilit_tpu
+
+    names = ["probabilit_tpu"]
+    for info in pkgutil.walk_packages(
+        probabilit_tpu.__path__, prefix="probabilit_tpu."
+    ):
+        spec = importlib.util.find_spec(info.name)
+        origin = getattr(spec, "origin", "") or ""
+        if origin.endswith(".so"):
+            continue  # ctypes-loaded native payload, not a Python module
+        names.append(info.name)
+    return sorted(names)
+
+
 class TestDoctestTier:
     """Executable docstring examples (the reference's primary spec tier)."""
 
-    @pytest.mark.parametrize(
-        "module_name",
-        [
-            "probabilit_tpu.models.graph",
-            "probabilit_tpu.models.distributions",
-            "probabilit_tpu.models.factories",
-            "probabilit_tpu.ops.ncm",
-            "probabilit_tpu.ops.correlation",
-            "probabilit_tpu.ops.permutation",
-            "probabilit_tpu.utils.helpers",
-            "probabilit_tpu.inspection",
-        ],
-    )
+    @pytest.mark.parametrize("module_name", _all_package_modules())
     def test_module_doctests(self, module_name):
         import doctest
         import importlib
@@ -127,3 +136,16 @@ class TestDoctestTier:
             optionflags=doctest.ELLIPSIS | doctest.NORMALIZE_WHITESPACE,
         )
         assert results.failed == 0, f"{results.failed} doctest failures in {module_name}"
+
+    def test_readme_doctests(self):
+        # Reference CI: ``python -m doctest README.md`` (python.yml:45-47).
+        import doctest
+        import pathlib
+
+        readme = pathlib.Path(__file__).resolve().parents[1] / "README.md"
+        results = doctest.testfile(
+            str(readme),
+            module_relative=False,
+            optionflags=doctest.ELLIPSIS | doctest.NORMALIZE_WHITESPACE,
+        )
+        assert results.failed == 0, f"{results.failed} README doctest failures"

@@ -177,3 +177,15 @@ class TestStreamingFiniteGuard:
         model = Log(Distribution("norm", loc=-100.0, scale=1.0))
         with pytest.raises(ValueError, match="non-finite"):
             streaming.sample_streaming(model, 10_000, block_size=4096, random_state=0)
+
+
+class TestProfilingIntegration:
+    def test_sample_emits_phase_report(self, capfd, monkeypatch):
+        from probabilit_tpu.modeling import Distribution
+
+        monkeypatch.setenv("PROBABILIT_TPU_PROFILE", "1")
+        Distribution("norm").sample(64, random_state=0)
+        err = capfd.readouterr().err
+        assert "[probabilit-tpu profile]" in err
+        for phase in ("build+compile", "execute", "host"):
+            assert phase in err
