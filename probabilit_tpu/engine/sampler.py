@@ -114,7 +114,11 @@ def sample(
         # random bits fuse straight into the ppf kernels (no (n, d) HBM
         # quantile buffer, no host->device transfer).
         return _execute(plan, key, correlator, gc_strategy, rng_inline_n=size)
-    quantiles = _qmc.generate(method, key, size, plan.d, dtype=config.float_dtype())
+    # Under a mesh, index-addressable methods generate per-shard (each chip
+    # computes its own rows); otherwise on the default device.
+    quantiles = _qmc.generate_sharded(
+        method, key, size, plan.d, dtype=config.float_dtype()
+    )
     return _execute(plan, quantiles, correlator, gc_strategy)
 
 

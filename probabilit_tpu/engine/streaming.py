@@ -31,12 +31,17 @@ from probabilit_tpu.engine.sampler import resolve_key
 __all__ = ["sample_streaming", "estimate"]
 
 
-def _block_program(sink, block_size, executor="auto"):
-    """(plan, run) where ``run(block_key) -> sink block array``.
+def _block_program(sink, block_size, executor="auto", method=None):
+    """(plan, run) where ``run(b, key) -> sink block array`` for block ``b``.
 
     ``executor="auto"`` picks the Pallas megakernel when the graph is
     eligible (fastest path, hardware PRNG stream); "xla" forces the
     general path (threefry stream, matches ``sample()``'s values).
+
+    ``method="sobol"/"halton"`` streams one long QMC sequence: block ``b``
+    generates points ``[b*block_size, (b+1)*block_size)`` via the
+    generators' index addressability, so the concatenated stream equals a
+    single-shot ``sample(method=...)`` of the same total size exactly.
     """
     plan = _compile.Plan(sink)
     if plan.corr_matrix is not None:
@@ -45,6 +50,27 @@ def _block_program(sink, block_size, executor="auto"):
             "correlation induction needs global ranks across all samples."
         )
     keep = frozenset({sink._id})
+
+    if method is not None:
+        from probabilit_tpu import config
+        from probabilit_tpu.ops import qmc as _qmc
+
+        name = method.lower().strip()
+        if name not in ("sobol", "halton"):
+            raise ValueError(
+                "Streamed QMC requires an index-addressable method "
+                f"('sobol' or 'halton'), got {method!r}."
+            )
+        program = _compile.get_program(plan, "imanconover", keep, check_finite=False)
+        dtype = config.float_dtype()
+
+        def run(b, key):
+            offset = jnp.asarray(b, jnp.uint32) * jnp.uint32(block_size)
+            q = _qmc.generate(name, key, block_size, plan.d, dtype, offset=offset)
+            outputs, _ = program(q)
+            return outputs[plan.sink._id]
+
+        return plan, run
 
     if executor in ("auto", "pallas"):
         from probabilit_tpu import config
@@ -62,12 +88,13 @@ def _block_program(sink, block_size, executor="auto"):
         if eligible:
             fn = pallas_exec.run_jitted(plan, block_size)
 
-            def run(block_key):
+            def run(b, key):
                 # Both 32-bit words of the folded key reach the kernel, so
                 # per-block hardware-PRNG streams are keyed by the full
                 # 64-bit fold_in output (no k^2/2^33 block collisions).
                 words = jax.lax.bitcast_convert_type(
-                    jax.random.key_data(block_key).ravel()[-2:], jnp.int32
+                    jax.random.key_data(jax.random.fold_in(key, b)).ravel()[-2:],
+                    jnp.int32,
                 )
                 return fn(words)
 
@@ -77,29 +104,29 @@ def _block_program(sink, block_size, executor="auto"):
         plan, "imanconover", keep, check_finite=False, rng_inline_n=block_size
     )
 
-    def run(block_key):
-        outputs, _ = program(block_key)
+    def run(b, key):
+        outputs, _ = program(jax.random.fold_in(key, b))
         return outputs[plan.sink._id]
 
     return plan, run
 
 
 def sample_streaming(
-    sink, size, block_size=16_777_216, random_state=None, executor="auto"
+    sink, size, block_size=16_777_216, random_state=None, executor="auto", method=None
 ):
     """Sample ``size`` draws of ``sink`` in device-sized blocks.
 
     Returns a host ndarray of length ``size``; device memory is bounded by
-    one block regardless of ``size``.
+    one block regardless of ``size``.  ``method="sobol"/"halton"`` streams
+    one long QMC sequence (equal to a single-shot run of the same size).
     """
-    plan, run = _block_program(sink, block_size, executor)
+    plan, run = _block_program(sink, block_size, executor, method)
     key = resolve_key(random_state)
 
     n_blocks = -(-size // block_size)
     out = None
     for b in range(n_blocks):
-        block_key = jax.random.fold_in(key, b)
-        block = np.asarray(run(block_key))
+        block = np.asarray(run(b, key))
         if out is None:
             out = np.empty((size,), dtype=block.dtype)
         lo = b * block_size
@@ -116,16 +143,20 @@ def sample_streaming(
     return out
 
 
-def estimate(sink, size, block_size=16_777_216, random_state=None, executor="auto"):
+def estimate(
+    sink, size, block_size=16_777_216, random_state=None, executor="auto", method=None
+):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
 
     Numerically stable parallel-merge of per-block moments (Chan et al.);
     runs entirely on device, transferring only a handful of scalars per
     block.  Supports arbitrary ``size`` (e.g. 1e11) with O(block) memory.
+    ``method="sobol"/"halton"`` folds one long QMC sequence instead of the
+    PRNG stream (QMC error decay at sizes beyond HBM).
 
     Returns a dict with n, mean, var, std, min, max.
     """
-    plan, run = _block_program(sink, block_size, executor)
+    plan, run = _block_program(sink, block_size, executor, method)
     key = resolve_key(random_state)
     n_blocks = -(-size // block_size)
 
@@ -142,7 +173,7 @@ def estimate(sink, size, block_size=16_777_216, random_state=None, executor="aut
 
         def body(b, carry):
             n_prev, mean, m2, vmin, vmax, finite = carry
-            x = run(jax.random.fold_in(key, b)).astype(jnp.float32)
+            x = run(b, key).astype(jnp.float32)
             count = jnp.where(b == n_blocks - 1, last_count, block_size)
             valid = jnp.arange(x.shape[0]) < count
             finite &= jnp.all(jnp.isfinite(x) | ~valid)

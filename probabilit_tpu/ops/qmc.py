@@ -210,12 +210,18 @@ def clamp_open_unit(q):
 # =====================================================================
 
 
-@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble", "offset"))
+@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble"))
 def sobol(key, n, d, dtype=None, scramble=True, offset=0):
-    """First ``n`` points (starting at index ``offset``) of a d-dim Sobol."""
+    """``n`` points starting at index ``offset`` of a d-dim Sobol sequence.
+
+    ``offset`` may be a traced value (it only shifts the counter), so
+    streamed/sharded runs generate exactly their own block inside one
+    compiled program.  Sequence length is capped at 2^32 by the 32-bit
+    radical inverse.
+    """
     dtype = config.float_dtype() if dtype is None else dtype
     V = _direction_numbers(d)  # (d, 32)
-    idx = (jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(offset))
+    idx = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(offset, jnp.uint32)
     gray = idx ^ (idx >> 1)
     acc = jnp.zeros((n, d), dtype=jnp.uint32)
     for k in range(_MAX_BITS):
@@ -239,13 +245,18 @@ def _first_primes(d):
     return np.array(primes, dtype=np.int64)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble", "offset"))
+@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble"))
 def halton(key, n, d, dtype=None, scramble=True, offset=0):
-    """First ``n`` points of a d-dimensional Halton sequence."""
+    """``n`` points starting at index ``offset`` of a d-dim Halton sequence.
+
+    ``offset`` may be traced; index arithmetic is 32-bit unless x64 is
+    enabled, capping streamed sequences at 2^31 points in float32 mode.
+    """
     dtype = config.float_dtype() if dtype is None else dtype
     primes = _first_primes(d)
     compute_dtype = jnp.float64 if jnp.dtype(dtype) == jnp.dtype(jnp.float64) else jnp.float32
-    idx = jnp.arange(offset, offset + n, dtype=jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32)
+    idx_dtype = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
+    idx = jnp.arange(n, dtype=idx_dtype) + jnp.asarray(offset, idx_dtype)
 
     columns = []
     for j in range(d):
@@ -293,14 +304,59 @@ _METHODS = {
 }
 
 
-def generate(method, key, n, d, dtype=None):
-    """Quantile matrix for a named method (None/"lhs"/"halton"/"sobol")."""
+def generate(method, key, n, d, dtype=None, offset=0):
+    """Quantile matrix for a named method (None/"lhs"/"halton"/"sobol").
+
+    ``offset`` starts the (index-addressable) sequence at a later point:
+    block ``b`` of a streamed run passes ``offset=b*block_size`` and the
+    concatenated blocks equal one long single-shot sequence exactly.
+    """
     if method is None:
+        if not (isinstance(offset, int) and offset == 0):
+            raise ValueError("offset requires an index-addressable QMC method.")
         return uniform(key, n, d, dtype)
     name = method.lower().strip()
     if name not in _METHODS:
         raise KeyError(f"Unknown sampling method: {method!r}")
+    if name == "lhs" and not (isinstance(offset, int) and offset == 0):
+        raise ValueError(
+            "Latin hypercube is a global stratification and cannot be "
+            "generated blockwise; use method='sobol' or 'halton' to stream."
+        )
     if d == 0:
         dtype = config.float_dtype() if dtype is None else dtype
         return jnp.zeros((n, 0), dtype)
-    return _METHODS[name](key, n, d, dtype=dtype)
+    if name == "lhs":
+        return _METHODS[name](key, n, d, dtype=dtype)
+    return _METHODS[name](key, n, d, dtype=dtype, offset=offset)
+
+
+def generate_sharded(method, key, n, d, dtype=None):
+    """Generate with the sample axis sharded over the active mesh.
+
+    Sobol/Halton points are pure functions of their index, so constraining
+    the output sharding inside jit lets the SPMD partitioner push the
+    split back to the index iota: each chip computes exactly its own rows
+    and the full (n, d) matrix never materialises on one device (SURVEY
+    §2.3 "sharded QMC generation").  LHS (a global permutation) and the
+    no-method path fall back to generate-then-shard.
+    """
+    from probabilit_tpu.parallel import mesh as _mesh
+
+    sharding = _mesh.sample_sharding(ndim=2)
+    name = None if method is None else method.lower().strip()
+    if sharding is None or name in (None, "lhs"):
+        return _mesh.shard_samples(generate(method, key, n, d, dtype))
+
+    dtype = jnp.dtype(dtype or config.float_dtype()).name
+    return _sharded_generator(name, n, d, dtype, sharding)(key)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_generator(name, n, d, dtype, sharding):
+    @jax.jit
+    def _gen(key):
+        pts = generate(name, key, n, d, dtype)
+        return jax.lax.with_sharding_constraint(pts, sharding)
+
+    return _gen

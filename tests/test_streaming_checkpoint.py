@@ -189,3 +189,78 @@ class TestProfilingIntegration:
         assert "[probabilit-tpu profile]" in err
         for phase in ("build+compile", "execute", "host"):
             assert phase in err
+
+
+class TestStreamedQMC:
+    def test_streamed_sobol_equals_single_shot(self):
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        expr = Distribution("lognorm", s=0.4) + Distribution("uniform")
+        single = np.asarray(expr.sample(4096, random_state=5, method="sobol"))
+        streamed = streaming.sample_streaming(
+            expr, 4096, block_size=512, random_state=5, method="sobol"
+        )
+        np.testing.assert_array_equal(single, streamed)
+
+    def test_streamed_halton_equals_single_shot(self):
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        expr = Distribution("norm", loc=2) * 3
+        single = np.asarray(expr.sample(2048, random_state=1, method="halton"))
+        streamed = streaming.sample_streaming(
+            expr, 2048, block_size=300, random_state=1, method="halton"
+        )
+        np.testing.assert_array_equal(single, streamed)
+
+    def test_estimate_with_sobol(self):
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        model = Distribution("norm", loc=7.0)
+        stats = streaming.estimate(
+            model, 200_000, block_size=16384, random_state=0, method="sobol"
+        )
+        # QMC mean error decays ~1/n: far tighter than the MC tolerance.
+        assert abs(stats["mean"] - 7.0) < 1e-3
+
+    def test_lhs_refused(self):
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        with pytest.raises(ValueError, match="index-addressable"):
+            streaming.sample_streaming(
+                Distribution("norm"), 1000, block_size=100, method="lhs"
+            )
+
+
+class TestShardedQMCGeneration:
+    def test_sharded_generation_matches_unsharded(self):
+        import jax
+
+        from probabilit_tpu.ops import qmc
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        key = jax.random.PRNGKey(3)
+        base = np.asarray(qmc.generate("sobol", key, 4096, 5))
+        with use_mesh(make_mesh()):
+            sharded = qmc.generate_sharded("sobol", key, 4096, 5)
+            assert len(sharded.sharding.device_set) == 8
+            np.testing.assert_array_equal(base, np.asarray(sharded))
+
+    def test_sample_method_under_mesh(self):
+        import jax
+
+        from probabilit_tpu.modeling import Distribution
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        expr = Distribution("gamma", a=3.0) + 1
+        base = np.asarray(expr.sample(4096, random_state=2, method="sobol"))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(expr.sample(4096, random_state=2, method="sobol"))
+        np.testing.assert_array_equal(base, sharded)
