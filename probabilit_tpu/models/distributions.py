@@ -59,8 +59,18 @@ class Distribution(AbstractDistribution):
         super().__init__()
 
     def __repr__(self):
-        args = ", ".join(repr(arg) for arg in self.args)
-        kwargs = ", ".join(f"{k}={repr(v)}" for (k, v) in self.kwargs.items())
+        from probabilit_tpu.models.graph import Transform
+
+        # Shares Transform's depth cap: composite parameters recurse, and
+        # deep chains must not exhaust the stack when stringified.
+        if Transform._repr_depth >= Transform._REPR_MAX_DEPTH:
+            return f'{type(self).__name__}("{self.distr}", ...)'
+        Transform._repr_depth += 1
+        try:
+            args = ", ".join(repr(arg) for arg in self.args)
+            kwargs = ", ".join(f"{k}={repr(v)}" for (k, v) in self.kwargs.items())
+        finally:
+            Transform._repr_depth -= 1
         out = f'{type(self).__name__}("{self.distr}"'
         if args:
             out += f", {args}"

@@ -469,8 +469,20 @@ class Transform(Node, OverloadMixin, abc.ABC):
 
     is_leaf = False
 
+    # Recursive repr depth cap: deep chains (1000+ node models) would
+    # otherwise exhaust the Python stack whenever anything stringifies a
+    # node — including error paths (the reference shares this hazard).
+    _REPR_MAX_DEPTH = 50
+    _repr_depth = 0
+
     def __repr__(self):
-        parents = ", ".join(repr(parent) for parent in self.get_parents())
+        if Transform._repr_depth >= Transform._REPR_MAX_DEPTH:
+            return f"{type(self).__name__}(...)"
+        Transform._repr_depth += 1
+        try:
+            parents = ", ".join(repr(parent) for parent in self.get_parents())
+        finally:
+            Transform._repr_depth -= 1
         return f"{type(self).__name__}({parents})"
 
     def _static_signature(self):

@@ -256,15 +256,20 @@ class ImanConover(Correlator):
 
         return rowsort_with_order(jnp.asarray(XT))
 
-    def _scores_rows(self, X_sorted, order):
+    def _scores_rows(self, X_sorted, order, chunk_elems=None):
         """(scores, mean, var): van der Waerden scores in original order.
 
         Scores per sorted position come straight from the (tie-resolved)
         rank — no (N, K) gather; the unsort back to original row order is
         one integer-key variadic sort (see ops/sort.py).
         """
-        from probabilit_tpu.ops.sort import apply_inverse_permutation_rows
+        from probabilit_tpu.ops.sort import (
+            _DEFAULT_CHUNK_ELEMS,
+            apply_inverse_permutation_rows,
+        )
 
+        if chunk_elems is None:
+            chunk_elems = _DEFAULT_CHUNK_ELEMS
         K, N = X_sorted.shape
         dtype = X_sorted.dtype
         if self.ties == "average":
@@ -273,7 +278,7 @@ class ImanConover(Correlator):
         else:
             s_row = ndtri(jnp.arange(1, N + 1, dtype=dtype) / jnp.asarray(N + 1, dtype))
             scores_sorted = jnp.broadcast_to(s_row[None, :], (K, N))
-        scores = apply_inverse_permutation_rows(order, scores_sorted)
+        scores = apply_inverse_permutation_rows(order, scores_sorted, chunk_elems)
         # Per-row moments from the sorted domain (same multiset per row).
         mean = jnp.mean(scores_sorted, axis=1, keepdims=True)
         var = jnp.mean(jnp.square(scores_sorted - mean), axis=1, keepdims=True)
@@ -294,19 +299,79 @@ class ImanConover(Correlator):
         4. ``sort(corr, iota)`` -> order2; ``sort(order2, X_sorted)``
            places the k-th largest original value at the row of the k-th
            largest correlated score — marginals restored exactly.
+
+        Under an active mesh the statistical columns (rows here) shard
+        over the devices: they are independent through all four sorts, so
+        N chips divide the dominant cost by N; only the small KxK
+        Gram/Cholesky induces collectives.  See ``_apply_rows_sharded``.
         """
+        from probabilit_tpu.parallel import mesh as _mesh
+
+        mesh = _mesh.current_mesh()
+        if mesh is not None and mesh.size > 1:
+            return self._apply_rows_sharded(jnp.asarray(XT), mesh)
+        return self._transform_rows(jnp.asarray(XT), jnp.asarray(self.P))
+
+    def _apply_rows_sharded(self, XT, mesh):
+        """Column-sharded transform: pad rows to the mesh size and go.
+
+        Rows are padded with independent hash-based pseudo-uniform rows and
+        the target factor extends block-diagonally.  Cholesky factors and
+        triangular inverses are order-respecting (row block i of ``L`` and
+        ``inv(L)`` depends only on leading blocks), and the padded target
+        rows carry zero weight for the real rows, so the first K output
+        rows are EXACTLY the unsharded result up to reduction order.
+        """
+        import numpy as np
+
+        from probabilit_tpu.parallel.mesh import sample_sharding
+
+        K, N = XT.shape
+        n_dev = mesh.size
+        K_pad = -(-K // n_dev) * n_dev
+        if K_pad != K:
+            # Deterministic filler rows, independent of the data: iota
+            # through a splitmix-style hash, mapped to (0, 1) then ndtri'd
+            # so the padded score Gram stays comfortably PD.
+            idx = (
+                jnp.arange((K_pad - K) * N, dtype=jnp.uint32).reshape(K_pad - K, N)
+                + jnp.uint32(0x9E3779B9)
+            )
+            h = idx * jnp.uint32(0x85EBCA6B)
+            h = (h ^ (h >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+            h = h ^ (h >> jnp.uint32(16))
+            filler = (
+                (h >> jnp.uint32(8)).astype(XT.dtype) * (2.0**-24) + 2.0**-25
+            )
+            XT = jnp.concatenate([XT, filler], axis=0)
+            P_pad = np.eye(K_pad, dtype=np.asarray(self.P).dtype)
+            P_pad[:K, :K] = np.asarray(self.P)
+        else:
+            P_pad = np.asarray(self.P)
+
+        sharding = sample_sharding(ndim=2, mesh=mesh)
+        XT = jax.lax.with_sharding_constraint(XT, sharding)
+        # One unchunked call per sort (row slicing would reshard): each
+        # device sorts only its own rows.
+        out = self._transform_rows(XT, jnp.asarray(P_pad), chunk_elems=1 << 62)
+        return out[:K]
+
+    def _transform_rows(self, XT, target_P, chunk_elems=None):
         from probabilit_tpu.ops.sort import (
+            _DEFAULT_CHUNK_ELEMS,
             apply_inverse_permutation_rows,
             rowsort_with_order,
         )
 
-        XT = jnp.asarray(XT)
+        if chunk_elems is None:
+            chunk_elems = _DEFAULT_CHUNK_ELEMS
+
         K, N = XT.shape
         dtype = XT.dtype
 
         # STEPS 1+2: sorted values + order, then tie-resolved scores.
-        X_sorted, order = rowsort_with_order(XT)
-        scores, s_mean, s_var = self._scores_rows(X_sorted, order)
+        X_sorted, order = rowsort_with_order(XT, chunk_elems)
+        scores, s_mean, s_var = self._scores_rows(X_sorted, order, chunk_elems)
 
         # Empirical correlation of the scores from one MXU Gram matrix.
         acc_type = jnp.float64 if dtype == jnp.float64 else jnp.float32
@@ -326,8 +391,7 @@ class ImanConover(Correlator):
         # STEP 3: decorrelate + recolor in one (K,K) @ (K,N) matmul.
         eye = jnp.eye(K, dtype=dtype)
         inv_L = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-        target_P = jnp.asarray(self.P, dtype)
-        M = target_P @ inv_L  # corr_T = M @ standardized scores_T
+        M = jnp.asarray(target_P, dtype) @ inv_L  # corr_T = M @ std scores_T
         correlated = jax.lax.dot_general(
             M,
             (scores - s_mean) / s_std,
@@ -336,8 +400,8 @@ class ImanConover(Correlator):
         ).astype(dtype)
 
         # STEP 4: two more sorts place sorted originals at score ranks.
-        _, order2 = rowsort_with_order(correlated)
-        return apply_inverse_permutation_rows(order2, X_sorted)
+        _, order2 = rowsort_with_order(correlated, chunk_elems)
+        return apply_inverse_permutation_rows(order2, X_sorted, chunk_elems)
 
     def _apply_generated(self, z, x_sorted):
         """Two-sort Iman-Conover for engine-generated sampling.

@@ -76,3 +76,72 @@ class TestGraftEntryPoints:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(8)
+
+
+@needs_devices
+class TestColumnShardedImanConover:
+    """User-facing IC shards statistical columns over the mesh: rows are
+    independent through all four sorts, so N chips divide the sort cost by
+    N (BASELINE.md roofline analysis); only the KxK Gram induces
+    collectives."""
+
+    def test_matches_unsharded_divisible(self):
+        from probabilit_tpu.ops.correlation import ImanConover
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(2000, 16))
+        C = np.eye(16) * 0.7 + 0.3
+        ic = ImanConover().set_target(C)
+        base = np.asarray(ic(X))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(ic(X))
+        # 16 rows over 8 devices: no padding, layout-identical matmuls.
+        np.testing.assert_array_equal(base, sharded)
+
+    def test_matches_unsharded_padded(self):
+        from probabilit_tpu.ops.correlation import ImanConover
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(1500, 5))
+        C = np.eye(5) * 0.5 + 0.5
+        ic = ImanConover().set_target(C)
+        base = np.asarray(ic(X))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(ic(X))
+        # Padding rows change Gram blocking: reduction-order noise only.
+        np.testing.assert_allclose(base, sharded, rtol=1e-4, atol=1e-5)
+        for k in range(5):
+            np.testing.assert_array_equal(
+                np.sort(sharded[:, k]), np.sort(X[:, k].astype(np.float32))
+            )
+
+
+class TestDeepGraphCompile:
+    def test_4000_node_chain_compiles_quickly(self):
+        # Round-1 noted a compile cliff at ~4,500-node chains; after
+        # topo-ordered emission a 12,002-node chain compiles+runs in ~6 s
+        # on CPU. Regression-bound it generously.
+        import time
+
+        from probabilit_tpu.modeling import Constant, Distribution
+
+        total = Constant(0)
+        rate = Distribution("norm", loc=1.001, scale=0.001)
+        for _ in range(1333):  # 4,001 nodes
+            total = total * rate + 100
+        t0 = time.perf_counter()
+        out = np.asarray(total.sample(128, random_state=0, gc_strategy=[]))
+        assert np.isfinite(out).all()
+        assert time.perf_counter() - t0 < 120
+
+    def test_deep_repr_terminates(self):
+        from probabilit_tpu.modeling import Constant, Distribution
+
+        total = Constant(0)
+        rate = Distribution("norm", loc=1.001, scale=0.001)
+        for _ in range(2000):
+            total = total * rate + 100
+        r = repr(total)
+        assert r.endswith(")") and "..." in r and len(r) < 100_000
