@@ -65,6 +65,37 @@ _SAFE_FAMILIES = {
     "randint",
 }
 
+# Families solved by Newton on Mosaic-safe incomplete gamma/beta functions
+# (ops/special.py kernel_safe_special). The series/continued-fraction trip
+# counts are sized for shape parameters up to these caps; larger (or
+# composite, i.e. Node-valued) parameters fall back to the XLA path.
+_INCOMPLETE_FAMILY_CAPS = {
+    "gamma": 30.0,
+    "invgamma": 30.0,
+    "chi2": 60.0,  # gammaincinv(df / 2, .)
+    "chi": 60.0,
+    "maxwell": None,  # fixed shape a = 1.5
+    "nakagami": 30.0,
+    "beta": 30.0,
+    "betaprime": 30.0,
+    "t": 60.0,  # betaincinv(df / 2, .)
+    "f": 60.0,
+}
+
+
+def _incomplete_family_ok(node):
+    cap = _INCOMPLETE_FAMILY_CAPS[node.distr]
+    shapes = list(node.args) + [
+        v for k, v in node.kwargs.items() if k not in ("loc", "scale")
+    ]
+    for v in shapes:
+        if not isinstance(v, (int, float)):
+            return False  # composite (Node) or exotic parameter
+        if not 0 < float(v) <= (cap if cap is not None else float("inf")):
+            return False
+    return True
+
+
 _SAFE_TRANSFORMS = (
     _graph.VariadicTransform,
     _graph.BinaryTransform,
@@ -89,9 +120,13 @@ def supports(plan, keep_ids):
         if isinstance(node, _graph.ScalarFunctionTransform):
             return False
         if isinstance(node, Distribution):
-            if node.distr not in _SAFE_FAMILIES:
-                return False
-            continue
+            if node.distr in _SAFE_FAMILIES:
+                continue
+            if node.distr in _INCOMPLETE_FAMILY_CAPS and _incomplete_family_ok(
+                node
+            ):
+                continue
+            return False
         if isinstance(node, _SAFE_TRANSFORMS):
             continue
         return False  # Empirical/Cumulative/Discrete/Marginal etc.
@@ -147,9 +182,14 @@ def _make_kernel(plan):
             bits = pltpu.prng_random_bits(shape)
             columns[nid] = _bits_to_open_unit(pltpu.bitcast(bits, jnp.uint32))
         ctx = _BlockContext(columns, shape)
-        for node in topo:
-            ctx.value(node)
-        out_ref[:] = ctx.value(sink).astype(out_ref.dtype)
+        # Route incomplete gamma/beta through the Mosaic-safe series/CF
+        # implementations while the kernel body traces.
+        from probabilit_tpu.ops import special as _special
+
+        with _special.kernel_safe_special():
+            for node in topo:
+                ctx.value(node)
+            out_ref[:] = ctx.value(sink).astype(out_ref.dtype)
 
     return kernel
 

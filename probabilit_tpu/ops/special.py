@@ -227,6 +227,217 @@ def expm1_safe(x):
 _NEWTON_ITERS = 26
 _TINY = 1e-30
 
+# ---------------------------------------------------------------------
+# Mosaic-safe incomplete functions
+#
+# ``jax.scipy.special.gammainc/betainc`` lower through XLA custom
+# expansions that Pallas/Mosaic cannot compile (captured coefficient
+# tables).  These implementations use only elementwise arithmetic,
+# scalar Python constants, and fixed-trip ``fori_loop``s, so they lower
+# inside TPU kernels.  Accuracy: float32 relative ~1e-6 for shape
+# parameters in (0, ~30] (series/CF trip counts sized for that range —
+# the megakernel whitelist enforces it; the XLA path keeps using the
+# native ops with no parameter restriction).
+# ---------------------------------------------------------------------
+
+_IN_KERNEL = False
+
+
+class _kernel_safe_special:
+    """Context manager: route gammainc/betainc to Mosaic-safe versions.
+
+    Used by the Pallas executor around graph emission; the flag is read
+    at trace time, so the selected implementation is baked into the
+    kernel.
+    """
+
+    def __enter__(self):
+        global _IN_KERNEL
+        self._prev = _IN_KERNEL
+        _IN_KERNEL = True
+        return self
+
+    def __exit__(self, *exc):
+        global _IN_KERNEL
+        _IN_KERNEL = self._prev
+        return False
+
+
+kernel_safe_special = _kernel_safe_special
+
+
+def lgamma_kernel(x):
+    """Log-gamma for x > 0 via the Lanczos approximation (g=7, n=9).
+
+    Scalar coefficients only — lowers in Mosaic.  float32 relative error
+    < 1e-6 on (0, 1e4).
+    """
+    x = jnp.asarray(x)
+    # Lanczos coefficients (g=7, 9 terms), classical public values.
+    coefs = (
+        0.99999999999980993,
+        676.5203681218851,
+        -1259.1392167224028,
+        771.32342877765313,
+        -176.61502916214059,
+        12.507343278686905,
+        -0.13857109526572012,
+        9.9843695780195716e-6,
+        1.5056327351493116e-7,
+    )
+    z = x - 1.0
+    acc = jnp.full_like(z, coefs[0])
+    for i, c in enumerate(coefs[1:], start=1):
+        acc = acc + c / (z + i)
+    t = z + 7.5
+    half_log_two_pi = 0.9189385332046727
+    return half_log_two_pi + (z + 0.5) * jnp.log(t) - t + jnp.log(acc)
+
+
+def _gammainc_series(a, x, log_prefactor, iters=48):
+    """P(a,x) by power series (accurate for x < a + 1)."""
+
+    def body(n, carry):
+        term, total = carry
+        term = term * x / (a + 1.0 + n)
+        return term, total + term
+
+    init = jnp.ones_like(x) / a
+    term, total = jax.lax.fori_loop(0, iters, body, (init, init))
+    return total * jnp.exp(log_prefactor)
+
+
+def _gammainc_cf(a, x, log_prefactor, iters=48):
+    """Q(a,x) by Lentz continued fraction (accurate for x >= a + 1)."""
+    tiny = jnp.asarray(1e-30, x.dtype)
+    b = x + 1.0 - a
+    c = jnp.full_like(x, 1e30)
+    d = 1.0 / jnp.where(jnp.abs(b) < tiny, tiny, b)
+    h = d
+
+    def body(i, carry):
+        c, d, h = carry
+        i1 = i + 1.0
+        an = -i1 * (i1 - a)
+        bb = x + 1.0 - a + 2.0 * i1
+        d = bb + an * d
+        d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+        c = bb + an / c
+        c = jnp.where(jnp.abs(c) < tiny, tiny, c)
+        h = h * d * c
+        return c, d, h
+
+    _, _, h = jax.lax.fori_loop(0, iters, body, (c, d, h))
+    return jnp.exp(log_prefactor) * h
+
+
+def gammainc_kernel(a, x):
+    """Regularized lower incomplete gamma P(a, x), Mosaic-safe.
+
+    Series for x < a+1, Lentz continued fraction otherwise (both
+    branches evaluated, selected elementwise — data-oblivious for the
+    VPU).  Sized for a in (0, ~30].
+    """
+    dtype = jnp.result_type(a, x, jnp.float32)
+    a = jnp.asarray(a, dtype)
+    x = jnp.asarray(x, dtype)
+    a, x = jnp.broadcast_arrays(a, x)
+    x_safe = jnp.maximum(x, _TINY)
+    log_pre = a * jnp.log(x_safe) - x_safe - lgamma_kernel(a)
+    p_series = _gammainc_series(a, x_safe, log_pre)
+    q_cf = _gammainc_cf(a, x_safe, log_pre)
+    p = jnp.where(x_safe < a + 1.0, p_series, 1.0 - q_cf)
+    p = jnp.where(x <= 0.0, 0.0, p)
+    return jnp.clip(p, 0.0, 1.0)
+
+
+def _betacf(a, b, x, iters=40):
+    """Continued fraction for betainc (Lentz, paired even/odd steps)."""
+    tiny = jnp.asarray(1e-30, x.dtype)
+    qab = a + b
+    qap = a + 1.0
+    qam = a - 1.0
+    c = jnp.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+    h = d
+
+    def body(m1, carry):
+        c, d, h = carry
+        m = m1 + 1.0
+        two_m = 2.0 * m
+        # Even step.
+        aa = m * (b - m) * x / ((qam + two_m) * (a + two_m))
+        d = 1.0 + aa * d
+        d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = jnp.where(jnp.abs(c) < tiny, tiny, c)
+        h = h * d * c
+        # Odd step.
+        aa = -(a + m) * (qab + m) * x / ((a + two_m) * (qap + two_m))
+        d = 1.0 + aa * d
+        d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = jnp.where(jnp.abs(c) < tiny, tiny, c)
+        h = h * d * c
+        return c, d, h
+
+    _, _, h = jax.lax.fori_loop(0, iters, body, (c, d, h))
+    return h
+
+
+def betainc_kernel(a, b, x):
+    """Regularized incomplete beta I_x(a, b), Mosaic-safe.
+
+    Standard symmetry split at x = (a+1)/(a+b+2); both continued
+    fractions evaluated and selected elementwise.  Sized for a, b in
+    (0, ~30].
+    """
+    dtype = jnp.result_type(a, b, x, jnp.float32)
+    a = jnp.asarray(a, dtype)
+    b = jnp.asarray(b, dtype)
+    x = jnp.asarray(x, dtype)
+    a, b, x = jnp.broadcast_arrays(a, b, x)
+    xc = jnp.clip(x, _TINY, 1.0 - 1e-7)
+    log_bt = (
+        lgamma_kernel(a + b)
+        - lgamma_kernel(a)
+        - lgamma_kernel(b)
+        + a * jnp.log(xc)
+        + b * jnp.log1p(-xc)
+    )
+    bt = jnp.exp(log_bt)
+    direct = bt * _betacf(a, b, xc) / a
+    flipped = 1.0 - bt * _betacf(b, a, 1.0 - xc) / b
+    p = jnp.where(xc < (a + 1.0) / (a + b + 2.0), direct, flipped)
+    p = jnp.where(x <= 0.0, 0.0, p)
+    p = jnp.where(x >= 1.0, 1.0, p)
+    return jnp.clip(p, 0.0, 1.0)
+
+
+def _gammainc_impl():
+    return gammainc_kernel if _IN_KERNEL else gammainc
+
+
+def _betainc_impl():
+    return betainc_kernel if _IN_KERNEL else betainc
+
+
+def _gammaln_impl():
+    return lgamma_kernel if _IN_KERNEL else gammaln
+
+
+def _betaln_impl():
+    if _IN_KERNEL:
+        return lambda a, b: (
+            lgamma_kernel(a) + lgamma_kernel(b) - lgamma_kernel(a + b)
+        )
+    return betaln
+
+
+def _ndtri_impl():
+    return ndtri_fast_wide if _IN_KERNEL else ndtri
+
 
 def _wilson_hilferty_gamma_guess(a, p):
     """Initial guess for the inverse regularized lower incomplete gamma.
@@ -235,10 +446,10 @@ def _wilson_hilferty_gamma_guess(a, p):
     1/(9a)).  Good to a few percent for a >~ 0.5; Newton cleans it up.
     """
     s = 1.0 / (9.0 * a)
-    z = ndtri(p)
+    z = _ndtri_impl()(p)
     guess = a * (1.0 - s + z * jnp.sqrt(s)) ** 3
     # Small-a fallback: P(a, x) ~ x^a / Gamma(a+1) for small x.
-    small = jnp.exp((jnp.log(jnp.clip(p, _TINY)) + gammaln(a + 1.0)) / a)
+    small = jnp.exp((jnp.log(jnp.clip(p, _TINY)) + _gammaln_impl()(a + 1.0)) / a)
     guess = jnp.where((a < 0.5) | (guess <= 0.0), small, guess)
     return jnp.clip(guess, _TINY)
 
@@ -259,18 +470,33 @@ def gammaincinv(a, p):
     x0 = _wilson_hilferty_gamma_guess(a, p_clipped)
     log_x = jnp.log(x0)
 
-    lgam = gammaln(a)
+    lgam = _gammaln_impl()(a)
+    _gammainc = _gammainc_impl()
 
-    def body(_, log_x):
+    # Early-exit Newton: the Wilson-Hilferty guess is percent-accurate, so
+    # most batches converge in 3-6 quadratic steps; the while_loop stops
+    # the WHOLE batch as soon as every lane's log-space step (= relative
+    # step) is below tolerance, instead of always paying _NEWTON_ITERS
+    # incomplete-gamma evaluations (measured 4-5x on gamma-family ppf).
+    tol = 1e-7 if dtype == jnp.float32 else 1e-15
+
+    def cond(carry):
+        _, i, biggest = carry
+        return (i < _NEWTON_ITERS) & (biggest > tol)
+
+    def body(carry):
+        log_x, i, _ = carry
         x = jnp.exp(log_x)
-        f = gammainc(a, x) - p_clipped
+        f = _gammainc(a, x) - p_clipped
         # d/dx P(a,x) = x^(a-1) e^-x / Gamma(a);  d/dlogx = x * that
         log_pdf_logx = a * log_x - x - lgam
         step = f * jnp.exp(-log_pdf_logx)
         step = jnp.clip(step, -2.0, 2.0)  # Safeguard huge steps far from root
-        return log_x - step
+        return log_x - step, i + 1, jnp.max(jnp.abs(step))
 
-    log_x = jax.lax.fori_loop(0, _NEWTON_ITERS, body, log_x)
+    log_x, _, _ = jax.lax.while_loop(
+        cond, body, (log_x, jnp.int32(0), jnp.asarray(jnp.inf, dtype))
+    )
     x = jnp.exp(log_x)
 
     x = jnp.where(p <= 0.0, 0.0, x)
@@ -285,7 +511,7 @@ def gammainccinv(a, q):
 
 def _beta_guess(a, b, p):
     """Initial guess for betaincinv, Abramowitz & Stegun 26.5.22."""
-    y = ndtri(p)
+    y = _ndtri_impl()(p)
     two = jnp.asarray(2.0, y.dtype)
     la = 1.0 / (2.0 * a - 1.0)
     lb = 1.0 / (2.0 * b - 1.0)
@@ -295,7 +521,7 @@ def _beta_guess(a, b, p):
     )
     guess = a / (a + b * jnp.exp(2.0 * w))
     # Fallback for small parameters: power-law inversion of the CDF tail.
-    t = jnp.exp((jnp.log(jnp.clip(p, _TINY)) + betaln(a, b) + jnp.log(a)) / a)
+    t = jnp.exp((jnp.log(jnp.clip(p, _TINY)) + _betaln_impl()(a, b) + jnp.log(a)) / a)
     guess = jnp.where((a <= 1.0) | (b <= 1.0) | ~jnp.isfinite(guess), t, guess)
     return jnp.clip(guess, 1e-6, 1.0 - 1e-6)
 
@@ -318,11 +544,20 @@ def betaincinv(a, b, p):
     x = _beta_guess(a, b, p_c)
     lo = jnp.zeros_like(x)
     hi = jnp.ones_like(x)
-    lbeta = betaln(a, b)
+    lbeta = _betaln_impl()(a, b)
+    _betainc = _betainc_impl()
 
-    def body(_, carry):
-        x, lo, hi = carry
-        f = betainc(a, b, x) - p_c
+    # Early-exit safeguarded Newton (see gammaincinv): stops when every
+    # lane's relative movement drops below tolerance.
+    tol = 1e-7 if dtype == jnp.float32 else 1e-15
+
+    def cond(carry):
+        _, _, _, i, biggest = carry
+        return (i < _NEWTON_ITERS + 14) & (biggest > tol)
+
+    def body(carry):
+        x, lo, hi, i, _ = carry
+        f = _betainc(a, b, x) - p_c
         # Maintain bracket [lo, hi] with f(lo) < 0 < f(hi).
         lo = jnp.where(f < 0.0, x, lo)
         hi = jnp.where(f > 0.0, x, hi)
@@ -331,9 +566,12 @@ def betaincinv(a, b, p):
         # Bisect whenever Newton leaves the bracket or is non-finite.
         bad = ~jnp.isfinite(newton) | (newton <= lo) | (newton >= hi)
         x_new = jnp.where(bad, 0.5 * (lo + hi), newton)
-        return x_new, lo, hi
+        moved = jnp.max(jnp.abs(x_new - x) / jnp.maximum(x, _TINY))
+        return x_new, lo, hi, i + 1, moved
 
-    x, _, _ = jax.lax.fori_loop(0, _NEWTON_ITERS + 14, body, (x, lo, hi))
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x, lo, hi, jnp.int32(0), jnp.asarray(jnp.inf, dtype))
+    )
 
     x = jnp.where(p <= 0.0, 0.0, x)
     x = jnp.where(p >= 1.0, 1.0, x)

@@ -360,3 +360,55 @@ class TestRandintBoundaryQuantiles:
         ours = np.asarray(ppf_mod.call("randint", q, low, high))
         expected = scipy.stats.randint(low, high).ppf(np.float64(q))
         np.testing.assert_allclose(ours, expected)
+
+
+class TestKernelSafeSpecialFunctions:
+    """Mosaic-safe incomplete gamma/beta (series/Lentz CF, scalar constants
+    only) must match scipy within the float32 contract on the supported
+    parameter range (shape params in (0, 30])."""
+
+    def test_gammainc_kernel(self):
+        from probabilit_tpu.ops import special as sp
+
+        rng = np.random.default_rng(0)
+        a = np.concatenate(
+            [rng.uniform(0.05, 1, 200), rng.uniform(1, 30, 300)]
+        ).astype(np.float32)
+        x = (a * rng.uniform(0.01, 3.0, 500)).astype(np.float32)
+        got = np.asarray(sp.gammainc_kernel(a, x))
+        ref = scipy.special.gammainc(np.float64(a), np.float64(x))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_betainc_kernel(self):
+        from probabilit_tpu.ops import special as sp
+
+        rng = np.random.default_rng(1)
+        a = rng.uniform(0.1, 30, 400).astype(np.float32)
+        b = rng.uniform(0.1, 30, 400).astype(np.float32)
+        x = rng.uniform(1e-5, 1 - 1e-5, 400).astype(np.float32)
+        got = np.asarray(sp.betainc_kernel(a, b, x))
+        ref = scipy.special.betainc(np.float64(a), np.float64(b), np.float64(x))
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+
+    def test_inverses_under_kernel_context(self):
+        from probabilit_tpu.ops import special as sp
+
+        rng = np.random.default_rng(2)
+        a = rng.uniform(0.2, 30, 300).astype(np.float32)
+        b = rng.uniform(0.2, 30, 300).astype(np.float32)
+        p = rng.uniform(1e-5, 1 - 1e-5, 300).astype(np.float32)
+        with sp.kernel_safe_special():
+            gi = np.asarray(sp.gammaincinv(a, p))
+            bi = np.asarray(sp.betaincinv(a, b, p))
+        gr = scipy.special.gammaincinv(np.float64(a), np.float64(p))
+        br = scipy.special.betaincinv(np.float64(a), np.float64(b), np.float64(p))
+        np.testing.assert_allclose(gi, gr, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(bi, br, rtol=5e-4, atol=1e-6)
+
+    def test_lgamma_kernel(self):
+        from probabilit_tpu.ops import special as sp
+
+        x = np.linspace(0.05, 100, 1000).astype(np.float32)
+        got = np.asarray(sp.lgamma_kernel(x))
+        ref = scipy.special.gammaln(np.float64(x))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-5)

@@ -100,3 +100,47 @@ class TestOnTpu:
             sink.sample(200_000, random_state=8, gc_strategy=[], executor="pallas")
         )
         assert not np.array_equal(s1, s3)
+
+
+class TestIncompleteFunctionFamilies:
+    """gamma/beta-family eligibility gating + (on TPU) KS correctness."""
+
+    def test_static_params_in_range_supported(self):
+        for name, kw in [
+            ("gamma", dict(a=2.5)),
+            ("beta", dict(a=2.0, b=5.0)),
+            ("t", dict(df=7)),
+            ("chi2", dict(df=4)),
+            ("f", dict(dfn=5, dfd=9)),
+            ("invgamma", dict(a=3.0)),
+            ("nakagami", dict(nu=1.5)),
+            ("maxwell", dict()),
+        ]:
+            sink = Distribution(name, **kw)
+            assert pallas_exec.supports(_plan(sink), frozenset({sink._id})), name
+
+    def test_out_of_range_or_composite_rejected(self):
+        big = Distribution("gamma", a=100.0)
+        assert not pallas_exec.supports(_plan(big), frozenset({big._id}))
+        comp = Distribution("gamma", a=Distribution("uniform", loc=1, scale=1))
+        assert not pallas_exec.supports(_plan(comp), frozenset({comp._id}))
+
+    @pytest.mark.skipif(not on_tpu, reason="hardware PRNG requires TPU")
+    @pytest.mark.parametrize(
+        "name,kw",
+        [
+            ("gamma", dict(a=2.5)),
+            ("beta", dict(a=2.0, b=5.0)),
+            ("t", dict(df=7)),
+            ("f", dict(dfn=5, dfd=9)),
+        ],
+    )
+    def test_ks_against_scipy(self, name, kw):
+        import scipy.stats
+
+        d = Distribution(name, **kw)
+        s = np.asarray(
+            d.sample(100_000, random_state=3, gc_strategy=[], executor="pallas")
+        )
+        ref = getattr(scipy.stats, name)(**kw)
+        assert scipy.stats.kstest(s, ref.cdf).pvalue > 0.001
