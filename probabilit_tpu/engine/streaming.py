@@ -166,27 +166,31 @@ def estimate(
         # into the running (mean, M2, min, max); only five scalars ever
         # reach the host.  Counts carried in f32 (exact merge weights are
         # unnecessary; relative 2^-24 is far below MC noise).
-        # Only the final block can be partial; its exact count is a static
-        # Python int, so no size-dependent (int32-overflowing at >2^31)
-        # arithmetic is ever traced.
+        # Full blocks fold UNMASKED (no per-element valid tests in the hot
+        # loop — 1-D iota/select chains are slow on TPU); only the final
+        # block, when partial, pays the masked path, outside the loop.
+        # Its exact count is a static Python int, so no size-dependent
+        # (int32-overflowing at >2^31) arithmetic is ever traced.
         last_count = size - (n_blocks - 1) * block_size
 
-        def body(b, carry):
+        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite):
             n_prev, mean, m2, vmin, vmax, finite = carry
-            x = run(b, key).astype(jnp.float32)
-            count = jnp.where(b == n_blocks - 1, last_count, block_size)
-            valid = jnp.arange(x.shape[0]) < count
-            finite &= jnp.all(jnp.isfinite(x) | ~valid)
-            bn = count.astype(jnp.float32)
-            bm = jnp.sum(jnp.where(valid, x, 0.0)) / bn
-            bm2 = jnp.sum(jnp.where(valid, jnp.square(x - bm), 0.0))
             delta = bm - mean
             nn = n_prev + bn
             mean = mean + delta * bn / nn
             m2 = m2 + bm2 + delta * delta * n_prev * bn / nn
-            vmin = jnp.minimum(vmin, jnp.min(jnp.where(valid, x, jnp.inf)))
-            vmax = jnp.maximum(vmax, jnp.max(jnp.where(valid, x, -jnp.inf)))
-            return nn, mean, m2, vmin, vmax, finite
+            vmin = jnp.minimum(vmin, bmin)
+            vmax = jnp.maximum(vmax, bmax)
+            return nn, mean, m2, vmin, vmax, finite & bfinite
+
+        def body(b, carry):
+            x = run(b, key).astype(jnp.float32)
+            bn = jnp.float32(block_size)
+            bm = jnp.mean(x)
+            bm2 = jnp.sum(jnp.square(x - bm))
+            return merge(
+                carry, bn, bm, bm2, jnp.min(x), jnp.max(x), jnp.all(jnp.isfinite(x))
+            )
 
         init = (
             jnp.float32(0.0),
@@ -196,7 +200,17 @@ def estimate(
             jnp.float32(-jnp.inf),
             jnp.bool_(True),
         )
-        return jax.lax.fori_loop(0, n_blocks, body, init)
+        n_full = n_blocks if last_count == block_size else n_blocks - 1
+        carry = jax.lax.fori_loop(0, n_full, body, init)
+        if n_full != n_blocks:
+            x = run(n_full, key).astype(jnp.float32)[:last_count]
+            bn = jnp.float32(last_count)
+            bm = jnp.mean(x)
+            bm2 = jnp.sum(jnp.square(x - bm))
+            carry = merge(
+                carry, bn, bm, bm2, jnp.min(x), jnp.max(x), jnp.all(jnp.isfinite(x))
+            )
+        return carry
 
     total, mean, m2, vmin, vmax, finite = (
         float(v) for v in jax.device_get(all_blocks(key))
