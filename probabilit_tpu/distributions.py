@@ -15,4 +15,9 @@ from probabilit_tpu.models.factories import (  # noqa: F401
     _pert_to_beta,
 )
 
+# The reference's distributions.py imports these from modeling
+# (distributions.py:4-5), so they are importable from that path too.
+from probabilit_tpu.models.distributions import Distribution  # noqa: F401
+from probabilit_tpu.models.graph import Exp, Log, Sign  # noqa: F401
+
 __all__ = ["Uniform", "Normal", "TruncatedNormal", "Lognormal", "PERT", "Triangular"]

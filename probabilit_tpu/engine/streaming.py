@@ -31,7 +31,7 @@ from probabilit_tpu.engine.sampler import resolve_key
 __all__ = ["sample_streaming", "estimate"]
 
 
-def _block_program(sink, block_size, executor="auto", method=None):
+def _block_program(sink, block_size, executor="auto", method=None, total_size=None):
     """(plan, run) where ``run(b, key) -> sink block array`` for block ``b``.
 
     ``executor="auto"`` picks the Pallas megakernel when the graph is
@@ -60,6 +60,14 @@ def _block_program(sink, block_size, executor="auto", method=None):
             raise ValueError(
                 "Streamed QMC requires an index-addressable method "
                 f"('sobol' or 'halton'), got {method!r}."
+            )
+        if total_size is not None and total_size > 2**32:
+            # Point indices are 32-bit (Sobol direction numbers only span
+            # 2^32 points); past that the stream would silently wrap and
+            # repeat earlier points.
+            raise ValueError(
+                f"Streamed QMC supports at most 2^32 points, got {total_size}. "
+                "Use the PRNG stream (method=None) beyond that."
             )
         program = _compile.get_program(plan, "imanconover", keep, check_finite=False)
         dtype = config.float_dtype()
@@ -120,7 +128,7 @@ def sample_streaming(
     one block regardless of ``size``.  ``method="sobol"/"halton"`` streams
     one long QMC sequence (equal to a single-shot run of the same size).
     """
-    plan, run = _block_program(sink, block_size, executor, method)
+    plan, run = _block_program(sink, block_size, executor, method, total_size=size)
     key = resolve_key(random_state)
 
     n_blocks = -(-size // block_size)
@@ -156,7 +164,7 @@ def estimate(
 
     Returns a dict with n, mean, var, std, min, max.
     """
-    plan, run = _block_program(sink, block_size, executor, method)
+    plan, run = _block_program(sink, block_size, executor, method, total_size=size)
     key = resolve_key(random_state)
     n_blocks = -(-size // block_size)
 

@@ -11,6 +11,7 @@ from numbers import Number
 
 import numpy as np
 
+from probabilit_tpu.models.distributions import Distribution  # noqa: F401  (importable here in the reference, inspection.py:10)
 from probabilit_tpu.models.graph import NoOp, Transform
 
 __all__ = ["plot", "treeprint"]

@@ -18,6 +18,14 @@ from probabilit_tpu.models.distributions import (  # noqa: F401
     MultivariateDistribution,
 )
 
+# The reference's modeling.py imports these into its own namespace
+# (modeling.py:261-263), so user code legitimately does
+# ``from probabilit.modeling import ImanConover`` etc.; mirror that.
+from probabilit_tpu.garbage_collector import GarbageCollector  # noqa: F401
+from probabilit_tpu.ops.correlation import Cholesky, ImanConover  # noqa: F401
+from probabilit_tpu.ops.ncm import nearest_correlation_matrix  # noqa: F401
+from probabilit_tpu.utils.helpers import build_corrmat, zip_args  # noqa: F401
+
 __all__ = list(_graph_all) + [
     "AbstractDistribution",
     "Distribution",
@@ -26,4 +34,10 @@ __all__ = list(_graph_all) + [
     "DiscreteDistribution",
     "MarginalDistribution",
     "MultivariateDistribution",
+    "GarbageCollector",
+    "Cholesky",
+    "ImanConover",
+    "nearest_correlation_matrix",
+    "build_corrmat",
+    "zip_args",
 ]

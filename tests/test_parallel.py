@@ -47,6 +47,20 @@ class TestMeshInvariance:
             )[0, 1]
         assert np.isclose(achieved, 0.6, atol=0.1)
 
+    def test_correlated_mesh_matches_unsharded_closely(self):
+        # Contract: the UNCORRELATED path is bitwise mesh-invariant
+        # (test_identical_results_any_mesh); the correlated path computes
+        # its values (generated 2-sort variant), so sharded reduction
+        # order may drift the result at the 1e-4 level — but no further,
+        # and never by a rank swap (which would show up as O(1) diffs).
+        a, b = Distribution("norm"), Distribution("norm")
+        corr = np.array([[1, 0.7], [0.7, 1]])
+        expr = (a + b).correlate(a, b, corr_mat=corr)
+        base = np.asarray(expr.sample(4096, random_state=7))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(expr.sample(4096, random_state=7))
+        np.testing.assert_allclose(base, sharded, rtol=1e-3, atol=1e-3)
+
     def test_streaming_under_mesh(self):
         from probabilit_tpu.engine import streaming
 
