@@ -23,6 +23,8 @@ deterministic per seed), so this executor is opt-in:
 
 from __future__ import annotations
 
+import numbers
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -89,7 +91,9 @@ def _incomplete_family_ok(node):
         v for k, v in node.kwargs.items() if k not in ("loc", "scale")
     ]
     for v in shapes:
-        if not isinstance(v, (int, float)):
+        # numbers.Real admits numpy scalars (np.int64/np.float32) too;
+        # bool is excluded (a bool shape parameter is a user error).
+        if not isinstance(v, numbers.Real) or isinstance(v, bool):
             return False  # composite (Node) or exotic parameter
         if not 0 < float(v) <= (cap if cap is not None else float("inf")):
             return False
@@ -171,10 +175,31 @@ def _make_kernel(plan):
         # Both 32-bit words of the caller's key reach the PRNG, so
         # fold_in-derived block keys keep their full 64-bit entropy
         # (single-word seeding collides at ~k^2/2^33 over k blocks).
-        # Mosaic allows at most two seed words, so the grid block id is
-        # mixed into the first word: distinct within a call by
-        # construction, and across calls the key words are pseudorandom.
-        pltpu.prng_seed(seed_ref[0] ^ block_id, seed_ref[1])
+        # Mosaic allows at most two seed words, so the block id is mixed
+        # into BOTH words through a murmur3-style avalanche.  A bare
+        # ``w0 ^ block_id`` is not enough: seeds 0 and 1 would then emit
+        # the same multiset of block streams, merely permuted (s ^ b
+        # ranges over the same set for any s).  Here ``w ^ b*odd`` is
+        # injective in b (odd multipliers are invertible mod 2^32) and
+        # the avalanche is a bijection, so blocks within a call always
+        # get distinct words, int seeds (word1 == 0) are injective
+        # overall, and cross-key collisions are ~2^-64 chance.
+        b = jnp.uint32(block_id)
+
+        def mix(h):
+            h = h ^ (h >> jnp.uint32(16))
+            h = h * jnp.uint32(0x85EBCA6B)
+            h = h ^ (h >> jnp.uint32(13))
+            h = h * jnp.uint32(0xC2B2AE35)
+            return h ^ (h >> jnp.uint32(16))
+
+        s0 = mix(jnp.uint32(seed_ref[0]) ^ (b * jnp.uint32(0xCC9E2D51)))
+        s1 = mix(
+            jnp.uint32(seed_ref[1])
+            ^ (b * jnp.uint32(0x1B873593))
+            ^ jnp.uint32(0x9E3779B9)
+        )
+        pltpu.prng_seed(s0, s1)
         shape = (_SUBLANES, _LANES)
         columns = {}
         # Columns drawn in plan order: deterministic per (seed, block).

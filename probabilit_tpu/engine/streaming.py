@@ -42,6 +42,11 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
     generates points ``[b*block_size, (b+1)*block_size)`` via the
     generators' index addressability, so the concatenated stream equals a
     single-shot ``sample(method=...)`` of the same total size exactly.
+    (One carve-out: XLA's incomplete-beta primitive iterates with a
+    batch-GLOBAL convergence test, so beta-class families with endpoint
+    pdf singularities — a or b < 1 — can drift ~2e-6 between batch
+    compositions inside XLA itself; our own Newton loops freeze per-lane
+    and are batch-independent.)
     """
     plan = _compile.Plan(sink)
     if plan.corr_matrix is not None:
@@ -55,19 +60,28 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
         from probabilit_tpu import config
         from probabilit_tpu.ops import qmc as _qmc
 
+        if executor == "pallas":
+            # Mirror sample(): the megakernel has no quantile input, so a
+            # QMC request must not silently run other machinery.
+            raise ValueError(
+                "executor='pallas' requires method=None (the megakernel "
+                "generates its own hardware-PRNG stream)."
+            )
         name = method.lower().strip()
         if name not in ("sobol", "halton"):
             raise ValueError(
                 "Streamed QMC requires an index-addressable method "
                 f"('sobol' or 'halton'), got {method!r}."
             )
-        if total_size is not None and total_size > 2**32:
-            # Point indices are 32-bit (Sobol direction numbers only span
-            # 2^32 points); past that the stream would silently wrap and
-            # repeat earlier points.
+        # Point indices are 32-bit: Sobol direction numbers span 2^32
+        # points (uint32 index math), Halton's digit loop is int32 (2^31).
+        # Past the cap the stream would silently wrap and repeat points.
+        cap = 2**32 if name == "sobol" else 2**31
+        if total_size is not None and total_size > cap:
             raise ValueError(
-                f"Streamed QMC supports at most 2^32 points, got {total_size}. "
-                "Use the PRNG stream (method=None) beyond that."
+                f"Streamed {name} supports at most 2^{cap.bit_length() - 1} "
+                f"points, got {total_size}. Use the PRNG stream "
+                "(method=None) beyond that."
             )
         program = _compile.get_program(plan, "imanconover", keep, check_finite=False)
         dtype = config.float_dtype()
@@ -126,7 +140,9 @@ def sample_streaming(
 
     Returns a host ndarray of length ``size``; device memory is bounded by
     one block regardless of ``size``.  ``method="sobol"/"halton"`` streams
-    one long QMC sequence (equal to a single-shot run of the same size).
+    one long QMC sequence (equal to a single-shot run of the same size —
+    bitwise, except beta-class marginals with a or b < 1; see
+    ``_block_program``).
     """
     plan, run = _block_program(sink, block_size, executor, method, total_size=size)
     key = resolve_key(random_state)

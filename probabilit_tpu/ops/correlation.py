@@ -92,7 +92,11 @@ def rankdata(X, axis=0, method="average"):
         X = X[:, None]
         axis = 0
     XT = X.T if axis == 0 else X
-    X_sorted, order = rowsort_with_order(XT)
+    # Ordinal ranks promise position-determined tie order, which only a
+    # stable sort provides (XLA's unstable sort may permute equal keys
+    # arbitrarily per backend/version); average ranks are tie-order
+    # independent and take the 1.5x-cheaper unstable sort.
+    X_sorted, order = rowsort_with_order(XT, stable=(method == "ordinal"))
     if method == "ordinal":
         n = XT.shape[1]
         sorted_ranks = jnp.broadcast_to(
@@ -254,7 +258,10 @@ class ImanConover(Correlator):
     def _sort_rows(self, XT):
         from probabilit_tpu.ops.sort import rowsort_with_order
 
-        return rowsort_with_order(jnp.asarray(XT))
+        # ties="ordinal" assigns distinct scores to tied values by
+        # position, which requires a stable sort to be deterministic;
+        # the default average mode is tie-order independent.
+        return rowsort_with_order(jnp.asarray(XT), stable=(self.ties == "ordinal"))
 
     def _scores_rows(self, X_sorted, order, chunk_elems=None):
         """(scores, mean, var): van der Waerden scores in original order.

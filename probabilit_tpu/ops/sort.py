@@ -46,7 +46,7 @@ def _row_chunks(n_rows, c):
     return [(i, min(i + c, n_rows)) for i in range(0, n_rows, c)]
 
 
-def rowsort_with_order(XT, chunk_elems=_DEFAULT_CHUNK_ELEMS):
+def rowsort_with_order(XT, chunk_elems=_DEFAULT_CHUNK_ELEMS, stable=False):
     """Sort each ROW of ``XT`` (K, N); returns (sorted, order), chunked.
 
     One variadic sort per chunk produces sorted values and the sorting
@@ -58,11 +58,12 @@ def rowsort_with_order(XT, chunk_elems=_DEFAULT_CHUNK_ELEMS):
     sorted_parts, order_parts = [], []
     for lo, hi in _row_chunks(K, c):
         block = XT[lo:hi]
-        # Unstable: measured 1.5x cheaper on v5e (523 vs 787 ms at (16,1e7))
-        # and safe here — callers needing tie determinism resolve ties by
-        # value (average-rank scores) rather than by position.
+        # Unstable by default: measured 1.5x cheaper on v5e (523 vs 787 ms
+        # at (16,1e7)) and safe for callers that resolve ties by value
+        # (average-rank scores).  Callers that promise position-determined
+        # tie order (ordinal ranks) pass stable=True.
         s, o = jax.lax.sort(
-            (block, iota[: hi - lo]), dimension=1, num_keys=1, is_stable=False
+            (block, iota[: hi - lo]), dimension=1, num_keys=1, is_stable=stable
         )
         sorted_parts.append(s)
         order_parts.append(o)

@@ -482,23 +482,40 @@ def gammaincinv(a, p):
     # an order below the f32 sampling accuracy contract.  Measured trips
     # to exit: 3 (a=30) to 13 (a<=2, clamped-tail quantiles) vs 26 before.
     tol = 3e-5 if dtype == jnp.float32 else 1e-15
+    f_tol = 1e-4 if dtype == jnp.float32 else 1e-12
 
     def cond(carry):
-        _, i, biggest = carry
-        return (i < _NEWTON_ITERS) & (biggest > tol)
+        _, _, i = carry
+        return (i < _NEWTON_ITERS) & jnp.any(~carry[1])
 
     def body(carry):
-        log_x, i, _ = carry
+        log_x, done, i = carry
         x = jnp.exp(log_x)
         f = _gammainc(a, x) - p_clipped
         # d/dx P(a,x) = x^(a-1) e^-x / Gamma(a);  d/dlogx = x * that
         log_pdf_logx = a * log_x - x - lgam
         step = f * jnp.exp(-log_pdf_logx)
         step = jnp.clip(step, -2.0, 2.0)  # Safeguard huge steps far from root
-        return log_x - step, i + 1, jnp.max(jnp.abs(step))
+        # Freeze lanes whose own step AND residual are below tolerance,
+        # and keep looping while ANY lane is unfrozen (or until the trip
+        # cap).  Each lane's trip count is then intrinsic to the lane —
+        # frozen lanes stop at their own convergence point, never-frozen
+        # lanes always get exactly _NEWTON_ITERS — so results are
+        # identical across batch compositions (single-shot vs streamed
+        # blocks, padded batches).  The residual condition matters: near
+        # a pdf singularity a clipped initial guess takes a transiently
+        # tiny step while still far from the root (Newton's distance
+        # estimate breaks under strong curvature); a move-only freeze
+        # would trap it there (measured: 2.5e-4 error, beta(.5,.5)).
+        # The mask is ABSORBING (done | converged): without it a frozen
+        # lane could oscillate back to life and its value would again
+        # depend on when the global loop exits.
+        done = done | ((jnp.abs(step) <= tol) & (jnp.abs(f) <= f_tol))
+        step = jnp.where(done, jnp.zeros_like(step), step)
+        return log_x - step, done, i + 1
 
     log_x, _, _ = jax.lax.while_loop(
-        cond, body, (log_x, jnp.int32(0), jnp.asarray(jnp.inf, dtype))
+        cond, body, (log_x, jnp.zeros(log_x.shape, bool), jnp.int32(0))
     )
     x = jnp.exp(log_x)
 
@@ -555,13 +572,14 @@ def betaincinv(a, b, p):
     # lanes dominate the exit (~1 bit/trip), so typical trips are 24-30
     # of the 40 cap.
     tol = 3e-5 if dtype == jnp.float32 else 1e-15
+    f_tol = 1e-4 if dtype == jnp.float32 else 1e-12
 
     def cond(carry):
-        _, _, _, i, biggest = carry
-        return (i < _NEWTON_ITERS + 14) & (biggest > tol)
+        _, _, _, done, i = carry
+        return (i < _NEWTON_ITERS + 14) & jnp.any(~done)
 
     def body(carry):
-        x, lo, hi, i, _ = carry
+        x, lo, hi, done, i = carry
         f = _betainc(a, b, x) - p_c
         # Maintain bracket [lo, hi] with f(lo) < 0 < f(hi).
         lo = jnp.where(f < 0.0, x, lo)
@@ -571,11 +589,24 @@ def betaincinv(a, b, p):
         # Bisect whenever Newton leaves the bracket or is non-finite.
         bad = ~jnp.isfinite(newton) | (newton <= lo) | (newton >= hi)
         x_new = jnp.where(bad, 0.5 * (lo + hi), newton)
-        moved = jnp.max(jnp.abs(x_new - x) / jnp.maximum(x, _TINY))
-        return x_new, lo, hi, i + 1, moved
+        # Per-lane freeze + any-live loop (see gammaincinv): lane trip
+        # counts are intrinsic, so results do not depend on batch
+        # composition.  The residual condition is required — a guess
+        # clipped at 1-1e-6 sits on the endpoint pdf singularity where
+        # the first Newton move is transiently ~tol while the root is
+        # 2e-4 away (measured, beta(0.5, 0.5) at q~0.99); move-only
+        # freezing would trap it there.
+        # ABSORBING freeze: a frozen lane's own lo/hi update can flip
+        # the bracket test next iteration and bounce it back to life,
+        # re-tying its value to the global exit time (observed as
+        # streamed-vs-single-shot diffs for beta(0.5, 0.5)).
+        rel = jnp.abs(x_new - x) / jnp.maximum(x, _TINY)
+        done = done | ((rel <= tol) & (jnp.abs(f) <= f_tol))
+        x_new = jnp.where(done, x, x_new)
+        return x_new, lo, hi, done, i + 1
 
     x, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (x, lo, hi, jnp.int32(0), jnp.asarray(jnp.inf, dtype))
+        cond, body, (x, lo, hi, jnp.zeros(x.shape, bool), jnp.int32(0))
     )
 
     x = jnp.where(p <= 0.0, 0.0, x)

@@ -250,6 +250,20 @@ class TestTieHandling:
         r = np.asarray(rankdata(x, method="ordinal"))
         assert sorted(r.tolist()) == list(range(50))
 
+    def test_rankdata_ordinal_ties_match_scipy(self, rng):
+        # Ordinal ranks promise POSITION-determined tie order (scipy
+        # semantics), which requires the stable-sort path; an unstable
+        # sort may permute equal keys arbitrarily per backend/version.
+        import scipy.stats
+
+        from probabilit_tpu.ops.correlation import rankdata
+
+        x = rng.integers(0, 3, size=200).astype(float)  # heavy ties
+        mine = np.asarray(rankdata(x, method="ordinal")) + 1
+        np.testing.assert_array_equal(
+            mine, scipy.stats.rankdata(x, method="ordinal")
+        )
+
     def test_reference_doctest_tie_case(self):
         # The reference's own ImanConover doctest (correlation.py:315-330):
         # a fully tied 6x2 input must transform to this exact matrix.

@@ -101,6 +101,22 @@ class TestOnTpu:
         )
         assert not np.array_equal(s1, s3)
 
+    def test_adjacent_seeds_not_block_permutations(self):
+        # Regression: seeding the kernel PRNG with ``word0 ^ block_id``
+        # makes seeds s and s' emit the SAME multiset of 64k-sample block
+        # streams whenever {s ^ b} == {s' ^ b} (true for any even block
+        # count with adjacent seeds) — identical sorted samples, merely
+        # block-permuted.  The murmur-mixed seeding must break this.
+        sink = Distribution("norm")
+        n = 262_144  # 4 blocks of 65,536
+        a = np.sort(
+            np.asarray(sink.sample(n, random_state=0, gc_strategy=[], executor="pallas"))
+        )
+        b = np.sort(
+            np.asarray(sink.sample(n, random_state=1, gc_strategy=[], executor="pallas"))
+        )
+        assert not np.array_equal(a, b)
+
 
 class TestIncompleteFunctionFamilies:
     """gamma/beta-family eligibility gating + (on TPU) KS correctness."""
