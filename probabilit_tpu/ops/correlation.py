@@ -476,6 +476,24 @@ def decorrelate(X, remove_variance=True):
     array([[1., 0.],
            [0., 1.]])
     """
+    if isinstance(X, np.ndarray):
+        # Eager host path: honor the input dtype (float64 in, float64
+        # out).  The reference works in f64 throughout; going through
+        # the default f32 device dtype here would leave ~1e-7 residual
+        # correlations that break downstream f64-tolerance checks (e.g.
+        # ``np.allclose(corrcoef(decorrelate(X)), eye)``).  K is small;
+        # this is setup-time utility work, not the sampling hot path.
+        X = np.asarray(X)
+        N = X.shape[0]
+        mean = X.mean(axis=0)
+        Xc = X - mean
+        cov = (Xc.T @ Xc) / (N - 1)
+        L = np.linalg.cholesky(cov)
+        if not remove_variance:
+            L = L / np.sqrt(X.var(axis=0))
+        Xw = np.linalg.solve(L, Xc.T).T
+        return mean + Xw
+
     X = jnp.asarray(X)
     N = X.shape[0]
     mean = jnp.mean(X, axis=0)

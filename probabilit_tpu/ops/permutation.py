@@ -263,7 +263,11 @@ class PermutationCorrelator(Correlator):
         total_iters = self.iters if self.iters else 10_000
         n_sched = self.iters if self.iters else 10_000
         cooling_c = np.log2(n_sched) + 1.0
-        max_swaps = int(np.ceil(cooling_c))
+        # A swap batch can never exceed floor(N/2) disjoint pairs; when
+        # the schedule's ceiling crowds the row count, switch to
+        # permutation-drawn (exactly disjoint) pairs.
+        max_pairs = max(1, min(int(np.ceil(cooling_c)), num_obs // 2))
+        small_n = num_obs < 4 * int(np.ceil(cooling_c))
 
         spearman = self.correlation_type == "spearman"
         if spearman:
@@ -305,13 +309,29 @@ class PermutationCorrelator(Correlator):
             ).astype(jnp.int32)
 
             key, sub = jax.random.split(key)
-            flat = jax.random.randint(sub, (2 * max_swaps,), 0, num_obs)
-            ii, jj = flat[:max_swaps], flat[max_swaps:]
-            # Valid pairs: inside the scheduled batch and globally disjoint.
-            in_batch = jnp.arange(max_swaps) < num_swaps
-            dup = (flat[:, None] == flat[None, :]) & ~jnp.eye(2 * max_swaps, dtype=bool)
-            has_dup = jnp.any(dup, axis=1)
-            pair_ok = in_batch & ~(has_dup[:max_swaps] | has_dup[max_swaps:])
+            in_batch = jnp.arange(max_pairs) < jnp.minimum(num_swaps, max_pairs)
+            if small_n:
+                # Few rows: draw pairs from a shuffled permutation (the
+                # reference's SwapIndexGenerator design) — exactly
+                # disjoint by construction.  Rejection sampling below
+                # would collide on nearly every draw when
+                # 2*max_pairs ~ num_obs (e.g. 5 rows, 11 scheduled
+                # swaps) and silently propose NOTHING, so the climb
+                # never improved on small inputs.
+                perm = jax.random.permutation(sub, num_obs)
+                ii, jj = perm[:max_pairs], perm[max_pairs : 2 * max_pairs]
+                pair_ok = in_batch
+            else:
+                # Many rows: cheap independent draws; reject the rare
+                # colliding pairs (a full permutation per step would be
+                # an O(n log n) sort at every swap batch).
+                flat = jax.random.randint(sub, (2 * max_pairs,), 0, num_obs)
+                ii, jj = flat[:max_pairs], flat[max_pairs:]
+                dup = (flat[:, None] == flat[None, :]) & ~jnp.eye(
+                    2 * max_pairs, dtype=bool
+                )
+                has_dup = jnp.any(dup, axis=1)
+                pair_ok = in_batch & ~(has_dup[:max_pairs] | has_dup[max_pairs:])
 
             rows_i = Xw[ii, :]
             rows_j = Xw[jj, :]

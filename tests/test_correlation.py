@@ -220,6 +220,18 @@ class TestDecorrelate:
         )
         np.testing.assert_allclose(Xd.mean(axis=0), X.mean(axis=0), atol=1e-3)
 
+    def test_float64_input_stays_float64(self):
+        # Eager numpy input honors the input dtype (reference operates in
+        # f64): the residual correlations must sit at f64 machine noise,
+        # tight enough for np.allclose's default atol=1e-8 downstream.
+        rng = np.random.default_rng(42)
+        X = rng.normal(size=(5, 3))
+        Xd = decorrelate(X)
+        assert isinstance(Xd, np.ndarray) and Xd.dtype == np.float64
+        np.testing.assert_allclose(
+            np.corrcoef(Xd, rowvar=False), np.eye(3), atol=1e-12
+        )
+
     def test_keep_variance(self, rng):
         X = rng.normal(size=(200, 2)) @ np.array([[1.0, 0.7], [0.0, 0.5]])
         Xd = np.asarray(decorrelate(X, remove_variance=False))

@@ -107,6 +107,25 @@ class TestPermutationCorrelator:
         err = np.sqrt(np.sum((np.corrcoef(Xt, rowvar=False) - C)[np.triu_indices(3, 1)] ** 2))
         assert err < 0.1
 
+    def test_improves_when_fewer_rows_than_columns(self):
+        # Regression (reference test_permutation_correlator.py:173-185):
+        # with 5 rows the schedule proposes up to 11 swap pairs, and
+        # rejection-drawn pairs collided on every draw — the climb
+        # silently proposed nothing and never improved.  Small inputs
+        # now draw pairs from a shuffled permutation (exactly disjoint).
+        rng = np.random.default_rng(42)
+        X = rng.normal(size=(5, 10))
+        target = np.identity(10)
+        pc = PermutationCorrelator(seed=0).set_target(target)
+        Xt = np.asarray(pc(X))
+        before = pc._error(np.corrcoef(X, rowvar=False), target)
+        after = pc._error(np.corrcoef(Xt, rowvar=False), target)
+        assert after < before
+        for j in range(10):
+            np.testing.assert_allclose(
+                np.sort(Xt[:, j]), np.sort(X[:, j]), atol=1e-6
+            )
+
     def test_marginals_preserved(self, rng):
         X = rng.exponential(size=(80, 2))
         C = np.array([[1, 0.5], [0.5, 1]])
