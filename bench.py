@@ -233,6 +233,35 @@ def bench_qmc_portfolio(n=1_000_000, repeats=2):
     return best * 1e3
 
 
+def bench_correlated_50(n=100_000_000, repeats=2):
+    """BASELINE config 5: ~50-node DAG, NCM repair + Iman-Conover, 1e8 draws.
+
+    Exercises the engine's sort-free generated Iman-Conover (Gaussian-copula
+    score recoloring): correlation induction adds no sorts to the program.
+    """
+    import jax.numpy as jnp
+
+    from probabilit_tpu.models import benchmarks
+
+    sink = benchmarks.mixed_correlated_50()
+
+    def run(seed):
+        s = sink.sample(n, random_state=seed, gc_strategy=[])
+        return float(jnp.mean(s))
+
+    t0 = time.perf_counter()
+    run(0)
+    log(f"correlated-50 compile+first: {time.perf_counter() - t0:.2f}s")
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"correlated-50 run {i}: {dt * 1e3:.0f} ms -> {n / dt / 1e9:.3f} G/s")
+    return best * 1e3
+
+
 def bench_streaming_1e9():
     """Full 1e9-draw estimation (single on-device dispatch)."""
     from probabilit_tpu.engine import streaming
@@ -253,6 +282,7 @@ def main():
     xla_sps = bench_flagship_xla()
     streaming_sps = bench_streaming_1e9()
     qmc_ms = bench_qmc_portfolio()
+    corr50_ms = bench_correlated_50()
     ic_ms = bench_imanconover()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
@@ -268,6 +298,7 @@ def main():
                     "xla_executor_samples_per_sec": xla_sps,
                     "streaming_1e9_samples_per_sec": streaming_sps,
                     "qmc_portfolio_1e6x10_ic_ms": qmc_ms,
+                    "correlated_50node_1e8_ms": corr50_ms,
                     "imanconover_1e7x50_ms": ic_ms,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
