@@ -119,6 +119,22 @@ class TestCopy:
         assert wrapped.parents[0] is not a
         assert wrapped.parents[0]._id == a._id
 
+    def test_plot_smoke_with_corr(self):
+        # End-to-end seaborn path: scalar corr expands to a 2x2 target,
+        # sampling happens on the detached copy, a PairGrid comes back.
+        matplotlib = pytest.importorskip("matplotlib")
+        matplotlib.use("Agg")
+        seaborn = pytest.importorskip("seaborn")
+        from probabilit_tpu.inspection import plot
+
+        a = Distribution("uniform")
+        b = Distribution("norm")
+        grid = plot(a, b, corr=0.5, sample_kwargs={"size": 256})
+        assert isinstance(grid, seaborn.axisgrid.PairGrid)
+        # The caller's nodes were never sampled (detached copy only).
+        assert not hasattr(a, "samples_") and not hasattr(b, "samples_")
+        matplotlib.pyplot.close("all")
+
 
 class TestTreeprint:
     def test_treeprint_output(self, capsys):
