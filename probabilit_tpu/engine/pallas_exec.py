@@ -3,9 +3,10 @@
 The standard engine path emits the graph as an XLA program; XLA fuses well,
 but the uniform draws still cross HBM between the RNG and ppf stages and
 transcendental-heavy chains split into several kernels.  For the common
-production shape — ``method=None``, keep-sink-only, no correlations — this
-executor instead runs the ENTIRE sampling pass inside a single Pallas
-kernel, gridded over sample blocks:
+production shape — ``method=None``, keep-sink-only — this executor
+instead runs the ENTIRE sampling pass inside a single Pallas kernel,
+gridded over sample blocks (correlated graphs add one cheap stats
+kernel over the same stream; see ``_make_stats_kernel``):
 
 * random bits come from the TPU's hardware PRNG (``pltpu.prng_random_bits``)
   seeded per block — no threefry math, no quantile buffer, zero HBM traffic
@@ -109,10 +110,22 @@ _SAFE_TRANSFORMS = (
 _LANES = 128
 _SUBLANES = 512  # block = 512 x 128 = 65536 samples
 
+# Correlated graphs: cap on the number of correlated variables.  Each one
+# adds a (512, 128) f32 score array to VMEM and K^2+K recolor scalars to
+# SMEM; 16 keeps both comfortably bounded.
+_MAX_CORR_K = 16
+
 
 def supports(plan, keep_ids):
-    """True if this graph can run as a Pallas megakernel."""
-    if plan.corr_matrix is not None:
+    """True if this graph can run as a Pallas megakernel.
+
+    Correlated graphs are eligible too (sort-free Gaussian-copula
+    Iman-Conover, see ``_make_stats_kernel``): correlation only requires
+    that the correlated variables are univariate whitelisted
+    distributions — which the per-node loop below already enforces —
+    and that K stays small enough for VMEM/SMEM.
+    """
+    if plan.corr_matrix is not None and len(plan.corr_vars) > _MAX_CORR_K:
         return False
     if keep_ids != frozenset({plan.sink._id}):
         return False
@@ -165,52 +178,95 @@ def _bits_to_open_unit(bits):
     return jnp.clip(u, tiny, 1.0 - tiny)
 
 
+def _seed_block_prng(seed_ref):
+    """Seed the hardware PRNG for this grid block.
+
+    Both 32-bit words of the caller's key reach the PRNG, so
+    fold_in-derived block keys keep their full 64-bit entropy
+    (single-word seeding collides at ~k^2/2^33 over k blocks).
+    Mosaic allows at most two seed words, so the block id is mixed
+    into BOTH words through a murmur3-style avalanche.  A bare
+    ``w0 ^ block_id`` is not enough: seeds 0 and 1 would then emit
+    the same multiset of block streams, merely permuted (s ^ b
+    ranges over the same set for any s).  Here ``w ^ b*odd`` is
+    injective in b (odd multipliers are invertible mod 2^32) and
+    the avalanche is a bijection, so blocks within a call always
+    get distinct words, int seeds (word1 == 0) are injective
+    overall, and cross-key collisions are ~2^-64 chance.
+    """
+    b = jnp.uint32(pl.program_id(0))
+
+    def mix(h):
+        h = h ^ (h >> jnp.uint32(16))
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> jnp.uint32(13))
+        h = h * jnp.uint32(0xC2B2AE35)
+        return h ^ (h >> jnp.uint32(16))
+
+    s0 = mix(jnp.uint32(seed_ref[0]) ^ (b * jnp.uint32(0xCC9E2D51)))
+    s1 = mix(
+        jnp.uint32(seed_ref[1])
+        ^ (b * jnp.uint32(0x1B873593))
+        ^ jnp.uint32(0x9E3779B9)
+    )
+    pltpu.prng_seed(s0, s1)
+
+
+def _gen_order(plan):
+    """Column generation order inside the kernels.
+
+    Correlated variables draw FIRST (in ``plan.corr_vars`` order) so the
+    stats pass (``_make_stats_kernel``) can regenerate exactly their
+    uniforms by drawing only the first K columns of the same stream;
+    everything else follows in plan order.  Uncorrelated plans keep the
+    plain plan order.
+    """
+    corr_ids = [v._id for v in plan.corr_vars]
+    corr_set = set(corr_ids)
+    return corr_ids + [nid for nid in plan.col_of if nid not in corr_set]
+
+
 def _make_kernel(plan):
     topo = list(plan.topo)
-    col_of = dict(plan.col_of)
     sink = plan.sink
+    order = _gen_order(plan)
+    corr_ids = [v._id for v in plan.corr_vars]
+    K = len(corr_ids)
 
-    def kernel(seed_ref, out_ref):
-        block_id = pl.program_id(0)
-        # Both 32-bit words of the caller's key reach the PRNG, so
-        # fold_in-derived block keys keep their full 64-bit entropy
-        # (single-word seeding collides at ~k^2/2^33 over k blocks).
-        # Mosaic allows at most two seed words, so the block id is mixed
-        # into BOTH words through a murmur3-style avalanche.  A bare
-        # ``w0 ^ block_id`` is not enough: seeds 0 and 1 would then emit
-        # the same multiset of block streams, merely permuted (s ^ b
-        # ranges over the same set for any s).  Here ``w ^ b*odd`` is
-        # injective in b (odd multipliers are invertible mod 2^32) and
-        # the avalanche is a bijection, so blocks within a call always
-        # get distinct words, int seeds (word1 == 0) are injective
-        # overall, and cross-key collisions are ~2^-64 chance.
-        b = jnp.uint32(block_id)
-
-        def mix(h):
-            h = h ^ (h >> jnp.uint32(16))
-            h = h * jnp.uint32(0x85EBCA6B)
-            h = h ^ (h >> jnp.uint32(13))
-            h = h * jnp.uint32(0xC2B2AE35)
-            return h ^ (h >> jnp.uint32(16))
-
-        s0 = mix(jnp.uint32(seed_ref[0]) ^ (b * jnp.uint32(0xCC9E2D51)))
-        s1 = mix(
-            jnp.uint32(seed_ref[1])
-            ^ (b * jnp.uint32(0x1B873593))
-            ^ jnp.uint32(0x9E3779B9)
-        )
-        pltpu.prng_seed(s0, s1)
+    def kernel(seed_ref, *refs):
+        # Correlated graphs take a second SMEM operand: the flattened
+        # recolor transform (A row-major, then b) computed by the stats
+        # pass; see ``run``.
+        ab_ref = refs[0] if K else None
+        out_ref = refs[-1]
+        _seed_block_prng(seed_ref)
         shape = (_SUBLANES, _LANES)
         columns = {}
-        # Columns drawn in plan order: deterministic per (seed, block).
-        for nid in col_of:
+        # Columns drawn in a fixed order: deterministic per (seed, block).
+        for nid in order:
             bits = pltpu.prng_random_bits(shape)
             columns[nid] = _bits_to_open_unit(pltpu.bitcast(bits, jnp.uint32))
+
+        from probabilit_tpu.ops import special as _special
+        from probabilit_tpu.ops.qmc import clamp_open_unit
+
+        if K:
+            # Sort-free Gaussian-copula Iman-Conover (the same contract as
+            # engine/compile.py's generated path): z = ndtri(u) are iid
+            # normal scores; y = A z + b recolors them to the target
+            # correlation with the empirical-decorrelation variance
+            # reduction folded into A, b; Phi(y) re-enters each variable's
+            # own inverse CDF as its quantile column.
+            zs = [_special.ndtri_fast(columns[cid]) for cid in corr_ids]
+            for i, cid in enumerate(corr_ids):
+                y = jnp.float32(ab_ref[K * K + i])  # b_i, broadcasts
+                for j in range(K):
+                    y = y + jnp.float32(ab_ref[i * K + j]) * zs[j]
+                columns[cid] = clamp_open_unit(_special.ndtr_fast(y))
+
         ctx = _BlockContext(columns, shape)
         # Route incomplete gamma/beta through the Mosaic-safe series/CF
         # implementations while the kernel body traces.
-        from probabilit_tpu.ops import special as _special
-
         with _special.kernel_safe_special():
             for node in topo:
                 ctx.value(node)
@@ -219,11 +275,107 @@ def _make_kernel(plan):
     return kernel
 
 
+def _make_stats_kernel(plan, n):
+    """Pass-1 kernel for correlated graphs: score-moment accumulation.
+
+    Draws ONLY the first K columns of each block's stream (identical bits
+    to the main kernel: same seeding, same draw order), converts them to
+    normal scores, and writes lane-partial sums of z_k and z_j z_k (upper
+    triangle, row-major) — one (R, 128) block per grid step.  Elements at
+    global index >= n (the padded tail) are masked out so the empirical
+    moments cover exactly the returned samples.  XLA reduces the partials
+    and solves the tiny K x K recolor transform; see ``run``.
+    """
+    K = len(plan.corr_vars)
+    rows = K + K * (K + 1) // 2
+    R = -(-rows // 8) * 8  # sublane-aligned output block
+
+    def kernel(seed_ref, out_ref):
+        _seed_block_prng(seed_ref)
+        shape = (_SUBLANES, _LANES)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        base = pl.program_id(0) * (_SUBLANES * _LANES)
+        mask = (base + row * _LANES + lane) < n
+
+        from probabilit_tpu.ops import special as _special
+
+        zs = []
+        for _ in range(K):
+            bits = pltpu.prng_random_bits(shape)
+            u = _bits_to_open_unit(pltpu.bitcast(bits, jnp.uint32))
+            zs.append(jnp.where(mask, _special.ndtri_fast(u), 0.0))
+        r = 0
+        for k in range(K):
+            out_ref[r : r + 1, :] = jnp.sum(zs[k], axis=0, keepdims=True)
+            r += 1
+        for j in range(K):
+            for k in range(j, K):
+                out_ref[r : r + 1, :] = jnp.sum(
+                    zs[j] * zs[k], axis=0, keepdims=True
+                )
+                r += 1
+        if r < R:
+            out_ref[r:R, :] = jnp.zeros((R - r, _LANES), jnp.float32)
+
+    return kernel, R
+
+
+def _recolor_transform(plan, words, grid, n):
+    """Run the stats pass and solve the (K, K) recolor transform.
+
+    Returns the flattened ``[A row-major, b]`` SMEM operand such that
+    ``y_i = b_i + sum_j A[i, j] z_j`` reproduces
+    ``ImanConover._recolor_scores`` (empirical decorrelation of the iid
+    scores, then recoloring to the target Cholesky factor) exactly, from
+    accumulated moments instead of materialised scores.
+    """
+    import numpy as np
+
+    K = len(plan.corr_vars)
+    stats_kernel, R = _make_stats_kernel(plan, n)
+    partials = pl.pallas_call(
+        stats_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (R, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid * R, _LANES), jnp.float32),
+    )(words)
+    sums = partials.reshape(grid, R, _LANES).sum(axis=(0, 2))  # (R,)
+
+    nf = jnp.float32(n)
+    mean = sums[:K] / nf
+    iu = np.triu_indices(K)
+    G = jnp.zeros((K, K), jnp.float32).at[iu].set(
+        sums[K : K + K * (K + 1) // 2]
+    )
+    G = G + jnp.triu(G, 1).T
+    cov = G / nf - jnp.outer(mean, mean)
+    std = jnp.sqrt(jnp.diagonal(cov))
+    emp_corr = cov / jnp.outer(std, std)
+    L = jnp.linalg.cholesky(emp_corr)
+    inv_L = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(K, dtype=jnp.float32), lower=True
+    )
+    # Target factor on the NCM-repaired matrix — what set_target precomputes.
+    P = jnp.asarray(np.linalg.cholesky(plan.corr_matrix), jnp.float32)
+    A = (P @ inv_L) / std[None, :]
+    b = -A @ mean
+    return jnp.concatenate([A.reshape(-1), b])
+
+
 def run(plan, seed, n):
     """Execute the megakernel; returns the sink's (n,) sample array.
 
     ``seed`` is an int scalar or an array of up to two int32 words (e.g.
     both words of a JAX key); missing words are zero-padded.
+
+    Correlated plans run TWO kernels over the same hardware-PRNG stream:
+    a cheap stats pass accumulating the correlated variables' score
+    moments, then the main megakernel with the solved recolor transform
+    spliced in as SMEM scalars.  Everything traces into one XLA program.
     """
     if config.float_dtype() != jnp.float32:
         raise ValueError("The pallas executor is float32-only.")
@@ -234,16 +386,22 @@ def run(plan, seed, n):
     words = jnp.reshape(jnp.asarray(seed, jnp.int32), (-1,))[:2]
     words = jnp.concatenate([words, jnp.zeros((2 - words.shape[0],), jnp.int32)])
 
+    operands = [words]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if plan.corr_matrix is not None:
+        operands.append(_recolor_transform(plan, words, grid, n))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
     kernel = _make_kernel(plan)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((grid * _SUBLANES, _LANES), jnp.float32),
-    )(words)
+    )(words, *operands[1:])
     return out.reshape(-1)[:n]
 
 

@@ -87,8 +87,19 @@ def sample(
             or not pallas_exec.supports(plan, frozenset({sink._id}))
         ):
             raise ValueError(
-                "executor='pallas' requires method=None, gc_strategy=[], no "
-                "correlations, and whitelisted distribution families."
+                "executor='pallas' requires method=None, gc_strategy=[], "
+                "and whitelisted distribution families (correlated graphs: "
+                f"at most {pallas_exec._MAX_CORR_K} correlated variables)."
+            )
+        if (
+            plan.corr_matrix is not None
+            and _compile.resolve_correlator(correlator)
+            is not _compile.CORRELATOR_MAP["imanconover"]
+        ):
+            # The megakernel's correlation induction IS (sort-free)
+            # Iman-Conover; other correlators have different semantics.
+            raise ValueError(
+                "executor='pallas' supports correlator='imanconover' only."
             )
         if random_state is None:
             seed = int(np.random.SeedSequence().entropy % (2**31))

@@ -485,8 +485,8 @@ def gammaincinv(a, p):
     f_tol = 1e-4 if dtype == jnp.float32 else 1e-12
 
     def cond(carry):
-        _, _, i = carry
-        return (i < _NEWTON_ITERS) & jnp.any(~carry[1])
+        _, done, i = carry
+        return (i < _NEWTON_ITERS) & jnp.any(done < 0.5)
 
     def body(carry):
         log_x, done, i = carry
@@ -507,15 +507,19 @@ def gammaincinv(a, p):
         # tiny step while still far from the root (Newton's distance
         # estimate breaks under strong curvature); a move-only freeze
         # would trap it there (measured: 2.5e-4 error, beta(.5,.5)).
-        # The mask is ABSORBING (done | converged): without it a frozen
-        # lane could oscillate back to life and its value would again
-        # depend on when the global loop exits.
-        done = done | ((jnp.abs(step) <= tol) & (jnp.abs(f) <= f_tol))
-        step = jnp.where(done, jnp.zeros_like(step), step)
+        # The mask is ABSORBING (max(done, converged)): without it a
+        # frozen lane could oscillate back to life and its value would
+        # again depend on when the global loop exits.  It is carried as
+        # 0.0/1.0 in the value dtype, NOT bool: Mosaic cannot carry
+        # vector<i1> through an scf.while, so a bool mask would fail to
+        # compile inside Pallas kernels (gamma/beta-family megakernels).
+        conv = (jnp.abs(step) <= tol) & (jnp.abs(f) <= f_tol)
+        done = jnp.maximum(done, conv.astype(done.dtype))
+        step = jnp.where(done > 0.5, jnp.zeros_like(step), step)
         return log_x - step, done, i + 1
 
     log_x, _, _ = jax.lax.while_loop(
-        cond, body, (log_x, jnp.zeros(log_x.shape, bool), jnp.int32(0))
+        cond, body, (log_x, jnp.zeros(log_x.shape, dtype), jnp.int32(0))
     )
     x = jnp.exp(log_x)
 
@@ -576,7 +580,7 @@ def betaincinv(a, b, p):
 
     def cond(carry):
         _, _, _, done, i = carry
-        return (i < _NEWTON_ITERS + 14) & jnp.any(~done)
+        return (i < _NEWTON_ITERS + 14) & jnp.any(done < 0.5)
 
     def body(carry):
         x, lo, hi, done, i = carry
@@ -599,14 +603,17 @@ def betaincinv(a, b, p):
         # ABSORBING freeze: a frozen lane's own lo/hi update can flip
         # the bracket test next iteration and bounce it back to life,
         # re-tying its value to the global exit time (observed as
-        # streamed-vs-single-shot diffs for beta(0.5, 0.5)).
+        # streamed-vs-single-shot diffs for beta(0.5, 0.5)).  Carried as
+        # 0.0/1.0 in the value dtype — Mosaic cannot carry vector<i1>
+        # through scf.while (see gammaincinv).
         rel = jnp.abs(x_new - x) / jnp.maximum(x, _TINY)
-        done = done | ((rel <= tol) & (jnp.abs(f) <= f_tol))
-        x_new = jnp.where(done, x, x_new)
+        conv = (rel <= tol) & (jnp.abs(f) <= f_tol)
+        done = jnp.maximum(done, conv.astype(done.dtype))
+        x_new = jnp.where(done > 0.5, x, x_new)
         return x_new, lo, hi, done, i + 1
 
     x, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (x, lo, hi, jnp.zeros(x.shape, bool), jnp.int32(0))
+        cond, body, (x, lo, hi, jnp.zeros(x.shape, dtype), jnp.int32(0))
     )
 
     x = jnp.where(p <= 0.0, 0.0, x)

@@ -36,11 +36,28 @@ class TestEligibility:
         sink = mixed_dag_20()
         assert pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
-    def test_correlations_not_supported(self):
+    def test_correlated_graph_supported(self):
         a, b = Distribution("norm"), Distribution("norm")
         sink = (a + b).correlate(a, b, corr_mat=np.eye(2))
         plan = _plan(sink)
-        assert not pallas_exec.supports(plan, frozenset({sink._id}))
+        assert pallas_exec.supports(plan, frozenset({sink._id}))
+
+    def test_too_many_correlated_vars_rejected(self):
+        k = pallas_exec._MAX_CORR_K + 1
+        ds = [Distribution("norm") for _ in range(k)]
+        sink = ds[0]
+        for d in ds[1:]:
+            sink = sink + d
+        sink.correlate(*ds, corr_mat=np.eye(k))
+        assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
+
+    def test_correlated_ineligible_family_rejected(self):
+        # A correlated variable outside the family whitelist disqualifies
+        # the graph through the ordinary per-node gate.
+        a = Distribution("norm")
+        b = Distribution("poisson", mu=3)
+        sink = (a + b).correlate(a, b, corr_mat=np.eye(2))
+        assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
     def test_keep_all_not_supported(self):
         sink = Distribution("norm") + 1
@@ -82,6 +99,18 @@ class TestErrorPaths:
         with pytest.raises(ValueError, match="pallas"):
             sink.sample(64, random_state=0, gc_strategy=[], executor="pallas")
 
+    def test_correlated_rejects_other_correlators(self):
+        a, b = Distribution("norm"), Distribution("norm")
+        sink = (a + b).correlate(a, b, corr_mat=np.eye(2))
+        with pytest.raises(ValueError, match="imanconover"):
+            sink.sample(
+                64,
+                random_state=0,
+                gc_strategy=[],
+                executor="pallas",
+                correlator="cholesky",
+            )
+
 
 @pytest.mark.skipif(not on_tpu, reason="hardware PRNG requires a real TPU")
 class TestOnTpu:
@@ -100,6 +129,49 @@ class TestOnTpu:
             sink.sample(200_000, random_state=8, gc_strategy=[], executor="pallas")
         )
         assert not np.array_equal(s1, s3)
+
+    def test_correlated_statistics(self):
+        # Two unit normals at corr 0.6: normal marginals make the score
+        # correlation equal the Pearson correlation, so Var(a+b) = 3.2
+        # exactly (the empirical-decorrelation step pins the sample
+        # correlation to the target up to the CDF-roundtrip polynomials).
+        a, b = Distribution("norm"), Distribution("norm")
+        sink = (a + b).correlate(a, b, corr_mat=np.array([[1, 0.6], [0.6, 1]]))
+        s = np.asarray(
+            sink.sample(1_000_000, random_state=3, gc_strategy=[], executor="pallas")
+        )
+        assert np.isclose(s.std(), np.sqrt(3.2), atol=0.01)
+        assert np.isclose(s.mean(), 0.0, atol=0.01)
+        # Determinism per seed.
+        s2 = np.asarray(
+            sink.sample(1_000_000, random_state=3, gc_strategy=[], executor="pallas")
+        )
+        np.testing.assert_array_equal(s, s2)
+
+    def test_correlated_marginal_preserved(self):
+        import scipy.stats
+
+        e = Distribution("expon", scale=2.0)
+        x = Distribution("norm")
+        sink = e + x * 0.0
+        sink.correlate(e, x, corr_mat=np.array([[1, 0.5], [0.5, 1]]))
+        s = np.asarray(
+            sink.sample(300_000, random_state=11, gc_strategy=[], executor="pallas")
+        )
+        ks = scipy.stats.kstest(s, scipy.stats.expon(scale=2.0).cdf)
+        assert ks.pvalue > 0.001
+
+    def test_correlated_partial_tail_block(self):
+        # A non-multiple-of-65536 size exercises the stats-pass masking of
+        # the padded tail; the moments must cover exactly n samples.
+        a, b = Distribution("norm"), Distribution("norm")
+        sink = (a + b).correlate(a, b, corr_mat=np.array([[1, -0.7], [-0.7, 1]]))
+        n = 200_001
+        s = np.asarray(
+            sink.sample(n, random_state=5, gc_strategy=[], executor="pallas")
+        )
+        assert s.shape == (n,)
+        assert np.isclose(s.std(), np.sqrt(0.6), atol=0.02)
 
     def test_adjacent_seeds_not_block_permutations(self):
         # Regression: seeding the kernel PRNG with ``word0 ^ block_id``
