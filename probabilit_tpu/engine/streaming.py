@@ -13,9 +13,15 @@ per-block keys), and either
   estimates at 1e10+ draws with O(1) memory and no host transfer of
   samples at all.
 
-Constraints: correlation induction needs global ranks across all samples,
-so streaming requires a correlation-free graph (same spirit as the
-reference's QMC/multivariate restrictions, modeling.py:144-148).
+Correlated graphs stream too (method=None only — something the reference
+cannot do at any size, since its Iman-Conover needs every sample in
+memory, correlation.py:388-425): the sort-free Gaussian-copula induction
+recolors each block's scores to EXACTLY the target correlation using the
+block's own empirical moments, so every streamed block — and therefore
+the pooled stream, up to the between-block mean jitter of O(1/n_block) —
+carries the declared correlation with exact marginals.  Streamed QMC
+keeps the correlation-free restriction: its contract is bitwise equality
+with a single-shot run, which per-block recoloring cannot satisfy.
 """
 
 from __future__ import annotations
@@ -49,10 +55,14 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
     and are batch-independent.)
     """
     plan = _compile.Plan(sink)
-    if plan.corr_matrix is not None:
+    if plan.corr_matrix is not None and method is not None:
+        # The streamed-QMC contract is bitwise equality with a single-shot
+        # run; correlation induction recolors per block (empirical moments
+        # over the block, not the whole stream), which cannot satisfy it.
         raise ValueError(
-            "Streamed sampling requires a correlation-free graph: "
-            "correlation induction needs global ranks across all samples."
+            "Streamed QMC sampling requires a correlation-free graph; "
+            "use method=None for streamed correlated sampling "
+            "(per-block recoloring) or a single-shot sample()."
         )
     keep = frozenset({sink._id})
 

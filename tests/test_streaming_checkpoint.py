@@ -41,11 +41,35 @@ class TestStreaming:
         assert stats["n"] == 1000
         assert 0.4 < stats["mean"] < 0.6
 
-    def test_correlated_graph_rejected(self):
+    def test_correlated_qmc_rejected(self):
+        # Streamed QMC promises bitwise equality with single-shot runs,
+        # which per-block recoloring cannot satisfy — still an error.
         a, b = Distribution("norm"), Distribution("norm")
         expr = (a + b).correlate(a, b, corr_mat=np.eye(2))
         with pytest.raises(ValueError, match="correlation-free"):
-            streaming.sample_streaming(expr, 100, block_size=64)
+            streaming.sample_streaming(expr, 100, block_size=64, method="sobol")
+
+    def test_correlated_streaming(self):
+        # Sort-free per-block recoloring: every streamed block carries
+        # EXACTLY the target score correlation, so Var(a+b) = 2 + 2*0.6
+        # pools across blocks too.  The reference cannot stream
+        # correlated models at any size (IC needs all samples at once).
+        a, b = Distribution("norm"), Distribution("norm")
+        expr = (a + b).correlate(a, b, corr_mat=np.array([[1, 0.6], [0.6, 1]]))
+        out = streaming.sample_streaming(
+            expr, 200_000, block_size=32_768, random_state=0
+        )
+        assert out.shape == (200_000,)
+        assert np.isclose(out.var(), 3.2, atol=0.03)
+        # Per-block exactness (up to the CDF-roundtrip polynomials).
+        assert np.isclose(out[:32_768].var(), 3.2, atol=0.03)
+
+    def test_correlated_estimate(self):
+        a, b = Distribution("norm"), Distribution("norm")
+        expr = (a + b).correlate(a, b, corr_mat=np.array([[1, -0.7], [-0.7, 1]]))
+        stats = streaming.estimate(expr, 300_000, block_size=65_536, random_state=2)
+        assert np.isclose(stats["std"], np.sqrt(0.6), atol=0.01)
+        assert np.isclose(stats["mean"], 0.0, atol=0.01)
 
 
 class TestCheckpoint:
