@@ -289,14 +289,34 @@ def bench_streaming_1e9():
     return 10**9 / dt
 
 
+def _release_device_memory():
+    """Drop dead device buffers between benchmarks.
+
+    The Iman-Conover transform peaks at several GB of sort workspace on a
+    (50, 1e7) matrix; buffers retained from earlier benches (samples_
+    arrays, async axon transfers) have caused RESOURCE_EXHAUSTED when it
+    ran last.  Collecting here frees every graph-held array before the
+    next bench allocates.
+    """
+    import gc
+
+    gc.collect()
+
+
 def main():
     flagship_sps, spread = bench_flagship()
     pallas_stats = bench_pallas_statistics()
     xla_sps = bench_flagship_xla()
+    _release_device_memory()
+    # Largest transient allocation first, before benches that retain
+    # compiled programs and sample buffers.
+    ic_ms = bench_imanconover()
+    _release_device_memory()
     streaming_sps = bench_streaming_1e9()
     qmc_ms = bench_qmc_portfolio()
+    _release_device_memory()
     corr50 = bench_correlated_50()
-    ic_ms = bench_imanconover()
+    _release_device_memory()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
 

@@ -146,8 +146,115 @@ def supports(plan, keep_ids):
             return False
         if isinstance(node, _SAFE_TRANSFORMS):
             continue
-        return False  # Empirical/Cumulative/Discrete/Marginal etc.
+        if _table_node_ok(node):
+            continue  # Small numeric Discrete/Cumulative/Empirical tables.
+        return False  # Marginal, string-valued/large tables, etc.
     return True
+
+
+# Table-based families (Discrete/Cumulative/Empirical) evaluate as
+# O(table) chains of selects over host-constant knots — Mosaic has no
+# vectorised gather/searchsorted.  Past this many knots the select chain
+# stops being competitive and the graph falls back to the XLA path.
+_TABLE_MAX = 64
+
+
+def _kernel_interp(q, xp, fp):
+    """``jnp.interp(q, xp, fp)`` as a Mosaic-safe select chain.
+
+    ``xp``/``fp`` are small host-constant 1-D arrays (xp non-decreasing);
+    outside [xp[0], xp[-1]] the result clamps to the endpoint values,
+    matching ``jnp.interp``.  Duplicate knots produce the right-hand
+    value for q at/past the jump.
+    """
+    val = jnp.full(q.shape, jnp.float32(fp[0]))
+    for i in range(1, len(xp)):
+        x0, x1 = float(xp[i - 1]), float(xp[i])
+        f0, f1 = float(fp[i - 1]), float(fp[i])
+        if x1 > x0:
+            slope = (f1 - f0) / (x1 - x0)
+            seg = jnp.float32(f0) + (q - jnp.float32(x0)) * jnp.float32(slope)
+        else:
+            seg = jnp.full(q.shape, jnp.float32(f1))
+        val = jnp.where(q >= jnp.float32(x0), seg, val)
+    return jnp.where(q >= jnp.float32(xp[-1]), jnp.float32(fp[-1]), val)
+
+
+def _kernel_discrete(q, cumulative, values):
+    """``values[searchsorted(cumulative, q, side='right')]`` via selects.
+
+    Matches the XLA emit exactly (including the clamp to the last value):
+    the select chain assigns ``values[i]`` wherever ``q >= cumulative[i-1]``,
+    which IS the right-sided rank of q in the cumulative table.
+    """
+    val = jnp.full(q.shape, jnp.float32(values[0]))
+    for i in range(1, len(values)):
+        val = jnp.where(
+            q >= jnp.float32(cumulative[i - 1]), jnp.float32(values[i]), val
+        )
+    return val
+
+
+def _kernel_table_emit(node):
+    """Kernel-safe emit override for table-based families (or None)."""
+    import numpy as np
+
+    from probabilit_tpu.models.distributions import (
+        CumulativeDistribution,
+        DiscreteDistribution,
+        EmpiricalDistribution,
+    )
+
+    if isinstance(node, DiscreteDistribution):
+        cumulative = np.cumsum(node.probabilities)
+        values = node.values
+
+        def emit(ctx):
+            return _kernel_discrete(ctx.column(node), cumulative, values)
+
+        return emit
+    if isinstance(node, CumulativeDistribution):
+
+        def emit(ctx):
+            return _kernel_interp(ctx.column(node), node.q, node.cumulatives)
+
+        return emit
+    if isinstance(node, EmpiricalDistribution):
+        sorted_data = np.sort(node.data)
+        grid = np.linspace(0.0, 1.0, len(sorted_data))
+
+        def emit(ctx):
+            return _kernel_interp(ctx.column(node), grid, sorted_data)
+
+        return emit
+    return None
+
+
+def _table_node_ok(node):
+    """Megakernel eligibility for table-based distribution families."""
+    import numpy as np
+
+    from probabilit_tpu.models.distributions import (
+        CumulativeDistribution,
+        DiscreteDistribution,
+        EmpiricalDistribution,
+    )
+
+    if isinstance(node, DiscreteDistribution):
+        return (
+            np.issubdtype(node.values.dtype, np.number)
+            and len(node.values) <= _TABLE_MAX
+        )
+    if isinstance(node, CumulativeDistribution):
+        return len(node.q) <= _TABLE_MAX
+    if isinstance(node, EmpiricalDistribution):
+        return (
+            np.issubdtype(node.data.dtype, np.number)
+            and node.kwargs.get("method", "linear") == "linear"
+            and all(k == "method" for k in node.kwargs)
+            and len(node.data) <= _TABLE_MAX
+        )
+    return False
 
 
 class _BlockContext:
@@ -161,7 +268,10 @@ class _BlockContext:
     def value(self, node):
         nid = node._id
         if nid not in self._values:
-            self._values[nid] = node._emit(self)
+            override = _kernel_table_emit(node)
+            self._values[nid] = (
+                override(self) if override is not None else node._emit(self)
+            )
         return self._values[nid]
 
     def column(self, node):

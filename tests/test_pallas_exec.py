@@ -69,8 +69,8 @@ class TestEligibility:
         sink = Distribution("poisson", mu=3) + 0
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
-    def test_discrete_node_not_supported(self):
-        sink = DiscreteDistribution([1, 2, 3]) + 0
+    def test_string_discrete_node_not_supported(self):
+        sink = DiscreteDistribution(["a", "b", "c"]) + 0
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
     def test_scalar_transform_not_supported(self):
@@ -80,6 +80,65 @@ class TestEligibility:
 
         sink = f(Distribution("norm"))
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
+
+    def test_small_numeric_tables_supported(self):
+        from probabilit_tpu.modeling import (
+            CumulativeDistribution,
+            EmpiricalDistribution,
+        )
+
+        rng = np.random.default_rng(0)
+        for node in (
+            DiscreteDistribution([1, 2, 5], [0.2, 0.5, 0.3]),
+            CumulativeDistribution([0.0, 0.5, 1.0], [10.0, 20.0, 40.0]),
+            EmpiricalDistribution(rng.normal(size=50)),
+        ):
+            sink = node + 0
+            assert pallas_exec.supports(_plan(sink), frozenset({sink._id})), node
+
+    def test_large_or_string_tables_rejected(self):
+        from probabilit_tpu.modeling import EmpiricalDistribution
+
+        big = EmpiricalDistribution(np.arange(1000.0)) + 0
+        assert not pallas_exec.supports(_plan(big), frozenset({big._id}))
+        strings = DiscreteDistribution(["a", "b"]) + 0
+        assert not pallas_exec.supports(_plan(strings), frozenset({strings._id}))
+        exact = EmpiricalDistribution([1.0, 2.0], method="closest_observation") + 0
+        assert not pallas_exec.supports(_plan(exact), frozenset({exact._id}))
+
+
+class TestKernelTableHelpers:
+    """The select-chain table kernels are pure jnp: exact-checkable on CPU."""
+
+    def test_interp_matches_jnp(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(1)
+        xp = np.sort(rng.uniform(0, 1, size=17))
+        fp = rng.normal(size=17)
+        q = jnp.asarray(
+            rng.uniform(-0.1, 1.1, size=512).astype(np.float32).reshape(4, 128)
+        )
+        got = np.asarray(pallas_exec._kernel_interp(q, xp, fp))
+        want = np.asarray(jnp.interp(q, jnp.asarray(xp, jnp.float32), jnp.asarray(fp, jnp.float32)))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+    def test_discrete_matches_searchsorted(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(2)
+        p = rng.dirichlet(np.ones(9))
+        values = rng.integers(-50, 50, size=9).astype(np.float64)
+        cumulative = np.cumsum(p)
+        q = rng.uniform(0, 1, size=4096).astype(np.float32)
+        # Include exact threshold hits (QMC lattices can produce them).
+        q[:9] = cumulative.astype(np.float32)
+        got = np.asarray(pallas_exec._kernel_discrete(jnp.asarray(q), cumulative, values))
+        idx = np.minimum(
+            np.searchsorted(cumulative.astype(np.float32), q, side="right"),
+            len(values) - 1,
+        )
+        np.testing.assert_array_equal(got, values[idx].astype(np.float32))
 
 
 class TestErrorPaths:
@@ -172,6 +231,31 @@ class TestOnTpu:
         )
         assert s.shape == (n,)
         assert np.isclose(s.std(), np.sqrt(0.6), atol=0.02)
+
+    def test_table_families_on_chip(self):
+        import scipy.stats
+
+        from probabilit_tpu.modeling import EmpiricalDistribution
+
+        d = DiscreteDistribution([1.0, 2.0, 5.0], [0.2, 0.5, 0.3])
+        s = np.asarray(
+            (d + 0.0).sample(200_000, random_state=2, gc_strategy=[], executor="pallas")
+        )
+        counts = {v: float(np.mean(s == v)) for v in (1.0, 2.0, 5.0)}
+        assert abs(counts[1.0] - 0.2) < 0.01
+        assert abs(counts[2.0] - 0.5) < 0.01
+        assert abs(counts[5.0] - 0.3) < 0.01
+
+        rng = np.random.default_rng(5)
+        data = rng.normal(loc=3.0, size=60)
+        e = EmpiricalDistribution(data) + 0.0
+        se = np.asarray(
+            e.sample(100_000, random_state=4, gc_strategy=[], executor="pallas")
+        )
+        # Linear-interp empirical sampling stays within the data range and
+        # reproduces its quartiles.
+        assert se.min() >= data.min() and se.max() <= data.max()
+        assert abs(np.median(se) - np.median(data)) < 0.05
 
     def test_adjacent_seeds_not_block_permutations(self):
         # Regression: seeding the kernel PRNG with ``word0 ^ block_id``
