@@ -33,7 +33,21 @@ def main():
     s = model.sample(10**8, random_state=7, gc_strategy=[], executor="pallas")
     print(f"pallas executor: {np.asarray(s).shape[0]:,} samples")
 
-    # 4. Multi-chip: shard the sample axis over every available device.
+    # 4. Correlated models at scale: the sort-free Gaussian-copula
+    #    Iman-Conover runs inside the megakernel (stats pass + recolored
+    #    main kernel) and streams to any size — the NumPy/SciPy approach
+    #    needs every sample in memory for its rank transform.
+    corr_model = benchmarks.mixed_correlated_50()
+    t0 = time.perf_counter()
+    s = corr_model.sample(10**8, random_state=1, gc_strategy=[], executor="pallas")
+    print(
+        f"1e8 draws of a 10-variable correlated model in "
+        f"{time.perf_counter() - t0:.2f}s (megakernel)"
+    )
+    stats = streaming.estimate(corr_model, 10**9, block_size=1 << 26, random_state=2)
+    print(f"1e9 correlated draws estimated: mean={stats['mean']:.1f}")
+
+    # 5. Multi-chip: shard the sample axis over every available device.
     #    Counter-based RNG makes results identical on 1 chip or N chips.
     with use_mesh(make_mesh()):
         sharded = np.asarray(model.sample(1 << 20, random_state=0, gc_strategy=[]))
