@@ -274,7 +274,7 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
     generated_ok = (
         corr_matrix is not None
         and rng_inline_n is not None
-        and hasattr(correlator_cls, "_apply_generated")
+        and hasattr(correlator_cls, "_recolor_scores")
         and all(_generatable(v) for v in corr_vars)
     )
     corr_var_ids = frozenset(v._id for v in corr_vars)

@@ -196,7 +196,13 @@ def _kernel_discrete(q, cumulative, values):
 
 
 def _kernel_table_emit(node):
-    """Kernel-safe emit override for table-based families (or None)."""
+    """Kernel-safe emit override for table-based families (or None).
+
+    Returns None for any node `_table_node_ok` rejects, so the override
+    can never silently emit the wrong semantics (e.g. linear interp for
+    an Empirical table whose ``method=`` asks for exact quantiles) even
+    if the caller's eligibility gating drifts.
+    """
     import numpy as np
 
     from probabilit_tpu.models.distributions import (
@@ -205,6 +211,8 @@ def _kernel_table_emit(node):
         EmpiricalDistribution,
     )
 
+    if not _table_node_ok(node):
+        return None
     if isinstance(node, DiscreteDistribution):
         cumulative = np.cumsum(node.probabilities)
         values = node.values
@@ -415,18 +423,26 @@ def _make_stats_kernel(plan, n):
             bits = pltpu.prng_random_bits(shape)
             u = _bits_to_open_unit(pltpu.bitcast(bits, jnp.uint32))
             zs.append(jnp.where(mask, _special.ndtri_fast(u), 0.0))
-        r = 0
-        for k in range(K):
-            out_ref[r : r + 1, :] = jnp.sum(zs[k], axis=0, keepdims=True)
-            r += 1
+        parts = [jnp.sum(zs[k], axis=0, keepdims=True) for k in range(K)]
         for j in range(K):
             for k in range(j, K):
-                out_ref[r : r + 1, :] = jnp.sum(
-                    zs[j] * zs[k], axis=0, keepdims=True
-                )
-                r += 1
-        if r < R:
-            out_ref[r:R, :] = jnp.zeros((R - r, _LANES), jnp.float32)
+                parts.append(jnp.sum(zs[j] * zs[k], axis=0, keepdims=True))
+        if len(parts) < R:
+            parts.append(jnp.zeros((R - len(parts), _LANES), jnp.float32))
+        partial = jnp.concatenate(parts, axis=0)
+
+        # TPU grids run sequentially and a constant output index map keeps
+        # this (R, 128) block VMEM-resident across every step, so the
+        # whole stats pass accumulates in place: no (grid*R, 128) HBM
+        # partials buffer (562 MB at n=1e9, K=10), no final reduction
+        # over the grid axis.
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            out_ref[:] = partial
+
+        @pl.when(pl.program_id(0) != 0)
+        def _accumulate():
+            out_ref[:] += partial
 
     return kernel, R
 
@@ -442,6 +458,8 @@ def _recolor_transform(plan, words, grid, n):
     """
     import numpy as np
 
+    from probabilit_tpu.ops.correlation import ImanConover
+
     K = len(plan.corr_vars)
     stats_kernel, R = _make_stats_kernel(plan, n)
     partials = pl.pallas_call(
@@ -449,11 +467,11 @@ def _recolor_transform(plan, words, grid, n):
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(
-            (R, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (R, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((grid * R, _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, _LANES), jnp.float32),
     )(words)
-    sums = partials.reshape(grid, R, _LANES).sum(axis=(0, 2))  # (R,)
+    sums = partials.sum(axis=1)  # (R,)
 
     nf = jnp.float32(n)
     mean = sums[:K] / nf
@@ -469,8 +487,10 @@ def _recolor_transform(plan, words, grid, n):
     inv_L = jax.scipy.linalg.solve_triangular(
         L, jnp.eye(K, dtype=jnp.float32), lower=True
     )
-    # Target factor on the NCM-repaired matrix — what set_target precomputes.
-    P = jnp.asarray(np.linalg.cholesky(plan.corr_matrix), jnp.float32)
+    # Target factor via set_target: same validation + clean error contract
+    # as the XLA executor (e.g. PSD-singular repaired matrices raise the
+    # correlator's ValueError, not a raw LinAlgError).
+    P = jnp.asarray(ImanConover().set_target(plan.corr_matrix).P, jnp.float32)
     A = (P @ inv_L) / std[None, :]
     b = -A @ mean
     return jnp.concatenate([A.reshape(-1), b])
@@ -489,6 +509,14 @@ def run(plan, seed, n):
     """
     if config.float_dtype() != jnp.float32:
         raise ValueError("The pallas executor is float32-only.")
+    if plan.corr_matrix is not None and n <= len(plan.corr_vars):
+        # Same guard and message as the XLA executor (compile.py): a
+        # degenerate empirical correlation would otherwise NaN the
+        # Cholesky and return all-NaN samples silently.
+        raise ValueError(
+            "The matrix X must have rows > columns. Got shape: "
+            f"({n}, {len(plan.corr_vars)})"
+        )
     block = _SUBLANES * _LANES
     n_pad = -(-n // block) * block
     grid = n_pad // block
