@@ -29,6 +29,7 @@ import heapq
 import itertools
 import numbers
 import operator
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -769,10 +770,20 @@ class ScalarFunctionTransform(Transform):
             return self.func(*args, **kwargs)
 
         # Fast path: the function is jax-traceable -> vectorise and compile.
+        # Only trace-time incompatibilities (a Tracer leaking into numpy /
+        # math / external code raises TracerError or TypeError, a missing
+        # jax equivalent raises NotImplementedError) select the slow host
+        # loop; genuine bugs in the user function (shape mismatches,
+        # ValueError, ...) surface instead of silently degrading 1000x.
         try:
             return jax.vmap(call_scalar)(*arrays)
-        except Exception:
-            pass
+        except (jax.errors.TracerArrayConversionError, jax.errors.TracerBoolConversionError, TypeError, NotImplementedError):
+            warnings.warn(
+                f"scalar_transform function {getattr(self.func, '__name__', self.func)!r} "
+                "is not jax-traceable; falling back to the per-sample host loop "
+                "(orders of magnitude slower).",
+                stacklevel=2,
+            )
 
         # Fallback: host callback running the reference-style Python loop.
         out_dtype = self.dtype if self.dtype is not None else config.np_float_dtype()
