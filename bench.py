@@ -70,6 +70,38 @@ def bench_flagship(n=100_000_000, repeats=5):
         f"flagship median {med * 1e3:.1f} ms (min {min(times) * 1e3:.1f} / "
         f"max {max(times) * 1e3:.1f})"
     )
+
+    # Latency decomposition: wall(n) over the axon tunnel is affine with a
+    # ~30 ms dispatch+fetch intercept (measured constant from n=1e6 to
+    # 4e8), so the 1e8 headline understates the chip.  An 8x run plus the
+    # slope between them separates device throughput from tunnel RTT.
+    n_big = 8 * n
+    fn_big = pallas_exec.run_jitted(plan, n_big)
+    t0 = time.perf_counter()
+    float(jnp.mean(fn_big(0)))
+    log(f"flagship 8e8 compile+first: {time.perf_counter() - t0:.2f}s")
+    big_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(jnp.mean(fn_big(i + 1)))
+        big_times.append(time.perf_counter() - t0)
+        log(f"flagship 8e8 run {i}: {big_times[-1] * 1e3:.1f} ms")
+    med_big = float(np.median(big_times))
+    device_ns = (med_big - med) / (n_big - n) * 1e9
+    spread.update(
+        {
+            "flagship_8e8_ms_median": med_big * 1e3,
+            "flagship_8e8_samples_per_sec": n_big / med_big,
+            "device_ns_per_sample_fit": device_ns,
+            "device_throughput_fit_gsps": 1.0 / device_ns,
+            "dispatch_intercept_ms_fit": (med - device_ns * 1e-9 * n) * 1e3,
+        }
+    )
+    log(
+        f"flagship device fit: {device_ns * 1e3:.1f} ps/sample -> "
+        f"{1.0 / device_ns:.1f} G/s on-chip, "
+        f"intercept {spread['dispatch_intercept_ms_fit']:.1f} ms"
+    )
     return n / med, spread
 
 
