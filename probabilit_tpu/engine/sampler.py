@@ -113,6 +113,14 @@ def sample(
             )
         fn = _get_pallas_fn(plan, size)
         out = fn(seed)
+        if plan.corr_matrix is not None:
+            # Correlated plans solve a Cholesky of EMPIRICAL score moments
+            # inside the program; at small n (barely above K) that factor
+            # can go singular and NaN every sample.  Mirror sample()'s
+            # finite guard here — one extra device reduction + fetch,
+            # only on the correlated path.
+            if not bool(jax.device_get(jnp.all(jnp.isfinite(out)))):
+                raise ValueError("Sampling produced non-finite values.")
         for node in plan.topo:
             if hasattr(node, "samples_"):
                 delattr(node, "samples_")

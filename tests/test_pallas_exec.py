@@ -257,6 +257,25 @@ class TestOnTpu:
         assert se.min() >= data.min() and se.max() <= data.max()
         assert abs(np.median(se) - np.median(data)) < 0.05
 
+    def test_correlated_executors_agree_in_distribution(self):
+        # Different streams (threefry vs hardware PRNG) but the same
+        # model must produce the same distribution through both
+        # executors: compare moments of the 50-node correlated DAG.
+        from probabilit_tpu.models import benchmarks
+
+        n = 1_000_000
+        sink = benchmarks.mixed_correlated_50()
+        xla = np.asarray(sink.sample(n, random_state=3, gc_strategy=[]))
+        pal = np.asarray(
+            sink.sample(n, random_state=3, gc_strategy=[], executor="pallas")
+        )
+        assert np.isclose(xla.mean(), pal.mean(), rtol=0.01)
+        assert np.isclose(xla.std(), pal.std(), rtol=0.02)
+        for q in (0.05, 0.5, 0.95):
+            assert np.isclose(
+                np.quantile(xla, q), np.quantile(pal, q), rtol=0.02, atol=0.05
+            ), q
+
     def test_adjacent_seeds_not_block_permutations(self):
         # Regression: seeding the kernel PRNG with ``word0 ^ block_id``
         # makes seeds s and s' emit the SAME multiset of 64k-sample block
