@@ -330,12 +330,19 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
                 # (10, 1e8) on v5e), and under a mesh the whole step is
                 # elementwise + one psum'd (K,K) Gram — no all-gathers.
                 y = instance._recolor_scores(z)
+                from probabilit_tpu.ops import ppf as _ppf
+
                 for i, var in enumerate(corr_vars):
-                    u_i = clamp_open_unit(_special.ndtr_fast(y[i]))
-                    saved = ctx._columns[var._id]
-                    ctx._columns[var._id] = u_i
-                    val_i = var._emit(ctx)
-                    ctx._columns[var._id] = saved
+                    # Score-linear families (norm/lognorm) evaluate
+                    # ppf(Phi(y)) in closed form from y itself — exact
+                    # where the polynomial roundtrip drifts in the tails.
+                    val_i = _ppf.score_emit(var, y[i], ctx)
+                    if val_i is None:
+                        u_i = clamp_open_unit(_special.ndtr_fast(y[i]))
+                        saved = ctx._columns[var._id]
+                        ctx._columns[var._id] = u_i
+                        val_i = var._emit(ctx)
+                        ctx._columns[var._id] = saved
                     ctx.set_value(var, val_i)
             else:
                 XT = jnp.stack([ctx.value(v) for v in corr_vars], axis=0)

@@ -365,24 +365,30 @@ def _make_kernel(plan):
             bits = pltpu.prng_random_bits(shape)
             columns[nid] = _bits_to_open_unit(pltpu.bitcast(bits, jnp.uint32))
 
+        from probabilit_tpu.ops import ppf as _ppf
         from probabilit_tpu.ops import special as _special
         from probabilit_tpu.ops.qmc import clamp_open_unit
 
+        ctx = _BlockContext(columns, shape)
         if K:
             # Sort-free Gaussian-copula Iman-Conover (the same contract as
             # engine/compile.py's generated path): z = ndtri(u) are iid
             # normal scores; y = A z + b recolors them to the target
             # correlation with the empirical-decorrelation variance
             # reduction folded into A, b; Phi(y) re-enters each variable's
-            # own inverse CDF as its quantile column.
+            # own inverse CDF as its quantile column (score-linear
+            # families skip the roundtrip via the closed form in y).
+            corr_nodes = list(plan.corr_vars)
             zs = [_special.ndtri_fast(columns[cid]) for cid in corr_ids]
             for i, cid in enumerate(corr_ids):
                 y = jnp.float32(ab_ref[K * K + i])  # b_i, broadcasts
                 for j in range(K):
                     y = y + jnp.float32(ab_ref[i * K + j]) * zs[j]
-                columns[cid] = clamp_open_unit(_special.ndtr_fast(y))
-
-        ctx = _BlockContext(columns, shape)
+                val = _ppf.score_emit(corr_nodes[i], y, ctx)
+                if val is None:
+                    columns[cid] = clamp_open_unit(_special.ndtr_fast(y))
+                else:
+                    ctx._values[cid] = val
         # Route incomplete gamma/beta through the Mosaic-safe series/CF
         # implementations while the kernel body traces.
         with _special.kernel_safe_special():
@@ -473,27 +479,34 @@ def _recolor_transform(plan, words, grid, n):
     )(words)
     sums = partials.sum(axis=1)  # (R,)
 
-    nf = jnp.float32(n)
-    mean = sums[:K] / nf
-    iu = np.triu_indices(K)
-    G = jnp.zeros((K, K), jnp.float32).at[iu].set(
-        sums[K : K + K * (K + 1) // 2]
-    )
-    G = G + jnp.triu(G, 1).T
-    cov = G / nf - jnp.outer(mean, mean)
-    std = jnp.sqrt(jnp.diagonal(cov))
-    emp_corr = cov / jnp.outer(std, std)
-    L = jnp.linalg.cholesky(emp_corr)
-    inv_L = jax.scipy.linalg.solve_triangular(
-        L, jnp.eye(K, dtype=jnp.float32), lower=True
-    )
-    # Target factor via set_target: same validation + clean error contract
-    # as the XLA executor (e.g. PSD-singular repaired matrices raise the
-    # correlator's ValueError, not a raw LinAlgError).
-    P = jnp.asarray(ImanConover().set_target(plan.corr_matrix).P, jnp.float32)
-    A = (P @ inv_L) / std[None, :]
-    b = -A @ mean
-    return jnp.concatenate([A.reshape(-1), b])
+    # float32 matmul precision: TPU's DEFAULT rounds f32 MXU inputs to
+    # bfloat16, which put ~1.5e-3 relative error into this K x K solve
+    # (measured as a +3e-3 covariance bias on the returned samples).
+    with jax.default_matmul_precision("float32"):
+        nf = jnp.float32(n)
+        mean = sums[:K] / nf
+        iu = np.triu_indices(K)
+        G = jnp.zeros((K, K), jnp.float32).at[iu].set(
+            sums[K : K + K * (K + 1) // 2]
+        )
+        G = G + jnp.triu(G, 1).T
+        cov = G / nf - jnp.outer(mean, mean)
+        std = jnp.sqrt(jnp.diagonal(cov))
+        emp_corr = cov / jnp.outer(std, std)
+        L = jnp.linalg.cholesky(emp_corr)
+        inv_L = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(K, dtype=jnp.float32), lower=True
+        )
+        # Target factor via set_target: same validation + clean error
+        # contract as the XLA executor (e.g. PSD-singular repaired
+        # matrices raise the correlator's ValueError, not a raw
+        # LinAlgError).
+        P = jnp.asarray(
+            ImanConover().set_target(plan.corr_matrix).P, jnp.float32
+        )
+        A = (P @ inv_L) / std[None, :]
+        b = -A @ mean
+        return jnp.concatenate([A.reshape(-1), b])
 
 
 def run(plan, seed, n):

@@ -175,22 +175,28 @@ class Cholesky(Correlator):
     """
 
     def _apply(self, X):
-        X = jnp.asarray(X)
-        N, K = X.shape
-        mean = jnp.mean(X, axis=0)
-        std = jnp.std(X, axis=0)
-        X_n = (X - mean) / std
+        # TPU's DEFAULT matmul precision rounds f32 inputs to bfloat16 on
+        # the MXU (~1e-3 relative): enough to visibly bias the induced
+        # correlation.  Full-f32 passes on these shapes cost well under a
+        # millisecond, so pin the whole transform to float32 precision.
+        with jax.default_matmul_precision("float32"):
+            X = jnp.asarray(X)
+            N, K = X.shape
+            mean = jnp.mean(X, axis=0)
+            std = jnp.std(X, axis=0)
+            X_n = (X - mean) / std
 
-        cov = (X_n.T @ X_n) / N
-        P_emp = jnp.linalg.cholesky(cov)
+            cov = (X_n.T @ X_n) / N
+            P_emp = jnp.linalg.cholesky(cov)
 
-        # transform = inv(P_emp).T @ P.T computed by triangular solve on the
-        # small K x K system; the big (N,K) matrix sees one MXU matmul.
-        target_P = jnp.asarray(self.P, X.dtype)
-        transform = jax.scipy.linalg.solve_triangular(
-            P_emp.T, target_P.T, lower=False
-        )
-        return mean + X_n @ (transform * std)
+            # transform = inv(P_emp).T @ P.T computed by triangular solve
+            # on the small K x K system; the big (N,K) matrix sees one MXU
+            # matmul.
+            target_P = jnp.asarray(self.P, X.dtype)
+            transform = jax.scipy.linalg.solve_triangular(
+                P_emp.T, target_P.T, lower=False
+            )
+            return mean + X_n @ (transform * std)
 
 
 class ImanConover(Correlator):
@@ -381,30 +387,33 @@ class ImanConover(Correlator):
         scores, s_mean, s_var = self._scores_rows(X_sorted, order, chunk_elems)
 
         # Empirical correlation of the scores from one MXU Gram matrix.
+        # float32 matmul precision: TPU's DEFAULT would round the f32
+        # score inputs to bfloat16 on the MXU (~1e-3 corr bias).
         acc_type = jnp.float64 if dtype == jnp.float64 else jnp.float32
-        gram = (
-            jax.lax.dot_general(
-                scores,
-                scores,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+        with jax.default_matmul_precision("float32"):
+            gram = (
+                jax.lax.dot_general(
+                    scores,
+                    scores,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=acc_type,
+                ).astype(dtype)
+                / N
+            )
+            s_std = jnp.sqrt(s_var)
+            emp_corr = (gram - s_mean * s_mean.T) / (s_std * s_std.T)
+            L = jnp.linalg.cholesky(emp_corr)
+
+            # STEP 3: decorrelate + recolor in one (K,K) @ (K,N) matmul.
+            eye = jnp.eye(K, dtype=dtype)
+            inv_L = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            M = jnp.asarray(target_P, dtype) @ inv_L  # corr_T = M @ std scores_T
+            correlated = jax.lax.dot_general(
+                M,
+                (scores - s_mean) / s_std,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc_type,
             ).astype(dtype)
-            / N
-        )
-        s_std = jnp.sqrt(s_var)
-        emp_corr = (gram - s_mean * s_mean.T) / (s_std * s_std.T)
-        L = jnp.linalg.cholesky(emp_corr)
-
-        # STEP 3: decorrelate + recolor in one (K,K) @ (K,N) matmul.
-        eye = jnp.eye(K, dtype=dtype)
-        inv_L = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-        M = jnp.asarray(target_P, dtype) @ inv_L  # corr_T = M @ std scores_T
-        correlated = jax.lax.dot_general(
-            M,
-            (scores - s_mean) / s_std,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc_type,
-        ).astype(dtype)
 
         # STEP 4: two more sorts place sorted originals at score ranks.
         _, order2 = rowsort_with_order(correlated, chunk_elems)
@@ -419,34 +428,39 @@ class ImanConover(Correlator):
         1982 paper's variance-reduction step) applied to random normal
         scores instead of van der Waerden rank scores.
         """
-        z = jnp.asarray(z)
-        K, N = z.shape
-        dtype = z.dtype
-        acc_type = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        # float32 matmul precision throughout: TPU's DEFAULT rounds f32
+        # MXU inputs to bfloat16 (~1e-3 relative), which measurably biases
+        # the empirical-decorrelation factor and therefore the induced
+        # correlation.  The f32 passes cost <1 ms even at (16, 1e8).
+        with jax.default_matmul_precision("float32"):
+            z = jnp.asarray(z)
+            K, N = z.shape
+            dtype = z.dtype
+            acc_type = jnp.float64 if dtype == jnp.float64 else jnp.float32
 
-        mean = jnp.mean(z, axis=1, keepdims=True)
-        zc = z - mean
-        gram = (
-            jax.lax.dot_general(
-                zc,
-                zc,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+            mean = jnp.mean(z, axis=1, keepdims=True)
+            zc = z - mean
+            gram = (
+                jax.lax.dot_general(
+                    zc,
+                    zc,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=acc_type,
+                ).astype(dtype)
+                / N
+            )
+            std = jnp.sqrt(jnp.diagonal(gram))
+            emp_corr = gram / jnp.outer(std, std)
+            L = jnp.linalg.cholesky(emp_corr)
+            eye = jnp.eye(K, dtype=dtype)
+            inv_L = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            M = jnp.asarray(self.P, dtype) @ inv_L
+            return jax.lax.dot_general(
+                M,
+                zc / std[:, None],
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc_type,
             ).astype(dtype)
-            / N
-        )
-        std = jnp.sqrt(jnp.diagonal(gram))
-        emp_corr = gram / jnp.outer(std, std)
-        L = jnp.linalg.cholesky(emp_corr)
-        eye = jnp.eye(K, dtype=dtype)
-        inv_L = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-        M = jnp.asarray(self.P, dtype) @ inv_L
-        return jax.lax.dot_general(
-            M,
-            zc / std[:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc_type,
-        ).astype(dtype)
 
     def _apply_generated(self, z, x_sorted):
         """Two-sort Iman-Conover for engine-generated sampling.

@@ -2,11 +2,13 @@
 
 The classic identity: if E_1..E_{n+1} are iid Exp(1), then
 ``cumsum(E_1..E_n) / sum(E_1..E_{n+1})`` is distributed exactly as the
-order statistics of n iid U(0,1) draws.  The sampling engine uses this to
-obtain each correlated variable's SORTED marginal without sorting —
-monotone ppf kernels map sorted uniforms to sorted samples — cutting the
-engine's Iman-Conover from four sorts to two (see
-``ImanConover._apply_generated``).
+order statistics of n iid U(0,1) draws — a sorted uniform sample with no
+sort.  Library utility (and the generation half of
+``ImanConover._apply_generated``, the two-sort transform for pre-sorted
+data); the production engine's correlated path no longer needs sorted
+marginals at all — it uses the sort-free Gaussian-copula recoloring
+(``engine/compile.py``), which this module's approach historically led
+to.
 
 float32 note: a flat cumsum over 1e8 terms carries O(sum * 2^-24) rounding
 error — catastrophic relative to the ~1/n spacing.  We therefore do a

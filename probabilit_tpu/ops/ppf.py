@@ -85,6 +85,57 @@ def norm(q, loc=0.0, scale=1.0):
     return _f(loc) + _f(scale) * special.ndtri_fast(_f(q))
 
 
+# --- Normal-score shortcuts -----------------------------------------
+# Families whose ppf is an elementwise function of ndtri(q) admit a
+# closed form in a standard-normal score y: ppf(Phi(y)) = g(y).  The
+# correlated sampling paths (engine/compile.py, engine/pallas_exec.py)
+# produce exactly such scores, so evaluating g(y) directly skips the
+# Phi/ndtri polynomial roundtrip — ~40 fewer ops per sample AND exact
+# where the roundtrip carries up to ~1e-3 absolute error at |y| > 4
+# (ndtr's 1.5e-7 CDF error divided by a vanishing pdf).
+
+_SCORE_KERNELS = {}
+
+
+def score_call(name, y, *args, **kwargs):
+    """``ppf(name, ndtr(y))`` in closed form, or None if unsupported."""
+    kernel = _SCORE_KERNELS.get(name)
+    return None if kernel is None else kernel(y, *args, **kwargs)
+
+
+def _score_norm(y, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * _f(y)
+
+
+def _score_lognorm(y, s, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.exp(_f(s) * _f(y))
+
+
+_SCORE_KERNELS["norm"] = _score_norm
+_SCORE_KERNELS["lognorm"] = _score_lognorm
+
+
+def score_emit(var, y, ctx):
+    """Score shortcut for a ``Distribution`` node, or None.
+
+    Resolves Node-valued parameters through ``ctx`` exactly like
+    ``Distribution._emit`` before dispatching to the score kernel, so
+    both executors share one implementation.
+    """
+    from probabilit_tpu.models.distributions import Distribution
+    from probabilit_tpu.models.graph import Node
+
+    if not isinstance(var, Distribution) or var.distr not in _SCORE_KERNELS:
+        return None
+
+    def unpack(a):
+        return ctx.value(a) if isinstance(a, Node) else a
+
+    args = tuple(unpack(a) for a in var.args)
+    kwargs = {k: unpack(v) for k, v in var.kwargs.items()}
+    return score_call(var.distr, y, *args, **kwargs)
+
+
 @register("expon")
 def expon(q, loc=0.0, scale=1.0):
     return _f(loc) - _f(scale) * jnp.log1p(-_f(q))
