@@ -283,7 +283,10 @@ class PermutationCorrelator(Correlator):
 
         mean = jnp.mean(Xw, axis=0)
         centered = Xw - mean
-        numerator = (centered.T @ centered) / num_obs
+        # float32 precision: TPU's DEFAULT bf16 MXU rounding would bias
+        # the correlation estimate the hill-climb optimises against.
+        with jax.default_matmul_precision("float32"):
+            numerator = (centered.T @ centered) / num_obs
         denominator = jnp.std(Xw, axis=0)
         corr = numerator / jnp.outer(denominator, denominator)
 
