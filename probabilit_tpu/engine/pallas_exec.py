@@ -143,6 +143,8 @@ def supports(plan, keep_ids):
                 node
             ):
                 continue
+            if _table_node_ok(node):
+                continue  # Static-parameter discrete CDF-table families.
             return False
         if isinstance(node, _SAFE_TRANSFORMS):
             continue
@@ -180,6 +182,44 @@ def _kernel_interp(q, xp, fp):
     return jnp.where(q >= jnp.float32(xp[-1]), jnp.float32(fp[-1]), val)
 
 
+def _trimmed_cdf_table(node):
+    """f32 CDF table for a static discrete family, trimmed, or None.
+
+    The f64 table is cast to f32 exactly as ``ppf._table_ppf`` does, then
+    truncated after the first entry >= 1 - 2^-24: kernel uniforms are
+    clamped below that, so later entries are unreachable (searchsorted
+    can never select past the first such entry).  Keeps mid-size supports
+    (poisson mu ~ 30, binom n ~ 100) under the select-chain cap.
+    """
+    import numpy as np
+
+    from probabilit_tpu.ops import ppf as _ppf
+
+    built = _ppf.static_cdf_table(node.distr, *node.args, **node.kwargs)
+    if built is None:
+        return None
+    table, loc = built
+    t32 = np.asarray(table, np.float32)
+    reachable = np.nonzero(t32 >= np.float32(1.0 - 2.0**-24))[0]
+    if len(reachable):
+        t32 = t32[: reachable[0] + 1]
+    return t32, loc
+
+
+def _kernel_table_ppf(q, table, loc):
+    """``ppf._table_ppf`` (scipy convention) as a Mosaic select chain.
+
+    ``searchsorted(table, q, side='left')`` counts entries < q, so the
+    chain uses STRICT comparisons — the opposite boundary convention from
+    ``_kernel_discrete`` (which matches the reference's side='right'
+    DiscreteDistribution sampling).
+    """
+    val = jnp.zeros(q.shape, jnp.float32)
+    for i in range(1, len(table)):
+        val = jnp.where(q > jnp.float32(table[i - 1]), jnp.float32(i), val)
+    return val + jnp.float32(loc)
+
+
 def _kernel_discrete(q, cumulative, values):
     """``values[searchsorted(cumulative, q, side='right')]`` via selects.
 
@@ -213,6 +253,13 @@ def _kernel_table_emit(node):
 
     if not _table_node_ok(node):
         return None
+    if isinstance(node, Distribution):
+        table, loc = _trimmed_cdf_table(node)
+
+        def emit(ctx):
+            return _kernel_table_ppf(ctx.column(node), table, loc)
+
+        return emit
     if isinstance(node, DiscreteDistribution):
         cumulative = np.cumsum(node.probabilities)
         values = node.values
@@ -248,6 +295,9 @@ def _table_node_ok(node):
         EmpiricalDistribution,
     )
 
+    if isinstance(node, Distribution):
+        built = _trimmed_cdf_table(node)
+        return built is not None and len(built[0]) <= _TABLE_MAX
     if isinstance(node, DiscreteDistribution):
         return (
             np.issubdtype(node.values.dtype, np.number)

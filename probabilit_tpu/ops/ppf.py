@@ -428,6 +428,52 @@ def _poisson_cdf_table(mu):
     return table
 
 
+def _binom_cdf_table(n, p):
+    import scipy.stats as sps
+
+    table = sps.binom.cdf(np.arange(int(n) + 1), int(n), float(p))
+    table[-1] = 1.0
+    return table
+
+
+def _nbinom_cdf_table(n, p):
+    import scipy.stats as sps
+
+    mean = n * (1 - p) / p
+    var = n * (1 - p) / p**2
+    kmax = int(np.ceil(mean + 12 * np.sqrt(var + 1) + 30))
+    table = sps.nbinom.cdf(np.arange(kmax + 1), n, p)
+    table[-1] = 1.0
+    return table
+
+
+_STATIC_TABLE_BUILDERS = {
+    "poisson": lambda mu, loc=0: (_poisson_cdf_table(float(mu)), loc),
+    "binom": lambda n, p, loc=0: (_binom_cdf_table(n, p), loc),
+    "nbinom": lambda n, p, loc=0: (_nbinom_cdf_table(n, p), loc),
+}
+
+
+def static_cdf_table(distr, *args, **kwargs):
+    """(f64 CDF table, loc) for a static-parameter discrete family, or None.
+
+    The same tables ``_table_ppf`` bakes into the XLA program, exposed so
+    the Pallas executor can evaluate identical semantics as a select
+    chain (``engine/pallas_exec.py``).  Returns None for unsupported
+    families, non-static (traced/Node) parameters, or non-scalar shapes.
+    """
+    builder = _STATIC_TABLE_BUILDERS.get(distr)
+    if builder is None:
+        return None
+    params = list(args) + list(kwargs.values())
+    if not _is_static(*params) or any(np.ndim(p) != 0 for p in params):
+        return None
+    try:
+        return builder(*args, **kwargs)
+    except TypeError:
+        return None
+
+
 @register("poisson")
 def poisson(q, mu, loc=0):
     if _is_static(mu) and np.ndim(mu) == 0:
@@ -444,11 +490,7 @@ def poisson(q, mu, loc=0):
 @register("binom")
 def binom(q, n, p, loc=0):
     if _is_static(n, p) and np.ndim(n) == 0 and np.ndim(p) == 0:
-        import scipy.stats as sps
-
-        table = sps.binom.cdf(np.arange(int(n) + 1), int(n), float(p))
-        table[-1] = 1.0
-        return _table_ppf(q, table, loc)
+        return _table_ppf(q, _binom_cdf_table(n, p), loc)
     n, p, q = _f(n), _f(p), _f(q)
     # P(X <= k) = I_{1-p}(n - k, k + 1) for 0 <= k < n, else 1.
     cdf = lambda k: jnp.where(
@@ -476,14 +518,7 @@ def geom(q, p, loc=0):
 @register("nbinom")
 def nbinom(q, n, p, loc=0):
     if _is_static(n, p) and np.ndim(n) == 0 and np.ndim(p) == 0:
-        import scipy.stats as sps
-
-        mean = n * (1 - p) / p
-        var = n * (1 - p) / p**2
-        kmax = int(np.ceil(mean + 12 * np.sqrt(var + 1) + 30))
-        table = sps.nbinom.cdf(np.arange(kmax + 1), n, p)
-        table[-1] = 1.0
-        return _table_ppf(q, table, loc)
+        return _table_ppf(q, _nbinom_cdf_table(n, p), loc)
     n, p, q = _f(n), _f(p), _f(q)
     # P(X <= k) = I_p(n, k + 1)
     cdf = lambda k: betainc(n, k + 1.0, p)

@@ -55,7 +55,7 @@ class TestEligibility:
         # A correlated variable outside the family whitelist disqualifies
         # the graph through the ordinary per-node gate.
         a = Distribution("norm")
-        b = Distribution("poisson", mu=3)
+        b = Distribution("poisson", mu=500)  # table far beyond the cap
         sink = (a + b).correlate(a, b, corr_mat=np.eye(2))
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
@@ -65,8 +65,8 @@ class TestEligibility:
         all_ids = frozenset(n._id for n in plan.topo)
         assert not pallas_exec.supports(plan, all_ids)
 
-    def test_table_distribution_not_supported(self):
-        sink = Distribution("poisson", mu=3) + 0
+    def test_unsupported_family_rejected(self):
+        sink = Distribution("hypergeom", M=20, n=7, N=12) + 0
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
     def test_string_discrete_node_not_supported(self):
@@ -96,6 +96,20 @@ class TestEligibility:
             sink = node + 0
             assert pallas_exec.supports(_plan(sink), frozenset({sink._id})), node
 
+    def test_static_discrete_table_families_supported(self):
+        for sink in (
+            Distribution("poisson", mu=3) + 0,
+            Distribution("binom", n=8, p=0.4) + 0,
+            Distribution("nbinom", n=5, p=0.5) + 0,
+        ):
+            assert pallas_exec.supports(_plan(sink), frozenset({sink._id})), sink
+
+    def test_composite_or_huge_discrete_rejected(self):
+        comp = Distribution("binom", n=Distribution("poisson", mu=3), p=0.4)
+        assert not pallas_exec.supports(_plan(comp), frozenset({comp._id}))
+        huge = Distribution("poisson", mu=500) + 0  # table >> 64 entries
+        assert not pallas_exec.supports(_plan(huge), frozenset({huge._id}))
+
     def test_large_or_string_tables_rejected(self):
         from probabilit_tpu.modeling import EmpiricalDistribution
 
@@ -122,6 +136,20 @@ class TestKernelTableHelpers:
         got = np.asarray(pallas_exec._kernel_interp(q, xp, fp))
         want = np.asarray(jnp.interp(q, jnp.asarray(xp, jnp.float32), jnp.asarray(fp, jnp.float32)))
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+    def test_table_ppf_matches_searchsorted_left(self):
+        import jax.numpy as jnp
+
+        node = Distribution("poisson", mu=3)
+        table, loc = pallas_exec._trimmed_cdf_table(node)
+        rng = np.random.default_rng(3)
+        q = rng.uniform(2.0**-24, 1 - 2.0**-24, size=4096).astype(np.float32)
+        q[: len(table)] = table  # exact boundary hits: strict-side check
+        got = np.asarray(pallas_exec._kernel_table_ppf(jnp.asarray(q), table, loc))
+        k = np.minimum(
+            np.searchsorted(table, q, side="left"), len(table) - 1
+        ).astype(np.float32)
+        np.testing.assert_array_equal(got, k + loc)
 
     def test_discrete_matches_searchsorted(self):
         import jax.numpy as jnp
@@ -154,7 +182,7 @@ class TestErrorPaths:
                         executor="pallas")
 
     def test_rejects_ineligible_graph(self):
-        sink = Distribution("poisson", mu=3) + 0
+        sink = Distribution("poisson", mu=500) + 0
         with pytest.raises(ValueError, match="pallas"):
             sink.sample(64, random_state=0, gc_strategy=[], executor="pallas")
 
@@ -231,6 +259,23 @@ class TestOnTpu:
         )
         assert s.shape == (n,)
         assert np.isclose(s.std(), np.sqrt(0.6), atol=0.02)
+
+    def test_discrete_table_families_on_chip(self):
+        import scipy.stats
+
+        d = Distribution("poisson", mu=3)
+        s = np.asarray(
+            (d + 0.0).sample(200_000, random_state=6, gc_strategy=[], executor="pallas")
+        )
+        ref = scipy.stats.poisson(3)
+        for k in range(8):
+            assert abs(np.mean(s == k) - ref.pmf(k)) < 0.005, k
+        b = Distribution("binom", n=10, p=0.3)
+        sb = np.asarray(
+            (b + 0.0).sample(200_000, random_state=8, gc_strategy=[], executor="pallas")
+        )
+        assert abs(sb.mean() - 3.0) < 0.02
+        assert abs(sb.var() - 2.1) < 0.03
 
     def test_table_families_on_chip(self):
         import scipy.stats
