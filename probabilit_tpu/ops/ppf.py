@@ -57,6 +57,14 @@ def call(name, q, *args, **kwargs):
     """Evaluate the ppf kernel for scipy.stats distribution ``name``."""
     kernel = lookup(name)
     if kernel is None:
+        # Any static-parameter scipy discrete family samples on-device
+        # from a baked CDF table (no per-call host round trip); only
+        # traced-parameter or continuous no-kernel families pay the
+        # host-callback fallback.
+        built = static_cdf_table(name, *args, **kwargs)
+        if built is not None:
+            table, start = built
+            return _table_ppf(q, table, loc=start)
         return scipy_fallback_ppf(name, q, *args, **kwargs)
     return kernel(q, *args, **kwargs)
 
@@ -453,25 +461,64 @@ _STATIC_TABLE_BUILDERS = {
     "nbinom": lambda n, p, loc=0: (_nbinom_cdf_table(n, p), loc),
 }
 
+# Generic fallback table size: a 4096-entry constant + one searchsorted
+# is cheap in XLA; far beyond any realistic hypergeom/zipf/logser support
+# reachable by float32 uniforms.
+_GENERIC_TABLE_CAP = 4096
+
+
+def _generic_discrete_table(name, args, kwargs):
+    """(f64 CDF table, support start) for ANY static scipy discrete family.
+
+    Works for every ``scipy.stats`` discrete distribution with static
+    scalar parameters and a finite lower support bound: the table spans
+    the support up to the 1 - 2^-25 quantile (clamped float32 uniforms
+    cannot reach past it).  Returns None when inapplicable (continuous
+    family, traced parameters, unbounded-below support, table too big).
+    """
+    import scipy.stats as sps
+
+    dist = getattr(sps, name, None)
+    if dist is None or not isinstance(dist, sps.rv_discrete):
+        return None
+    try:
+        frozen = dist(*args, **kwargs)
+        lo, hi_support = frozen.support()
+        if not np.isfinite(lo):
+            return None
+        hi = frozen.ppf(1.0 - 2.0**-25)
+        if not np.isfinite(hi):
+            hi = hi_support
+        if not np.isfinite(hi) or hi - lo + 1 > _GENERIC_TABLE_CAP:
+            return None
+        ks = np.arange(int(lo), int(hi) + 1)
+        table = np.asarray(frozen.cdf(ks), np.float64)
+        table[-1] = 1.0
+        return table, int(lo)
+    except (TypeError, ValueError):
+        return None
+
 
 def static_cdf_table(distr, *args, **kwargs):
-    """(f64 CDF table, loc) for a static-parameter discrete family, or None.
+    """(f64 CDF table, offset) for a static-parameter discrete family, or None.
 
     The same tables ``_table_ppf`` bakes into the XLA program, exposed so
     the Pallas executor can evaluate identical semantics as a select
-    chain (``engine/pallas_exec.py``).  Returns None for unsupported
-    families, non-static (traced/Node) parameters, or non-scalar shapes.
+    chain (``engine/pallas_exec.py``).  Families without a hand-written
+    builder fall back to the generic scipy-support scan.  Returns None
+    for non-discrete families, non-static (traced/Node) parameters, or
+    non-scalar shapes.
     """
-    builder = _STATIC_TABLE_BUILDERS.get(distr)
-    if builder is None:
-        return None
     params = list(args) + list(kwargs.values())
     if not _is_static(*params) or any(np.ndim(p) != 0 for p in params):
         return None
-    try:
-        return builder(*args, **kwargs)
-    except TypeError:
-        return None
+    builder = _STATIC_TABLE_BUILDERS.get(distr)
+    if builder is not None:
+        try:
+            return builder(*args, **kwargs)
+        except TypeError:
+            return None
+    return _generic_discrete_table(distr, args, kwargs)
 
 
 @register("poisson")

@@ -70,6 +70,15 @@ DISCRETE_FAMILIES = [
     ("geom", (0.25,), {}),
     ("nbinom", (5, 0.5), {}),
     ("randint", (2, 9), {}),
+    # No hand-written kernel: served by the GENERIC static CDF-table path
+    # (any scipy discrete family with static scalar params), not the
+    # host callback.  hypergeom has a nonzero support start at these
+    # params; zipf has an infinite quantile-capped tail; logser starts
+    # at 1; boltzmann is doubly bounded.
+    ("hypergeom", (30, 12, 15), {}),
+    ("zipf", (2.5,), {}),
+    ("logser", (0.6,), {}),
+    ("boltzmann", (0.5, 10), {}),
 ]
 
 
