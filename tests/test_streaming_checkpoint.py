@@ -64,6 +64,27 @@ class TestStreaming:
         # Per-block exactness (up to the CDF-roundtrip polynomials).
         assert np.isclose(out[:32_768].var(), 3.2, atol=0.03)
 
+    def test_streamed_quantiles(self):
+        import scipy.stats
+
+        model = Distribution("norm", loc=5, scale=2)
+        st = streaming.estimate(
+            model, 400_000, block_size=65_536, random_state=0,
+            quantiles=(0.5, 0.95, 0.99),
+        )
+        ref = scipy.stats.norm(5, 2)
+        for lvl in (0.5, 0.95, 0.99):
+            assert np.isclose(st[f"q{lvl:g}"], ref.ppf(lvl), atol=0.03), lvl
+
+    def test_streamed_quantiles_partial_block_and_validation(self):
+        model = Distribution("uniform")
+        st = streaming.estimate(
+            model, 100_001, block_size=32_768, random_state=1, quantiles=(0.25,)
+        )
+        assert np.isclose(st["q0.25"], 0.25, atol=0.01)
+        with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+            streaming.estimate(model, 1000, quantiles=(0.0,))
+
     def test_correlated_estimate(self):
         a, b = Distribution("norm"), Distribution("norm")
         expr = (a + b).correlate(a, b, corr_mat=np.array([[1, -0.7], [-0.7, 1]]))
