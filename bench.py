@@ -308,16 +308,26 @@ def bench_correlated_50(n=100_000_000, repeats=2):
 
 
 def bench_streaming_1e9():
-    """Full 1e9-draw estimation (single on-device dispatch)."""
+    """Full 1e9-draw estimation with a streamed p95 (single dispatch).
+
+    The whole-run program is cached by (graph, size, quantiles, ...) —
+    warm with the SAME call shape so the timed run measures execution.
+    """
     from probabilit_tpu.engine import streaming
     from probabilit_tpu.models import benchmarks
 
     sink = benchmarks.mixed_dag_20()
-    streaming.estimate(sink, 1 << 26, block_size=1 << 26, random_state=0)  # warm
+    q = (0.5, 0.95, 0.99)
+    streaming.estimate(sink, 10**9, block_size=1 << 26, random_state=0, quantiles=q)
     t0 = time.perf_counter()
-    stats = streaming.estimate(sink, 10**9, block_size=1 << 26, random_state=0)
+    stats = streaming.estimate(
+        sink, 10**9, block_size=1 << 26, random_state=0, quantiles=q
+    )
     dt = time.perf_counter() - t0
-    log(f"streaming 1e9: {dt:.2f}s (mean={stats['mean']:.1f})")
+    log(
+        f"streaming 1e9 (+p50/p95/p99): {dt:.2f}s "
+        f"(mean={stats['mean']:.1f} p95={stats['q0.95']:.0f})"
+    )
     return 10**9 / dt
 
 
