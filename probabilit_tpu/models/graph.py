@@ -280,20 +280,23 @@ class Node(abc.ABC):
             self, quantiles, correlator=correlator, gc_strategy=gc_strategy
         )
 
-    def sample_streaming(self, size, block_size=16_777_216, random_state=None):
+    def sample_streaming(
+        self, size, block_size=16_777_216, random_state=None, **kwargs
+    ):
         """Sample in device-sized blocks; see ``engine.streaming``."""
         from probabilit_tpu.engine import streaming
 
         return streaming.sample_streaming(
-            self, size, block_size=block_size, random_state=random_state
+            self, size, block_size=block_size, random_state=random_state, **kwargs
         )
 
-    def estimate(self, size, block_size=16_777_216, random_state=None):
-        """Streaming mean/var/min/max at any sample count; O(block) memory."""
+    def estimate(self, size, block_size=16_777_216, random_state=None, **kwargs):
+        """Streaming mean/var/min/max (plus ``quantiles=`` levels) at any
+        sample count; O(block) memory.  See ``engine.streaming.estimate``."""
         from probabilit_tpu.engine import streaming
 
         return streaming.estimate(
-            self, size, block_size=block_size, random_state=random_state
+            self, size, block_size=block_size, random_state=random_state, **kwargs
         )
 
     def _is_initial_sampling_node(self):
