@@ -66,8 +66,16 @@ class TestEligibility:
         assert not pallas_exec.supports(plan, all_ids)
 
     def test_unsupported_family_rejected(self):
-        sink = Distribution("hypergeom", M=20, n=7, N=12) + 0
+        # A continuous family with no native kernel (host-callback only):
+        # no whitelist entry, no incomplete-function cap, no CDF table.
+        sink = Distribution("burr", c=2.0, d=1.5) + 0
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
+
+    def test_generic_discrete_table_family_supported(self):
+        # hypergeom has no hand-written kernel but a small static CDF
+        # table via the generic builder - megakernel-eligible.
+        sink = Distribution("hypergeom", M=20, n=7, N=12) + 0
+        assert pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
     def test_string_discrete_node_not_supported(self):
         sink = DiscreteDistribution(["a", "b", "c"]) + 0
