@@ -182,6 +182,9 @@ def _kernel_interp(q, xp, fp):
     return jnp.where(q >= jnp.float32(xp[-1]), jnp.float32(fp[-1]), val)
 
 
+_TRIMMED_TABLE_CACHE = {}
+
+
 def _trimmed_cdf_table(node):
     """f32 CDF table for a static discrete family, trimmed, or None.
 
@@ -190,20 +193,33 @@ def _trimmed_cdf_table(node):
     clamped below that, so later entries are unreachable (searchsorted
     can never select past the first such entry).  Keeps mid-size supports
     (poisson mu ~ 30, binom n ~ 100) under the select-chain cap.
+
+    Memoised by the node's static signature: eligibility checks
+    (``supports``), ``_table_node_ok``, and the kernel emit would
+    otherwise each rebuild the scipy table.
     """
     import numpy as np
 
     from probabilit_tpu.ops import ppf as _ppf
 
+    cache_key = (node._static_signature(), jnp.dtype(config.float_dtype()).name)
+    if cache_key in _TRIMMED_TABLE_CACHE:
+        return _TRIMMED_TABLE_CACHE[cache_key]
+
     built = _ppf.static_cdf_table(node.distr, *node.args, **node.kwargs)
     if built is None:
-        return None
-    table, loc = built
-    t32 = np.asarray(table, np.float32)
-    reachable = np.nonzero(t32 >= np.float32(1.0 - 2.0**-24))[0]
-    if len(reachable):
-        t32 = t32[: reachable[0] + 1]
-    return t32, loc
+        result = None
+    else:
+        table, loc = built
+        t32 = np.asarray(table, np.float32)
+        reachable = np.nonzero(t32 >= np.float32(1.0 - 2.0**-24))[0]
+        if len(reachable):
+            t32 = t32[: reachable[0] + 1]
+        result = (t32, loc)
+    if len(_TRIMMED_TABLE_CACHE) > 256:
+        _TRIMMED_TABLE_CACHE.pop(next(iter(_TRIMMED_TABLE_CACHE)))
+    _TRIMMED_TABLE_CACHE[cache_key] = result
+    return result
 
 
 def _kernel_table_ppf(q, table, loc):

@@ -113,6 +113,12 @@ def sample(
             )
         fn = _get_pallas_fn(plan, size)
         out = fn(seed)
+        # Clear stale samples BEFORE any guard can raise: a failed call
+        # must not leave a previous run's samples_ attached to nodes
+        # (the XLA path clears before executing, sampler._execute).
+        for node in plan.topo:
+            if hasattr(node, "samples_"):
+                delattr(node, "samples_")
         if plan.corr_matrix is not None:
             # Correlated plans solve a Cholesky of EMPIRICAL score moments
             # inside the program; at small n (barely above K) that factor
@@ -121,9 +127,6 @@ def sample(
             # only on the correlated path.
             if not bool(jax.device_get(jnp.all(jnp.isfinite(out)))):
                 raise ValueError("Sampling produced non-finite values.")
-        for node in plan.topo:
-            if hasattr(node, "samples_"):
-                delattr(node, "samples_")
         sink.samples_ = out
         return out
 

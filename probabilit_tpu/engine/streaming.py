@@ -250,11 +250,27 @@ def estimate(
         # (int32-overflowing at >2^31) arithmetic is ever traced.
         last_count = size - (n_blocks - 1) * block_size
 
+        def pick(xs_last_axis, m):
+            # np.quantile 'linear' convention on m order statistics:
+            # rank q*(m-1), linearly interpolated between the bracketing
+            # statistics.  Flooring to a bare index would quantize the
+            # requested level to a 1/m rank grid — a 53% tail-probability
+            # error at q=0.99999 with 2^17-sample rows.
+            out = []
+            for q in quantiles:
+                pos = q * (m - 1)
+                lo = min(int(pos), m - 2) if m > 1 else 0
+                frac = jnp.float32(pos - lo)
+                a = xs_last_axis[..., lo]
+                b = xs_last_axis[..., min(lo + 1, m - 1)]
+                out.append(jnp.mean(a + frac * (b - a)))
+            return jnp.stack(out)
+
         def block_quantiles(x, count):
-            # Exact order statistics per sorted ROW, averaged: rows of an
-            # iid block are iid themselves, so row-quantile averaging is
-            # the same estimator one level down — and batched row sorts
-            # run ~5x faster than one giant 1-D sort on TPU (measured:
+            # Order statistics per sorted ROW, averaged: rows of an iid
+            # block are iid themselves, so row-quantile averaging is the
+            # same estimator one level down — and batched row sorts run
+            # ~5x faster than one giant 1-D sort on TPU (measured:
             # 18 ns/elem single-row vs ~3.5 ns/elem batched).
             if not quantiles:
                 return jnp.zeros((0,), jnp.float32)
@@ -263,11 +279,8 @@ def estimate(
                 xs = jax.lax.sort(
                     x.reshape(count // cols, cols), dimension=1, is_stable=False
                 )
-                idx = [min(int(q * cols), cols - 1) for q in quantiles]
-                return jnp.stack([jnp.mean(xs[:, i]) for i in idx])
-            xs = jax.lax.sort(x, is_stable=False)
-            idx = [min(int(q * count), count - 1) for q in quantiles]
-            return jnp.stack([xs[i] for i in idx])
+                return pick(xs, cols)
+            return pick(jax.lax.sort(x, is_stable=False), count)
 
         def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bq):
             n_prev, mean, m2, vmin, vmax, finite, qsum = carry

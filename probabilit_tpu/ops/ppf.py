@@ -57,10 +57,10 @@ def call(name, q, *args, **kwargs):
     """Evaluate the ppf kernel for scipy.stats distribution ``name``."""
     kernel = lookup(name)
     if kernel is None:
-        # Any static-parameter scipy discrete family samples on-device
-        # from a baked CDF table (no per-call host round trip); only
-        # traced-parameter or continuous no-kernel families pay the
-        # host-callback fallback.
+        # Static-parameter scipy discrete families with a cap-sized
+        # reachable support sample on-device from a baked CDF table (no
+        # per-call host round trip); traced-parameter, continuous, or
+        # huge-support no-kernel families pay the host-callback fallback.
         built = static_cdf_table(name, *args, **kwargs)
         if built is not None:
             table, start = built
@@ -468,25 +468,37 @@ _GENERIC_TABLE_CAP = 4096
 
 
 def _generic_discrete_table(name, args, kwargs):
-    """(f64 CDF table, support start) for ANY static scipy discrete family.
+    """(f64 CDF table, support start) for no-kernel static discrete families.
 
-    Works for every ``scipy.stats`` discrete distribution with static
-    scalar parameters and a finite lower support bound: the table spans
-    the support up to the 1 - 2^-25 quantile (clamped float32 uniforms
-    cannot reach past it).  Returns None when inapplicable (continuous
-    family, traced parameters, unbounded-below support, table too big).
+    Works for every ``scipy.stats`` discrete distribution WITHOUT a
+    registered native kernel, given static scalar parameters and a
+    finite lower support bound: the table spans the support up to the
+    1 - eps quantile, where eps is one ulp below the clamp the engine's
+    uniforms can actually reach (2^-25 in float32 mode, 2^-54 in
+    float64 — an f64 run whose tail needs more than the cap falls back
+    to the exact host callback rather than silently truncating).
+    Returns None when inapplicable (continuous family, a family with
+    its own kernel, traced parameters, unbounded-below support, table
+    too big).
     """
     import scipy.stats as sps
 
+    if lookup(name) is not None:
+        # Closed-form/native kernels (bernoulli, geom, randint, ...) must
+        # keep their exact emit in BOTH executors; the generic table is
+        # strictly a fallback for families that would otherwise pay a
+        # host callback.
+        return None
     dist = getattr(sps, name, None)
     if dist is None or not isinstance(dist, sps.rv_discrete):
         return None
+    eps = 2.0**-25 if config.float_dtype() == jnp.float32 else 2.0**-54
     try:
         frozen = dist(*args, **kwargs)
         lo, hi_support = frozen.support()
         if not np.isfinite(lo):
             return None
-        hi = frozen.ppf(1.0 - 2.0**-25)
+        hi = frozen.ppf(1.0 - eps)
         if not np.isfinite(hi):
             hi = hi_support
         if not np.isfinite(hi) or hi - lo + 1 > _GENERIC_TABLE_CAP:

@@ -71,12 +71,14 @@ DISCRETE_FAMILIES = [
     ("nbinom", (5, 0.5), {}),
     ("randint", (2, 9), {}),
     # No hand-written kernel: served by the GENERIC static CDF-table path
-    # (any scipy discrete family with static scalar params), not the
-    # host callback.  hypergeom has a nonzero support start at these
-    # params; zipf has an infinite quantile-capped tail; logser starts
-    # at 1; boltzmann is doubly bounded.
-    ("hypergeom", (30, 12, 15), {}),
-    ("zipf", (2.5,), {}),
+    # (static scalar params, reachable support under the 4096-entry cap),
+    # not the host callback.  hypergeom(30, 25, 20) starts its support at
+    # 15 (nonzero offset); zipf a=3.5 has an infinite tail capped at the
+    # 1 - 2^-25 quantile (677 entries; a=2.5 would blow the cap and fall
+    # back to the callback); logser starts at 1; boltzmann is doubly
+    # bounded.
+    ("hypergeom", (30, 25, 20), {}),
+    ("zipf", (3.5,), {}),
     ("logser", (0.6,), {}),
     ("boltzmann", (0.5, 10), {}),
 ]
@@ -99,6 +101,21 @@ class TestPpfKernelAccuracy:
         expected = getattr(scipy.stats, name)(*args, **kwargs).ppf(q)
         mismatch = np.mean(ours != expected)
         assert mismatch < 0.01, f"{name}: {mismatch:.3%} mismatched"
+
+    def test_generic_table_gating(self):
+        # Engages exactly for static no-kernel discrete families with a
+        # cap-sized reachable support.
+        assert ppf_mod.static_cdf_table("hypergeom", 30, 25, 20) is not None
+        assert ppf_mod.static_cdf_table("zipf", 3.5) is not None
+        # Native-kernel families keep their exact closed forms.
+        assert ppf_mod.static_cdf_table("geom", 0.25) is None
+        assert ppf_mod.static_cdf_table("bernoulli", 0.5) is None
+        assert ppf_mod.static_cdf_table("randint", 0, 10) is None
+        # Oversize reachable support falls back to the host callback.
+        assert ppf_mod.static_cdf_table("zipf", 2.5) is None
+        # Nonzero support offset is preserved.
+        table, start = ppf_mod.static_cdf_table("hypergeom", 30, 25, 20)
+        assert start == 15 and len(table) == 6
 
     @pytest.mark.parametrize("name,args", [("poisson", (2.7,)), ("binom", (9, 0.35))])
     def test_discrete_traced_params_match_table_path(self, name, args):
