@@ -79,6 +79,7 @@ def sample(
         # Opt-in megakernel path (single kernel, hardware PRNG); falls back
         # loudly if the graph is not eligible. See engine/pallas_exec.py.
         from probabilit_tpu.engine import pallas_exec
+        from probabilit_tpu.parallel import mesh as _par_mesh
 
         gc_sink_only = gc_strategy is not None and len(gc_strategy) == 0
         if (
@@ -101,6 +102,23 @@ def sample(
             raise ValueError(
                 "executor='pallas' supports correlator='imanconover' only."
             )
+        # Library-level environment gate, mirroring streaming's eligibility
+        # check: without it a CPU run surfaces Mosaic's "Only interpret
+        # mode is supported on CPU backend" instead of our own error.
+        # (Argument/graph validation above fires first — a user bug is the
+        # more actionable error on any platform.)
+        if jax.devices()[0].platform != "tpu":
+            raise ValueError(
+                "executor='pallas' requires a TPU backend "
+                f"(current platform: {jax.devices()[0].platform!r})."
+            )
+        if config.float_dtype() != jnp.float32:
+            raise ValueError("executor='pallas' is float32-only.")
+        if _par_mesh.current_mesh() is not None:
+            raise ValueError(
+                "executor='pallas' does not run under a device mesh; "
+                "use the default executor for sharded sampling."
+            )
         if random_state is None:
             seed = int(np.random.SeedSequence().entropy % (2**31))
         elif isinstance(random_state, (int, np.integer)):
@@ -111,14 +129,15 @@ def sample(
             raise TypeError(
                 "executor='pallas' takes an int/Generator/None random_state."
             )
-        fn = _get_pallas_fn(plan, size)
-        out = fn(seed)
-        # Clear stale samples BEFORE any guard can raise: a failed call
+        # Clear stale samples BEFORE executing: trace-time errors inside
+        # fn(seed) (e.g. the correlated n<=K guard) and compile errors
         # must not leave a previous run's samples_ attached to nodes
         # (the XLA path clears before executing, sampler._execute).
         for node in plan.topo:
             if hasattr(node, "samples_"):
                 delattr(node, "samples_")
+        fn = _get_pallas_fn(plan, size)
+        out = fn(seed)
         if plan.corr_matrix is not None:
             # Correlated plans solve a Cholesky of EMPIRICAL score moments
             # inside the program; at small n (barely above K) that factor

@@ -38,6 +38,10 @@ __all__ = ["sample_streaming", "estimate"]
 
 _ESTIMATE_CACHE = {}
 
+# Incremented once per (re)trace of an estimate() whole-run program;
+# regression tests assert a size sweep does not retrace.
+_TRACE_COUNT = 0
+
 
 def _block_program(sink, block_size, executor="auto", method=None, total_size=None):
     """(plan, run) where ``run(b, key) -> sink block array`` for block ``b``.
@@ -176,7 +180,11 @@ def sample_streaming(
             raise ValueError(
                 f"Sampling produced non-finite values (block {b})."
             )
-    return out
+    # Host finalizers (string-valued categoricals etc.): same output
+    # contract as sample() — the reference returns actual values from
+    # every sampling entry point (modeling.py:893-895, 916-927).
+    finalize = plan.finalizers.get(sink._id)
+    return out if finalize is None else finalize(out)
 
 
 def estimate(
@@ -197,14 +205,27 @@ def estimate(
     PRNG stream (QMC error decay at sizes beyond HBM).
 
     ``quantiles`` (e.g. ``(0.5, 0.95, 0.99)`` for a VaR profile) adds
-    streamed quantile estimates: each block's EXACT order statistic is
-    extracted (one in-block sort) and count-weighted averaged across
-    blocks.  Each block-level quantile of an iid block is itself an
-    unbiased-to-O(1/n_block) estimator, so at the default 2^24-sample
-    blocks the averaged estimate carries ~1e-4-relative sampling error —
-    far below Monte Carlo noise at any size worth streaming.  (The
-    NumPy/SciPy reference cannot produce quantiles at these sizes at
-    all: it must materialise every sample.)
+    streamed quantile estimates: each block is split into 2^17-sample
+    rows, the requested order statistic of every sorted row is linearly
+    interpolated (np.quantile 'linear' convention), and the row values
+    are count-weighted averaged across rows and blocks.  Rows of an iid
+    block are iid themselves, so row averaging is the same estimator one
+    level down, and batched row sorts run ~5x faster than one giant 1-D
+    sort on TPU.  Levels within 1/2^17 of 0 or 1 would saturate at the
+    row min/max, so those fall back to one exact full-block sort per
+    block instead (slower, unbiased at any level).  Either way each
+    block-level estimate is unbiased to O(1/n_row), carrying ~1e-4
+    relative sampling error at the default block size — far below Monte
+    Carlo noise at any size worth streaming.  (The NumPy/SciPy reference
+    cannot produce quantiles at these sizes at all: it must materialise
+    every sample.)
+
+    The compiled whole-run program is cached across calls (keyed on graph
+    structure, block size, quantile levels, executor, and method — NOT on
+    ``size``, which is a traced loop bound: a size sweep reuses one
+    program).  Up to 32 programs are retained for the life of the
+    process, each holding its plan's node graph and device executable;
+    the oldest entry is evicted past that.
 
     Returns a dict with n, mean, var, std, min, max (+ one ``q<level>``
     entry per requested quantile).
@@ -214,19 +235,31 @@ def estimate(
         if not 0.0 < q < 1.0:
             raise ValueError(f"Quantile levels must be in (0, 1), got {q}.")
     plan, run = _block_program(sink, block_size, executor, method, total_size=size)
+    if plan.finalizers.get(sink._id) is not None:
+        # e.g. a string-valued DiscreteDistribution: its device output is
+        # an index array, and mean/var/quantiles of indices are not
+        # statistics of the actual values.  The reference returns real
+        # values from every sampling entry point (modeling.py:893-895).
+        raise ValueError(
+            "estimate() requires a numeric sink; this node produces "
+            "non-numeric values (e.g. a string-valued "
+            "DiscreteDistribution). Use sample_streaming() instead."
+        )
     key = resolve_key(random_state)
     n_blocks = -(-size // block_size)
+    last_count = size - (n_blocks - 1) * block_size
 
-    # Cache the jitted whole-run program across estimate() calls: a fresh
-    # closure per call would retrace AND pay a remote recompile each time
-    # (measured: ~17 s/call for the sort-bearing quantile variant vs
-    # ~2.5 s of actual execution at 1e9 draws).
+    # Cache the jitted whole-run program across estimate() calls AND
+    # across sizes: a fresh closure per call would retrace and pay a
+    # remote recompile each time (measured: ~17 s/call for the
+    # sort-bearing quantile variant vs ~2.5 s of actual execution at 1e9
+    # draws).  ``n_blocks``/``last_count`` are traced scalars, so a size
+    # sweep (1e8 -> 1e9 -> 1e10) hits one compiled program.
     from probabilit_tpu import config as _config
 
     cache_key = (
         plan.signature(),
         block_size,
-        size,
         quantiles,
         executor,
         method,
@@ -235,54 +268,136 @@ def estimate(
     )
     cached = _ESTIMATE_CACHE.get(cache_key)
     if cached is not None:
-        return _finalize_estimate(cached(key), size, quantiles)
+        return _finalize_estimate(
+            cached(key, n_blocks, last_count), size, quantiles
+        )
+
+    cols = 1 << 17
+    # Row-batched quantile extraction needs every level to sit at least
+    # one order statistic away from the row extremes; nearer levels fall
+    # back to the exact full-block sort (ADVICE r2: a q=0.999999 request
+    # must not silently estimate ~q=0.999992).
+    rows_ok = (
+        bool(quantiles)
+        and block_size % cols == 0
+        and block_size > cols
+        and all(1.0 / cols <= q <= 1.0 - 1.0 / cols for q in quantiles)
+    )
 
     @jax.jit
-    def all_blocks(key):
+    def all_blocks(key, n_blocks, last_count):
         # One dispatch for the whole run: lax.fori_loop folds every block
-        # into the running (mean, M2, min, max); only five scalars ever
-        # reach the host.  Counts carried in f32 (exact merge weights are
-        # unnecessary; relative 2^-24 is far below MC noise).
-        # Full blocks fold UNMASKED (no per-element valid tests in the hot
-        # loop — 1-D iota/select chains are slow on TPU); only the final
-        # block, when partial, pays the masked path, outside the loop.
-        # Its exact count is a static Python int, so no size-dependent
-        # (int32-overflowing at >2^31) arithmetic is ever traced.
-        last_count = size - (n_blocks - 1) * block_size
+        # into the running (mean, M2, min, max); only a handful of
+        # scalars ever reach the host.  Counts carried in f32 (exact
+        # merge weights are unnecessary; relative 2^-24 is far below MC
+        # noise).  Full blocks fold UNMASKED (no per-element valid tests
+        # in the hot loop — 1-D iota/select chains are slow on TPU); the
+        # final block always runs the masked path, outside the loop, with
+        # its valid count as a traced scalar.
+        global _TRACE_COUNT
+        _TRACE_COUNT += 1
 
-        def pick(xs_last_axis, m):
-            # np.quantile 'linear' convention on m order statistics:
-            # rank q*(m-1), linearly interpolated between the bracketing
-            # statistics.  Flooring to a bare index would quantize the
-            # requested level to a 1/m rank grid — a 53% tail-probability
-            # error at q=0.99999 with 2^17-sample rows.
+        def qsum_full(x):
+            # Contribution of a FULL block to the quantile numerator:
+            # sum over rows of (row order statistic * row count).
+            # np.quantile 'linear' convention: rank q*(m-1), interpolated
+            # between the bracketing statistics — flooring to a bare
+            # index would quantize the level to a 1/m rank grid (a 53%
+            # tail-probability error at q=0.99999 with 2^17 rows).
+            if not quantiles:
+                return jnp.zeros((0,), jnp.float32)
+            if rows_ok:
+                xs = jax.lax.sort(
+                    x.reshape(block_size // cols, cols),
+                    dimension=1,
+                    is_stable=False,
+                )
+                out = []
+                for q in quantiles:
+                    pos = q * (cols - 1)
+                    lo = min(int(pos), cols - 2)
+                    frac = jnp.float32(pos - lo)
+                    a = xs[:, lo]
+                    b = xs[:, lo + 1]
+                    out.append(jnp.sum(a + frac * (b - a)) * cols)
+                return jnp.stack(out)
+            xs = jax.lax.sort(x, is_stable=False)
+            m = block_size
             out = []
             for q in quantiles:
                 pos = q * (m - 1)
                 lo = min(int(pos), m - 2) if m > 1 else 0
                 frac = jnp.float32(pos - lo)
-                a = xs_last_axis[..., lo]
-                b = xs_last_axis[..., min(lo + 1, m - 1)]
-                out.append(jnp.mean(a + frac * (b - a)))
+                a = xs[lo]
+                b = xs[min(lo + 1, m - 1)]
+                out.append((a + frac * (b - a)) * m)
             return jnp.stack(out)
 
-        def block_quantiles(x, count):
-            # Order statistics per sorted ROW, averaged: rows of an iid
-            # block are iid themselves, so row-quantile averaging is the
-            # same estimator one level down — and batched row sorts run
-            # ~5x faster than one giant 1-D sort on TPU (measured:
-            # 18 ns/elem single-row vs ~3.5 ns/elem batched).
+        def qsum_partial(x, mask, cnt):
+            # Final-block contribution with a traced valid count: invalid
+            # lanes sort to +inf, full rows use the static positions,
+            # the boundary row interpolates at traced positions.
             if not quantiles:
                 return jnp.zeros((0,), jnp.float32)
-            cols = 1 << 17
-            if count % cols == 0 and count > cols:
+            xinf = jnp.where(mask, x, jnp.float32(jnp.inf))
+            if rows_ok:
+                nrows = block_size // cols
                 xs = jax.lax.sort(
-                    x.reshape(count // cols, cols), dimension=1, is_stable=False
+                    xinf.reshape(nrows, cols), dimension=1, is_stable=False
                 )
-                return pick(xs, cols)
-            return pick(jax.lax.sort(x, is_stable=False), count)
+                n_full = cnt // cols
+                rem = cnt - n_full * cols
+                remf = rem.astype(jnp.float32)
+                full_rows = jnp.arange(nrows, dtype=jnp.int32) < n_full
+                brow = jax.lax.dynamic_slice_in_dim(
+                    xs, jnp.minimum(n_full, nrows - 1), 1, axis=0
+                )[0]
+                out = []
+                for q in quantiles:
+                    pos = q * (cols - 1)
+                    lo = min(int(pos), cols - 2)
+                    frac = jnp.float32(pos - lo)
+                    a = xs[:, lo]
+                    b = xs[:, lo + 1]
+                    # Select, not multiply: invalid rows hold +inf and
+                    # inf * 0 would poison the sum with NaN.
+                    full_sum = (
+                        jnp.sum(
+                            jnp.where(full_rows, a + frac * (b - a), 0.0)
+                        )
+                        * cols
+                    )
+                    bpos = q * (remf - 1.0)
+                    blo = jnp.clip(jnp.floor(bpos).astype(jnp.int32), 0, cols - 2)
+                    bfrac = bpos - blo.astype(jnp.float32)
+                    ba = jax.lax.dynamic_index_in_dim(brow, blo, keepdims=False)
+                    bb = jax.lax.dynamic_index_in_dim(
+                        brow,
+                        jnp.minimum(blo + 1, jnp.maximum(rem - 1, 0)),
+                        keepdims=False,
+                    )
+                    bq = ba + bfrac * (bb - ba)
+                    out.append(
+                        full_sum + jnp.where(rem > 0, bq * remf, jnp.float32(0.0))
+                    )
+                return jnp.stack(out)
+            xs = jax.lax.sort(xinf, is_stable=False)
+            cntf = cnt.astype(jnp.float32)
+            out = []
+            for q in quantiles:
+                pos = q * (cntf - 1.0)
+                lo = jnp.clip(
+                    jnp.floor(pos).astype(jnp.int32), 0, block_size - 2
+                )
+                frac = pos - lo.astype(jnp.float32)
+                a = jax.lax.dynamic_index_in_dim(xs, lo, keepdims=False)
+                b = jax.lax.dynamic_index_in_dim(
+                    xs, jnp.minimum(lo + 1, cnt - 1), keepdims=False
+                )
+                out.append((a + frac * (b - a)) * cntf)
+            return jnp.stack(out)
 
-        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bq):
+        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum):
             n_prev, mean, m2, vmin, vmax, finite, qsum = carry
             delta = bm - mean
             nn = n_prev + bn
@@ -290,7 +405,7 @@ def estimate(
             m2 = m2 + bm2 + delta * delta * n_prev * bn / nn
             vmin = jnp.minimum(vmin, bmin)
             vmax = jnp.maximum(vmax, bmax)
-            return nn, mean, m2, vmin, vmax, finite & bfinite, qsum + bn * bq
+            return nn, mean, m2, vmin, vmax, finite & bfinite, qsum + bqsum
 
         def body(b, carry):
             x = run(b, key).astype(jnp.float32)
@@ -305,7 +420,7 @@ def estimate(
                 jnp.min(x),
                 jnp.max(x),
                 jnp.all(jnp.isfinite(x)),
-                block_quantiles(x, block_size),
+                qsum_full(x),
             )
 
         init = (
@@ -317,29 +432,32 @@ def estimate(
             jnp.bool_(True),
             jnp.zeros((len(quantiles),), jnp.float32),
         )
-        n_full = n_blocks if last_count == block_size else n_blocks - 1
-        carry = jax.lax.fori_loop(0, n_full, body, init)
-        if n_full != n_blocks:
-            x = run(n_full, key).astype(jnp.float32)[:last_count]
-            bn = jnp.float32(last_count)
-            bm = jnp.mean(x)
-            bm2 = jnp.sum(jnp.square(x - bm))
-            carry = merge(
-                carry,
-                bn,
-                bm,
-                bm2,
-                jnp.min(x),
-                jnp.max(x),
-                jnp.all(jnp.isfinite(x)),
-                block_quantiles(x, last_count),
-            )
-        return carry
+        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(0, nb1, body, init)
+
+        cnt = jnp.asarray(last_count, jnp.int32)
+        x = run(nb1, key).astype(jnp.float32)
+        mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
+        cntf = cnt.astype(jnp.float32)
+        bm = jnp.sum(jnp.where(mask, x, 0.0)) / cntf
+        bm2 = jnp.sum(jnp.where(mask, jnp.square(x - bm), 0.0))
+        return merge(
+            carry,
+            cntf,
+            bm,
+            bm2,
+            jnp.min(jnp.where(mask, x, jnp.float32(jnp.inf))),
+            jnp.max(jnp.where(mask, x, jnp.float32(-jnp.inf))),
+            jnp.all(jnp.where(mask, jnp.isfinite(x), True)),
+            qsum_partial(x, mask, cnt),
+        )
 
     if len(_ESTIMATE_CACHE) > 32:
         _ESTIMATE_CACHE.pop(next(iter(_ESTIMATE_CACHE)))
     _ESTIMATE_CACHE[cache_key] = all_blocks
-    return _finalize_estimate(all_blocks(key), size, quantiles)
+    return _finalize_estimate(
+        all_blocks(key, n_blocks, last_count), size, quantiles
+    )
 
 
 def _finalize_estimate(carry, size, quantiles):

@@ -206,6 +206,35 @@ class TestErrorPaths:
                 correlator="cholesky",
             )
 
+    @pytest.mark.skipif(on_tpu, reason="checks the CPU refusal path")
+    def test_requires_tpu_platform(self):
+        # Library-level pre-check: an otherwise-eligible graph on a
+        # non-TPU backend must get our error, not Mosaic's "Only
+        # interpret mode is supported on CPU backend".
+        sink = Distribution("norm") + 1
+        with pytest.raises(ValueError, match="TPU backend"):
+            sink.sample(64, random_state=0, gc_strategy=[], executor="pallas")
+
+    def test_failed_call_clears_stale_samples(self, monkeypatch):
+        # A previous successful run's samples_ must not survive a failed
+        # pallas call (ADVICE r2): the clearing loop runs before fn(seed).
+        import probabilit_tpu.engine.sampler as sampler_mod
+
+        sink = Distribution("norm") + 1
+        sink.sample(64, random_state=0)
+        assert hasattr(sink, "samples_")
+
+        fake_dev = type("Dev", (), {"platform": "tpu"})()
+        monkeypatch.setattr(sampler_mod.jax, "devices", lambda: [fake_dev])
+
+        def boom(plan, size):
+            raise RuntimeError("compile failed")
+
+        monkeypatch.setattr(sampler_mod, "_get_pallas_fn", boom)
+        with pytest.raises(RuntimeError, match="compile failed"):
+            sink.sample(64, random_state=0, gc_strategy=[], executor="pallas")
+        assert not hasattr(sink, "samples_")
+
 
 @pytest.mark.skipif(not on_tpu, reason="hardware PRNG requires a real TPU")
 class TestOnTpu:
