@@ -113,6 +113,8 @@ class Plan:
 
         self._analyze_correlations()
 
+        self._signature = None
+
         # Host-side output finalizers (e.g. string-valued categorical
         # gathers) are a static property of the node type.
         self.finalizers = {}
@@ -158,8 +160,8 @@ class Plan:
         ]
         self.corr_vars = all_variables
         raw = build_corrmat(indexed)
-        # Plans are rebuilt per sample() call; cache the (host, O(K^3))
-        # nearest-correlation-matrix solve across calls.
+        # Cache the (host, O(K^3)) nearest-correlation-matrix solve:
+        # distinct sinks (or invalidated plans) often share target blocks.
         cache_key = raw.tobytes()
         cached = _NCM_CACHE.get(cache_key)
         if cached is None:
@@ -170,19 +172,47 @@ class Plan:
         self.corr_matrix = cached
 
     def signature(self):
-        sig = []
-        for node in self.topo:
-            parent_ids = tuple(p._id for p in node.get_parents())
-            sig.append((node._id, node._static_signature(), parent_ids))
-        corr_sig = (
-            None
-            if self.corr_matrix is None
-            else (
-                tuple(v._id for v in self.corr_vars),
-                self.corr_matrix.tobytes(),
+        # Memoised: a Plan is immutable once built (get_plan invalidates
+        # the whole Plan on graph mutation), and re-tupling a 12k-node
+        # graph per program-cache lookup is O(graph) Python per call.
+        sig = self._signature
+        if sig is None:
+            rows = []
+            for node in self.topo:
+                parent_ids = tuple(p._id for p in node.get_parents())
+                rows.append((node._id, node._static_signature(), parent_ids))
+            corr_sig = (
+                None
+                if self.corr_matrix is None
+                else (
+                    tuple(v._id for v in self.corr_vars),
+                    self.corr_matrix.tobytes(),
+                )
             )
-        )
-        return (tuple(sig), self.sink._id, corr_sig)
+            sig = self._signature = (tuple(rows), self.sink._id, corr_sig)
+        return sig
+
+
+def get_plan(sink):
+    """Build (or fetch) the Plan for ``sink``, cached on the node itself.
+
+    Node parent sets are fixed at construction, so a sink's ancestor
+    subgraph can only change through explicit mutation — today just
+    ``correlate()``, which bumps ``Node._mutation_epoch``.  The cache
+    entry lives on the sink (dies with it, no global registry) and is
+    dropped by ``Node.copy`` (the copy shares ``_id`` s with the
+    original, so it must re-analyze).  At the proven 12k-node scale this
+    turns the per-``sample()`` Python overhead from O(graph) re-analysis
+    into one attribute check.
+    """
+    cached = getattr(sink, "_plan_cache", None)
+    if cached is not None:
+        epoch, plan = cached
+        if epoch == _graph.Node._mutation_epoch:
+            return plan
+    plan = Plan(sink)
+    sink._plan_cache = (_graph.Node._mutation_epoch, plan)
+    return plan
 
 
 def resolve_correlator(correlator):

@@ -73,7 +73,7 @@ def sample(
     executor=None,
 ):
     size = 1 if size is None else int(size)
-    plan = _compile.Plan(sink)
+    plan = _compile.get_plan(sink)
 
     if executor == "pallas":
         # Opt-in megakernel path (single kernel, hardware PRNG); falls back
@@ -164,7 +164,7 @@ def sample(
 
 
 def sample_from_quantiles(sink, quantiles, correlator="imanconover", gc_strategy=None):
-    plan = _compile.Plan(sink)
+    plan = _compile.get_plan(sink)
     quantiles = jnp.asarray(quantiles, config.float_dtype())
     if quantiles.ndim != 2:
         raise ValueError("`quantiles` must have shape (num_samples, dimensionality)")

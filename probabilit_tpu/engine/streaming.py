@@ -60,7 +60,7 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
     compositions inside XLA itself; our own Newton loops freeze per-lane
     and are batch-independent.)
     """
-    plan = _compile.Plan(sink)
+    plan = _compile.get_plan(sink)
     if plan.corr_matrix is not None and method is not None:
         # The streamed-QMC contract is bitwise equality with a single-shot
         # run; correlation induction recolors per block (empirical moments

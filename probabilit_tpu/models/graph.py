@@ -121,6 +121,14 @@ class Node(abc.ABC):
 
     id_iter = itertools.count()
 
+    # Bumped by every operation that can mutate an ALREADY-BUILT node's
+    # sampling semantics (today: ``correlate``).  Engine-side caches of
+    # per-sink static analysis (``compile.get_plan``) key on this: node
+    # parents are fixed at construction, so creating new nodes can never
+    # change an existing sink's plan, but a later ``correlate()`` on any
+    # ancestor can.
+    _mutation_epoch = 0
+
     # Overridden by AbstractDistribution. Avoids circular imports in
     # isinstance checks spread across the engine.
     _is_distribution = False
@@ -220,6 +228,10 @@ class Node(abc.ABC):
 
         for node in topological_sort(self):
             copied = _copy.copy(node)
+            # The shallow copy would share the original's cached plan,
+            # whose topo points at the ORIGINAL nodes (same _ids, so an
+            # id-keyed lookup cannot tell them apart).  Drop it.
+            copied.__dict__.pop("_plan_cache", None)
             id_to_new[copied._id] = copied
             if hasattr(copied, "samples_") and copied.samples_ is not None:
                 copied.samples_ = np.copy(copied.samples_)
@@ -322,6 +334,7 @@ class Node(abc.ABC):
             if var not in nodes:
                 raise ValueError(f"{var} is not an ancestor of {self}")
         self._correlations.append((list(variables), np.copy(corr_mat)))
+        Node._mutation_epoch += 1
         return self
 
 
