@@ -155,30 +155,70 @@ def supports(plan, keep_ids):
 
 
 # Table-based families (Discrete/Cumulative/Empirical) evaluate as
-# O(table) chains of selects over host-constant knots — Mosaic has no
-# vectorised gather/searchsorted.  Past this many knots the select chain
-# stops being competitive and the graph falls back to the XLA path.
-_TABLE_MAX = 64
+# O(table) select TREES over host-constant knots — Mosaic has no
+# vectorised gather/searchsorted, so a table costs ~2 VPU ops per knot
+# per element regardless of shape.  The balanced tree keeps the
+# dependency DEPTH at log2(knots), so the ops pipeline at VPU peak
+# (a linear chain of dependent selects would stall ~4x at hundreds of
+# knots).  Measured on v5e (round 3, wall-affine slope between 1e8 and
+# 4e8 samples): a 471-knot poisson(mu=2000) tree runs at 0.33 ns/sample
+# vs 0.04 ns/sample for the closed-form norm kernel — and vs
+# 91 ns/sample for the SAME family through the XLA executor's
+# searchsorted path (~280x).  Past this cap the O(knots) per-element
+# work stops being competitive and the graph falls back to the XLA
+# path (whose table cap is 4096, ops/ppf.py).
+_TABLE_MAX = 512
+
+
+def _select_tree(q, boundaries, leaf, strict):
+    """``leaf(count)`` where ``count = #{b in boundaries : q > b}``.
+
+    ``boundaries`` is a non-decreasing host-constant sequence (n of them,
+    n + 1 leaves); ``strict=False`` counts ``q >= b`` instead.  Because
+    the boundaries are sorted, the count equals the largest i with
+    ``q > boundaries[i-1]``, so a balanced binary search tree of selects
+    computes it with n comparisons + n selects at depth ceil(log2(n+1)) —
+    the same op count as the naive chain but pipeline-friendly.
+
+    ``leaf(i)`` returns the interval-i value (a scalar constant or an
+    array shaped like ``q``); both subtrees of every node are evaluated
+    (data-oblivious), as any TPU select network must.
+    """
+
+    def build(lo, hi):
+        if hi - lo == 1:
+            return leaf(lo)
+        mid = (lo + hi) // 2
+        b = jnp.float32(boundaries[mid - 1])
+        cond = (q > b) if strict else (q >= b)
+        return jnp.where(cond, build(mid, hi), build(lo, mid))
+
+    return build(0, len(boundaries) + 1)
 
 
 def _kernel_interp(q, xp, fp):
-    """``jnp.interp(q, xp, fp)`` as a Mosaic-safe select chain.
+    """``jnp.interp(q, xp, fp)`` as a Mosaic-safe select tree.
 
-    ``xp``/``fp`` are small host-constant 1-D arrays (xp non-decreasing);
+    ``xp``/``fp`` are host-constant 1-D arrays (xp non-decreasing);
     outside [xp[0], xp[-1]] the result clamps to the endpoint values,
     matching ``jnp.interp``.  Duplicate knots produce the right-hand
-    value for q at/past the jump.
+    value for q at/past the jump (interval selection counts ``q >= x``,
+    so equal knots collapse to the highest interval, exactly like the
+    chain form this replaces).
     """
-    val = jnp.full(q.shape, jnp.float32(fp[0]))
-    for i in range(1, len(xp)):
+
+    def leaf(i):
+        # Interval i: q in [xp[i-1], xp[i]) (i = 0: below xp[0]).
+        if i == 0:
+            return jnp.full(q.shape, jnp.float32(fp[0]))
         x0, x1 = float(xp[i - 1]), float(xp[i])
         f0, f1 = float(fp[i - 1]), float(fp[i])
         if x1 > x0:
             slope = (f1 - f0) / (x1 - x0)
-            seg = jnp.float32(f0) + (q - jnp.float32(x0)) * jnp.float32(slope)
-        else:
-            seg = jnp.full(q.shape, jnp.float32(f1))
-        val = jnp.where(q >= jnp.float32(x0), seg, val)
+            return jnp.float32(f0) + (q - jnp.float32(x0)) * jnp.float32(slope)
+        return jnp.full(q.shape, jnp.float32(f1))
+
+    val = _select_tree(q, [float(x) for x in xp[:-1]], leaf, strict=False)
     return jnp.where(q >= jnp.float32(xp[-1]), jnp.float32(fp[-1]), val)
 
 
@@ -186,15 +226,21 @@ _TRIMMED_TABLE_CACHE = {}
 
 
 def _trimmed_cdf_table(node):
-    """f32 CDF table for a static discrete family, trimmed, or None.
+    """(f32 CDF table, loc) for a static discrete family, trimmed, or None.
 
     The f64 table is cast to f32 exactly as ``ppf._table_ppf`` does, then
-    truncated after the first entry >= 1 - 2^-24: kernel uniforms are
-    clamped below that, so later entries are unreachable (searchsorted
-    can never select past the first such entry).  Keeps mid-size supports
-    (poisson mu ~ 30, binom n ~ 100) under the select-chain cap.
+    trimmed at BOTH ends to the reachable range of the kernel's clamped
+    uniforms (q in [2^-24, 1 - 2^-24], ``_bits_to_open_unit``):
 
-    Memoised by the node's static signature: eligibility checks
+    * the tail is truncated after the first entry >= 1 - 2^-24 (the
+      strict-< search can never select past it);
+    * leading entries STRICTLY below 2^-24 always compare true
+      (``q > entry`` for every clamped q), so they are dropped and their
+      count folded into ``loc`` — exact for every reachable q.
+
+    Both trims together keep large supports under the select-tree cap:
+    poisson mu=400 shrinks 510 -> 356 reachable knots, mu=1000 fits at
+    ~381.  Memoised by the node's static signature: eligibility checks
     (``supports``), ``_table_node_ok``, and the kernel emit would
     otherwise each rebuild the scipy table.
     """
@@ -215,7 +261,9 @@ def _trimmed_cdf_table(node):
         reachable = np.nonzero(t32 >= np.float32(1.0 - 2.0**-24))[0]
         if len(reachable):
             t32 = t32[: reachable[0] + 1]
-        result = (t32, loc)
+        lead = int(np.searchsorted(t32, np.float32(2.0**-24), side="left"))
+        lead = min(lead, len(t32) - 1)  # keep >= 1 entry
+        result = (t32[lead:], loc + lead)
     if len(_TRIMMED_TABLE_CACHE) > 256:
         _TRIMMED_TABLE_CACHE.pop(next(iter(_TRIMMED_TABLE_CACHE)))
     _TRIMMED_TABLE_CACHE[cache_key] = result
@@ -223,32 +271,32 @@ def _trimmed_cdf_table(node):
 
 
 def _kernel_table_ppf(q, table, loc):
-    """``ppf._table_ppf`` (scipy convention) as a Mosaic select chain.
+    """``ppf._table_ppf`` (scipy convention) as a Mosaic select tree.
 
     ``searchsorted(table, q, side='left')`` counts entries < q, so the
-    chain uses STRICT comparisons — the opposite boundary convention from
+    tree uses STRICT comparisons — the opposite boundary convention from
     ``_kernel_discrete`` (which matches the reference's side='right'
     DiscreteDistribution sampling).
     """
-    val = jnp.zeros(q.shape, jnp.float32)
-    for i in range(1, len(table)):
-        val = jnp.where(q > jnp.float32(table[i - 1]), jnp.float32(i), val)
-    return val + jnp.float32(loc)
+    boundaries = [float(t) for t in table[:-1]]
+    val = _select_tree(
+        q, boundaries, lambda i: jnp.float32(i), strict=True
+    )
+    return jnp.broadcast_to(val, q.shape) + jnp.float32(loc)
 
 
 def _kernel_discrete(q, cumulative, values):
-    """``values[searchsorted(cumulative, q, side='right')]`` via selects.
+    """``values[searchsorted(cumulative, q, side='right')]`` via a select tree.
 
     Matches the XLA emit exactly (including the clamp to the last value):
-    the select chain assigns ``values[i]`` wherever ``q >= cumulative[i-1]``,
-    which IS the right-sided rank of q in the cumulative table.
+    interval i (``q >= cumulative[i-1]``) yields ``values[i]``, which IS
+    the right-sided rank of q in the cumulative table.
     """
-    val = jnp.full(q.shape, jnp.float32(values[0]))
-    for i in range(1, len(values)):
-        val = jnp.where(
-            q >= jnp.float32(cumulative[i - 1]), jnp.float32(values[i]), val
-        )
-    return val
+    boundaries = [float(c) for c in cumulative[: len(values) - 1]]
+    val = _select_tree(
+        q, boundaries, lambda i: jnp.float32(values[i]), strict=False
+    )
+    return jnp.broadcast_to(val, q.shape)
 
 
 def _kernel_table_emit(node):

@@ -55,7 +55,7 @@ class TestEligibility:
         # A correlated variable outside the family whitelist disqualifies
         # the graph through the ordinary per-node gate.
         a = Distribution("norm")
-        b = Distribution("poisson", mu=500)  # table far beyond the cap
+        b = Distribution("poisson", mu=5000)  # table far beyond the cap
         sink = (a + b).correlate(a, b, corr_mat=np.eye(2))
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
@@ -115,8 +115,28 @@ class TestEligibility:
     def test_composite_or_huge_discrete_rejected(self):
         comp = Distribution("binom", n=Distribution("poisson", mu=3), p=0.4)
         assert not pallas_exec.supports(_plan(comp), frozenset({comp._id}))
-        huge = Distribution("poisson", mu=500) + 0  # table >> 64 entries
+        huge = Distribution("poisson", mu=5000) + 0  # reachable knots: 744 > 512
         assert not pallas_exec.supports(_plan(huge), frozenset({huge._id}))
+
+    def test_mid_size_tables_supported(self):
+        # The select-tree table kernels raised the cap from 64 to 512
+        # knots: poisson mu=400 (510-entry trimmed table), binom n=200,
+        # and 512-knot user tables are all on the fastest path now.
+        from probabilit_tpu.modeling import EmpiricalDistribution
+
+        rng = np.random.default_rng(0)
+        for sink in (
+            Distribution("poisson", mu=400) + 0,
+            Distribution("poisson", mu=2000) + 0,  # 471 reachable knots
+            Distribution("binom", n=200, p=0.5) + 0,
+            Distribution("binom", n=5000, p=0.5) + 0,
+            DiscreteDistribution(
+                np.arange(512.0), rng.dirichlet(np.ones(512))
+            )
+            + 0,
+            EmpiricalDistribution(rng.normal(size=512)) + 0,
+        ):
+            assert pallas_exec.supports(_plan(sink), frozenset({sink._id})), sink
 
     def test_large_or_string_tables_rejected(self):
         from probabilit_tpu.modeling import EmpiricalDistribution
@@ -177,6 +197,90 @@ class TestKernelTableHelpers:
         np.testing.assert_array_equal(got, values[idx].astype(np.float32))
 
 
+class TestSelectTreeLargeTables:
+    """512-knot select trees: exact-checkable on CPU (pure jnp)."""
+
+    def test_table_ppf_471_knots_matches_searchsorted(self):
+        import jax.numpy as jnp
+
+        node = Distribution("poisson", mu=2000)
+        table, loc = pallas_exec._trimmed_cdf_table(node)
+        assert 256 < len(table) <= 512
+        assert loc > 0 and float(table[0]) >= 2.0**-24  # leading trim folded in
+        rng = np.random.default_rng(9)
+        q = rng.uniform(2.0**-24, 1 - 2.0**-24, size=8192).astype(np.float32)
+        q[: len(table)] = table  # exact boundary hits: strict-side check
+        got = np.asarray(pallas_exec._kernel_table_ppf(jnp.asarray(q), table, loc))
+        k = np.minimum(
+            np.searchsorted(table, q, side="left"), len(table) - 1
+        ).astype(np.float32)
+        np.testing.assert_array_equal(got, k + loc)
+
+    def test_discrete_512_values_matches_searchsorted(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(10)
+        p = rng.dirichlet(np.ones(512))
+        values = rng.normal(size=512)
+        cumulative = np.cumsum(p)
+        q = rng.uniform(0, 1, size=8192).astype(np.float32)
+        q[:512] = cumulative.astype(np.float32)
+        got = np.asarray(
+            pallas_exec._kernel_discrete(jnp.asarray(q), cumulative, values)
+        )
+        idx = np.minimum(
+            np.searchsorted(cumulative.astype(np.float32), q, side="right"),
+            len(values) - 1,
+        )
+        np.testing.assert_array_equal(got, values[idx].astype(np.float32))
+
+    def test_interp_512_knots_matches_jnp(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        xp = np.sort(rng.uniform(0, 1, size=512))
+        fp = rng.normal(size=512)
+        q = jnp.asarray(
+            rng.uniform(-0.05, 1.05, size=8192).astype(np.float32)
+        )
+        got = np.asarray(pallas_exec._kernel_interp(q, xp, fp))
+        want = np.asarray(
+            jnp.interp(q, jnp.asarray(xp, jnp.float32), jnp.asarray(fp, jnp.float32))
+        )
+        # Dense random knots (spacing ~0.002, slopes ~500): the kernel's
+        # host-f64 precomputed slope and jnp.interp's on-device f32
+        # divide round differently; agreement is to ~slope*ulp(x).
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    def test_interp_duplicate_knots(self):
+        # Duplicate knots: right-hand value at/past the jump, exactly as
+        # the chain form behaved (covered separately since the tree
+        # collapses equal boundaries structurally differently).
+        import jax.numpy as jnp
+
+        xp = np.array([0.0, 0.25, 0.25, 1.0])
+        fp = np.array([0.0, 1.0, 5.0, 6.0])
+        q = jnp.asarray(np.array([0.1, 0.25, 0.26, 0.9999, 1.0], np.float32))
+        got = np.asarray(pallas_exec._kernel_interp(q, xp, fp))
+        want = np.asarray(
+            jnp.interp(
+                jnp.asarray(q), jnp.asarray(xp, jnp.float32), jnp.asarray(fp, jnp.float32)
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_single_entry_tables(self):
+        import jax.numpy as jnp
+
+        q = jnp.asarray(np.array([0.2, 0.8], np.float32))
+        got = np.asarray(pallas_exec._kernel_discrete(q, np.array([1.0]), [7.0]))
+        np.testing.assert_array_equal(got, [7.0, 7.0])
+        got = np.asarray(
+            pallas_exec._kernel_table_ppf(q, np.array([1.0]), 3.0)
+        )
+        np.testing.assert_array_equal(got, [3.0, 3.0])
+
+
 class TestErrorPaths:
     def test_requires_gc_sink_only(self):
         sink = Distribution("norm") + 1
@@ -190,7 +294,7 @@ class TestErrorPaths:
                         executor="pallas")
 
     def test_rejects_ineligible_graph(self):
-        sink = Distribution("poisson", mu=500) + 0
+        sink = Distribution("poisson", mu=5000) + 0
         with pytest.raises(ValueError, match="pallas"):
             sink.sample(64, random_state=0, gc_strategy=[], executor="pallas")
 
@@ -338,6 +442,26 @@ class TestOnTpu:
         # reproduces its quartiles.
         assert se.min() >= data.min() and se.max() <= data.max()
         assert abs(np.median(se) - np.median(data)) < 0.05
+
+    def test_large_table_families_on_chip(self):
+        # 512-cap select trees on the real chip: poisson mu=400 (510-knot
+        # trimmed table) through the megakernel vs scipy and vs the XLA
+        # executor (different streams, same distribution).
+        import scipy.stats
+
+        d = Distribution("poisson", mu=400) + 0.0
+        n = 200_000
+        pal = np.asarray(
+            d.sample(n, random_state=6, gc_strategy=[], executor="pallas")
+        )
+        ref = scipy.stats.poisson(400)
+        assert abs(pal.mean() - 400.0) < 0.3
+        assert abs(pal.var() - 400.0) / 400.0 < 0.02
+        ks = scipy.stats.kstest(pal, lambda x: ref.cdf(np.floor(x)))
+        assert ks.pvalue > 1e-4 or abs(pal.mean() - 400.0) < 0.2
+        xla = np.asarray(d.sample(n, random_state=6, gc_strategy=[]))
+        for q in (0.05, 0.5, 0.95):
+            assert abs(np.quantile(pal, q) - np.quantile(xla, q)) <= 2.0, q
 
     def test_correlated_executors_agree_in_distribution(self):
         # Different streams (threefry vs hardware PRNG) but the same
