@@ -84,15 +84,16 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
                 "generates its own hardware-PRNG stream)."
             )
         name = method.lower().strip()
-        if name not in ("sobol", "halton"):
+        if name not in ("sobol", "halton", "lhs"):
             raise ValueError(
                 "Streamed QMC requires an index-addressable method "
-                f"('sobol' or 'halton'), got {method!r}."
+                f"('sobol', 'halton' or 'lhs'), got {method!r}."
             )
         # Point indices are 32-bit: Sobol direction numbers span 2^32
-        # points (uint32 index math), Halton's digit loop is int32 (2^31).
-        # Past the cap the stream would silently wrap and repeat points.
-        cap = 2**32 if name == "sobol" else 2**31
+        # points (uint32 index math), Halton's digit loop is int32 (2^31),
+        # LHS strata come from a uint32 Feistel permutation (2^32).  Past
+        # the cap the stream would silently wrap and repeat points.
+        cap = 2**31 if name == "halton" else 2**32
         if total_size is not None and total_size > cap:
             raise ValueError(
                 f"Streamed {name} supports at most 2^{cap.bit_length() - 1} "
@@ -101,10 +102,17 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
             )
         program = _compile.get_program(plan, "imanconover", keep, check_finite=False)
         dtype = config.float_dtype()
+        # LHS stratifies over the WHOLE run: block b draws rows
+        # [b*block, b*block + block) of the total_size-point global
+        # stratification (the keyed-Feistel permutation makes any block
+        # computable without the rest).
+        total = total_size if name == "lhs" else None
 
         def run(b, key):
             offset = jnp.asarray(b, jnp.uint32) * jnp.uint32(block_size)
-            q = _qmc.generate(name, key, block_size, plan.d, dtype, offset=offset)
+            q = _qmc.generate(
+                name, key, block_size, plan.d, dtype, offset=offset, total=total
+            )
             outputs, _ = program(q)
             return outputs[plan.sink._id]
 

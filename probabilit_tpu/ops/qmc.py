@@ -279,16 +279,84 @@ def halton(key, n, d, dtype=None, scramble=True, offset=0):
     return clamp_open_unit(pts.astype(dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "d", "dtype"))
-def latin_hypercube(key, n, d, dtype=None):
-    """Latin hypercube sample: one stratified jittered permutation per dim."""
+_FEISTEL_ROUNDS = 4
+
+
+def _mix32(x, k):
+    """Murmur3-style finalizer of ``x`` keyed by ``k`` (uint32 vectors)."""
+    h = (x + k) * jnp.uint32(0x9E3779B9)
+    h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ (h >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> jnp.uint32(16))
+
+
+def _feistel_permutation(idx, round_keys, total):
+    """Keyed bijection of [0, total): cycle-walking balanced Feistel.
+
+    ``idx``: uint32 vector of in-domain indices; ``round_keys``: (R,)
+    uint32; ``total``: static int.  The Feistel network permutes
+    [0, 2^m) for the smallest even m with 2^m >= total; out-of-domain
+    images walk the permutation again (expected < 4 walks, geometric
+    tail).  This is what makes Latin hypercube index-addressable: point
+    i's stratum is a pure function of (i, key), so any block of a
+    streamed/sharded run computes exactly its rows of the one global
+    stratification (VERDICT r2 #8).
+    """
+    if total <= 1:
+        return jnp.zeros_like(idx)
+    m = max(2, int(np.ceil(np.log2(total))))
+    m += m & 1  # even: balanced halves
+    h = m // 2
+    mask_h = jnp.uint32((1 << h) - 1)
+
+    def feistel(v):
+        L = (v >> jnp.uint32(h)) & mask_h
+        R = v & mask_h
+        for r in range(_FEISTEL_ROUNDS):
+            L, R = R, L ^ (_mix32(R, round_keys[r]) & mask_h)
+        return (L << jnp.uint32(h)) | R
+
+    limit = jnp.uint32(total)
+
+    def cond(v):
+        return jnp.any(v >= limit)
+
+    def body(v):
+        return jnp.where(v >= limit, feistel(v), v)
+
+    return jax.lax.while_loop(cond, body, feistel(idx))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "d", "dtype", "total")
+)
+def latin_hypercube(key, n, d, dtype=None, offset=0, total=None):
+    """Latin hypercube sample: stratified keyed permutation per dimension.
+
+    Index-addressable: row ``i`` is a pure function of ``(key, offset +
+    i, j)`` — the stratum comes from a cycle-walking Feistel permutation
+    of [0, total) and the in-stratum jitter from a murmur-mixed counter
+    — so block ``b`` of a streamed run (``offset=b*block, total=size``)
+    bitwise-equals rows [offset, offset+n) of the single-shot sample,
+    and a sharded run computes exactly its own rows per chip.  ``total``
+    defaults to ``n`` (the single-shot case).
+    """
     dtype = config.float_dtype() if dtype is None else dtype
-    key_u, *keys = jax.random.split(key, d + 1)
-    perms = jnp.stack(
-        [jax.random.permutation(k, n) for k in keys], axis=1
-    )  # (n, d)
-    u = jax.random.uniform(key_u, (n, d), dtype=dtype)
-    return clamp_open_unit((perms.astype(dtype) + u) / n)
+    total = n if total is None else int(total)
+    if d == 0:
+        return jnp.zeros((n, 0), dtype)
+    rk = jax.random.bits(key, (d, _FEISTEL_ROUNDS + 1), dtype=jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(offset, jnp.uint32)
+    cols = []
+    inv_total = jnp.asarray(1.0 / total, dtype)
+    for j in range(d):
+        strata = _feistel_permutation(idx, rk[j], total)
+        # 24-bit jitter inside the stratum (counter-mixed, index-pure).
+        u = (_mix32(idx, rk[j, _FEISTEL_ROUNDS]) >> jnp.uint32(8)).astype(
+            dtype
+        ) * jnp.asarray(2.0**-24, dtype)
+        cols.append((strata.astype(dtype) + u) * inv_total)
+    return clamp_open_unit(jnp.stack(cols, axis=1))
 
 
 def uniform(key, n, d, dtype=None):
@@ -304,12 +372,14 @@ _METHODS = {
 }
 
 
-def generate(method, key, n, d, dtype=None, offset=0):
+def generate(method, key, n, d, dtype=None, offset=0, total=None):
     """Quantile matrix for a named method (None/"lhs"/"halton"/"sobol").
 
     ``offset`` starts the (index-addressable) sequence at a later point:
     block ``b`` of a streamed run passes ``offset=b*block_size`` and the
     concatenated blocks equal one long single-shot sequence exactly.
+    ``total`` (LHS only) is the stratum count of the global sample the
+    block belongs to; it defaults to ``n``.
     """
     if method is None:
         if not (isinstance(offset, int) and offset == 0):
@@ -318,34 +388,30 @@ def generate(method, key, n, d, dtype=None, offset=0):
     name = method.lower().strip()
     if name not in _METHODS:
         raise KeyError(f"Unknown sampling method: {method!r}")
-    if name == "lhs" and not (isinstance(offset, int) and offset == 0):
-        raise ValueError(
-            "Latin hypercube is a global stratification and cannot be "
-            "generated blockwise; use method='sobol' or 'halton' to stream."
-        )
     if d == 0:
         dtype = config.float_dtype() if dtype is None else dtype
         return jnp.zeros((n, 0), dtype)
     if name == "lhs":
-        return _METHODS[name](key, n, d, dtype=dtype)
+        return latin_hypercube(key, n, d, dtype=dtype, offset=offset, total=total)
     return _METHODS[name](key, n, d, dtype=dtype, offset=offset)
 
 
 def generate_sharded(method, key, n, d, dtype=None):
     """Generate with the sample axis sharded over the active mesh.
 
-    Sobol/Halton points are pure functions of their index, so constraining
-    the output sharding inside jit lets the SPMD partitioner push the
-    split back to the index iota: each chip computes exactly its own rows
-    and the full (n, d) matrix never materialises on one device (SURVEY
-    §2.3 "sharded QMC generation").  LHS (a global permutation) and the
-    no-method path fall back to generate-then-shard.
+    Sobol/Halton/LHS points are pure functions of their index (LHS since
+    the keyed-Feistel stratification), so constraining the output
+    sharding inside jit lets the SPMD partitioner push the split back to
+    the index iota: each chip computes exactly its own rows and the full
+    (n, d) matrix never materialises on one device (SURVEY §2.3 "sharded
+    QMC generation").  The no-method path falls back to
+    generate-then-shard.
     """
     from probabilit_tpu.parallel import mesh as _mesh
 
     sharding = _mesh.sample_sharding(ndim=2)
     name = None if method is None else method.lower().strip()
-    if sharding is None or name in (None, "lhs"):
+    if sharding is None or name is None:
         return _mesh.shard_samples(generate(method, key, n, d, dtype))
 
     dtype = jnp.dtype(dtype or config.float_dtype()).name

@@ -21,6 +21,46 @@ class TestLatinHypercube:
         pts = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(1), 100, 3))
         assert pts.min() >= 0.0 and pts.max() < 1.0
 
+    @pytest.mark.parametrize("n", [1, 2, 3, 63, 64, 65, 1000, 4097])
+    def test_feistel_bijective_at_awkward_sizes(self, n):
+        # Cycle-walking must yield a permutation of [0, n) for any n,
+        # not just powers of two.
+        import jax.numpy as jnp
+
+        rk = jax.random.bits(
+            jax.random.PRNGKey(n), (qmc._FEISTEL_ROUNDS,), dtype=jnp.uint32
+        )
+        out = np.asarray(
+            qmc._feistel_permutation(jnp.arange(n, dtype=jnp.uint32), rk, n)
+        )
+        assert sorted(out.tolist()) == list(range(n))
+
+    def test_offset_blocks_are_slices(self):
+        # Index addressability: any block reproduces the global slice.
+        full = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(2), 100, 3))
+        lo = np.asarray(
+            qmc.latin_hypercube(jax.random.PRNGKey(2), 40, 3, offset=0, total=100)
+        )
+        hi = np.asarray(
+            qmc.latin_hypercube(jax.random.PRNGKey(2), 60, 3, offset=40, total=100)
+        )
+        np.testing.assert_array_equal(full, np.vstack([lo, hi]))
+
+    def test_different_keys_differ(self):
+        p1 = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(0), 64, 2))
+        p2 = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(9), 64, 2))
+        assert not np.allclose(p1, p2)
+
+    def test_jitter_uniform_within_strata(self):
+        # The murmur-mixed jitter should fill strata uniformly: KS test
+        # of (pts * n) mod 1 against U(0,1).
+        import scipy.stats
+
+        n = 4096
+        pts = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(4), n, 1))
+        frac = (pts[:, 0] * n) % 1.0
+        assert scipy.stats.kstest(frac, "uniform").pvalue > 0.01
+
 
 class TestSobol:
     def test_range_and_shape(self):

@@ -331,14 +331,43 @@ class TestStreamedQMC:
         # QMC mean error decays ~1/n: far tighter than the MC tolerance.
         assert abs(stats["mean"] - 7.0) < 1e-3
 
-    def test_lhs_refused(self):
+    def test_streamed_lhs_bitwise_equals_single_shot(self):
+        # The keyed-Feistel stratification made LHS index-addressable
+        # (VERDICT r2 #8): streamed blocks must reproduce the single-shot
+        # global stratification EXACTLY, including a partial last block.
         from probabilit_tpu.engine import streaming
         from probabilit_tpu.modeling import Distribution
 
-        with pytest.raises(ValueError, match="index-addressable"):
-            streaming.sample_streaming(
-                Distribution("norm"), 1000, block_size=100, method="lhs"
-            )
+        expr = Distribution("norm") * 2 + 1
+        single = np.asarray(expr.sample(5000, random_state=3, method="lhs"))
+        streamed = streaming.sample_streaming(
+            expr, 5000, block_size=1024, random_state=3, method="lhs"
+        )
+        np.testing.assert_array_equal(single, streamed)
+
+    def test_streamed_lhs_large_bitwise(self):
+        # The VERDICT r2 "done" criterion: 1e6 points, bitwise equality.
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        expr = Distribution("uniform")
+        n = 1_000_000
+        single = np.asarray(expr.sample(n, random_state=0, method="lhs"))
+        streamed = streaming.sample_streaming(
+            expr, n, block_size=1 << 18, random_state=0, method="lhs"
+        )
+        np.testing.assert_array_equal(single, streamed)
+
+    def test_streamed_lhs_estimate(self):
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        stats = streaming.estimate(
+            Distribution("uniform"), 100_000, block_size=16384, random_state=1,
+            method="lhs",
+        )
+        # Stratification: mean error ~1/n, far below the MC tolerance.
+        assert abs(stats["mean"] - 0.5) < 1e-4
 
 
 class TestStreamingFinalizers:
