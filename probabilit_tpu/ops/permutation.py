@@ -256,10 +256,14 @@ class PermutationCorrelator(Correlator):
     def _apply(self, X):
         X = jnp.asarray(X)
         num_obs, num_vars = X.shape
-        # Reference semantics: iterations=0 means "unbounded, run to
-        # tolerance" (correlation.py:493-495). A jitted while_loop needs a
-        # finite bound, so 0 maps to a 10,000-iteration safety cap (the
-        # tolerance check still exits early).
+        # Reference semantics (correlation.py:493-495, 656-668):
+        # iterations=0 means "run until tolerance, unbounded".  A traced
+        # while_loop supports that directly — the step bound drops out of
+        # the loop condition and only the tolerance check remains (like
+        # the reference, a target below the reachable error never
+        # terminates).  The cooling schedule uses n = 10,000 in that
+        # mode, exactly as the reference's subiters call does.
+        unbounded = self.iters == 0
         total_iters = self.iters if self.iters else 10_000
         n_sched = self.iters if self.iters else 10_000
         cooling_c = np.log2(n_sched) + 1.0
@@ -299,7 +303,17 @@ class PermutationCorrelator(Correlator):
 
         def cond(state):
             step, _, _, _, _, err, _ = state
+            if unbounded:
+                return err >= tol
             return (step < total_iters * num_vars) & (err >= tol)
+
+        # Reference-parity progress lines (correlation.py:662-676): every
+        # iters//10 iterations at the top of a cycle (the reference emits
+        # none in the unbounded mode — its print condition can never fire
+        # there).  jax.debug.print is the only way to print from inside a
+        # compiled while_loop.
+        print_every = self.iters // 10 if self.iters >= 10 else 0
+        verbose_inloop = self.verbose and print_every > 0
 
         def body(state):
             step, Xw, Xo, numerator, corr, err, key = state
@@ -377,8 +391,25 @@ class PermutationCorrelator(Correlator):
             err = jax.lax.cond(
                 k == num_vars - 1, lambda c: full_error(c), lambda c: err, corr
             )
+
+            if verbose_inloop:
+                jax.lax.cond(
+                    (k == 0) & (iteration % print_every == 0),
+                    lambda: jax.debug.print(
+                        " Iter {i:>6}  Error: {e:.6f} Swaps: {s:>2}",
+                        i=iteration,
+                        e=err,
+                        s=num_swaps,
+                    ),
+                    lambda: None,
+                )
             return (step + 1, Xw, Xo, numerator, corr, err, key)
 
+        if self.verbose:
+            print(
+                "Running permutation correlator for "
+                f"{self.iters if self.iters else 'inf'} iterations."
+            )
         err0 = full_error(corr)
         state = (jnp.int32(0), Xw, X, numerator, corr, err0, key0)
         state = jax.lax.while_loop(cond, body, state)
@@ -387,6 +418,7 @@ class PermutationCorrelator(Correlator):
         if self.verbose:
             print(
                 f"Permutation correlator finished: error {float(err_final):.6f} "
-                f"after at most {total_iters} iterations."
+                f"after at most "
+                f"{'inf' if unbounded else total_iters} iterations."
             )
         return Xo_final if spearman else Xw_final

@@ -159,6 +159,35 @@ class TestPermutationCorrelator:
         err_pc = pc._error(np.corrcoef(X_pc, rowvar=False), C)
         assert err_pc <= err_ic + 1e-12
 
+    def test_iterations_zero_runs_to_tolerance(self):
+        # Reference semantics (correlation.py:493-495): iterations=0 is
+        # UNBOUNDED — the loop exits only on tolerance.  A loose target
+        # with an achievable tolerance must terminate and reach it.
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(200, 2))
+        C = np.array([[1, 0.4], [0.4, 1]])
+        pc = PermutationCorrelator(seed=2, iterations=0, tol=0.02)
+        Xt = np.asarray(pc.set_target(C)(X))
+        achieved = np.corrcoef(Xt, rowvar=False)[0, 1]
+        # err = sqrt(w * diff^2) with normalized weights w = 1/4 at K=2,
+        # so tol=0.02 bounds the raw correlation gap by 0.04.
+        assert abs(achieved - 0.4) < 0.04 + 1e-6
+        np.testing.assert_allclose(np.sort(Xt[:, 0]), np.sort(X[:, 0]), rtol=1e-6)
+
+    def test_verbose_progress_lines(self, capfd):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(50, 2))
+        C = np.array([[1, 0.5], [0.5, 1]])
+        pc = PermutationCorrelator(seed=0, iterations=100, tol=1e-9, verbose=True)
+        pc.set_target(C)(X)
+        import jax
+
+        jax.effects_barrier()  # flush pending debug.print callbacks
+        out = capfd.readouterr().out
+        assert "Running permutation correlator for 100 iterations." in out
+        assert " Iter " in out and "Swaps:" in out
+        assert "finished" in out
+
     def test_subiters_schedule(self):
         # Halving pattern: second half of iterations uses batch size 1.
         assert PermutationCorrelator.subiters(1000, 1000) == 1
