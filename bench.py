@@ -310,8 +310,9 @@ def bench_correlated_50(n=100_000_000, repeats=2):
 def bench_streaming_1e9():
     """Full 1e9-draw estimation with a streamed p95 (single dispatch).
 
-    The whole-run program is cached by (graph, size, quantiles, ...) —
-    warm with the SAME call shape so the timed run measures execution.
+    The whole-run program is cached by (graph, quantiles, block, ...) and
+    size-agnostic since round 3 (n_blocks/last_count are traced scalars)
+    — warm once, then time 1e9 AND a different size on the SAME program.
     """
     from probabilit_tpu.engine import streaming
     from probabilit_tpu.models import benchmarks
@@ -328,7 +329,58 @@ def bench_streaming_1e9():
         f"streaming 1e9 (+p50/p95/p99): {dt:.2f}s "
         f"(mean={stats['mean']:.1f} p95={stats['q0.95']:.0f})"
     )
-    return 10**9 / dt
+    # Size sweep on the cached program: a different size must NOT pay a
+    # remote recompile (round-2 weak #3; ~17 s/size before the fix).
+    trace_count = streaming._TRACE_COUNT
+    t0 = time.perf_counter()
+    streaming.estimate(
+        sink, 3 * 10**8 + 12345, block_size=1 << 26, random_state=0, quantiles=q
+    )
+    dt_sweep = time.perf_counter() - t0
+    assert streaming._TRACE_COUNT == trace_count, "size sweep retraced!"
+    log(f"streaming size-sweep 3e8 (cached program, no retrace): {dt_sweep:.2f}s")
+    return 10**9 / dt, dt_sweep
+
+
+def bench_large_table(n=100_000_000, n_big=400_000_000):
+    """512-knot select-tree table families in the megakernel (round 3).
+
+    poisson(mu=2000) has a 471-knot reachable CDF table; the wall-affine
+    slope between two sizes separates device throughput from tunnel RTT.
+    """
+    import jax.numpy as jnp
+
+    from probabilit_tpu.modeling import Distribution
+
+    sink = Distribution("poisson", mu=2000) + 0.0
+
+    def run(n_, seed):
+        s = sink.sample(n_, random_state=seed, gc_strategy=[], executor="pallas")
+        return float(jnp.mean(jnp.asarray(s)))
+
+    t0 = time.perf_counter()
+    val = run(n, 0)
+    log(f"large-table compile+first: {time.perf_counter() - t0:.2f}s (mean={val:.1f})")
+    times_small, times_big = [], []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(n, i + 1)
+        times_small.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    run(n_big, 0)
+    log(f"large-table {n_big:.0e} compile+first: {time.perf_counter() - t0:.2f}s")
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(n_big, i + 1)
+        times_big.append(time.perf_counter() - t0)
+    med_s = float(np.median(times_small))
+    med_b = float(np.median(times_big))
+    ns = (med_b - med_s) / (n_big - n) * 1e9
+    log(
+        f"large-table: {med_s * 1e3:.0f} ms @1e8, {med_b * 1e3:.0f} ms @4e8 "
+        f"-> {ns:.3f} ns/sample (471-knot select tree)"
+    )
+    return ns
 
 
 def _release_device_memory():
@@ -354,10 +406,12 @@ def main():
     # compiled programs and sample buffers.
     ic_ms = bench_imanconover()
     _release_device_memory()
-    streaming_sps = bench_streaming_1e9()
+    streaming_sps, sweep_s = bench_streaming_1e9()
     qmc_ms = bench_qmc_portfolio()
     _release_device_memory()
     corr50 = bench_correlated_50()
+    _release_device_memory()
+    table_ns = bench_large_table()
     _release_device_memory()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
@@ -376,6 +430,8 @@ def main():
                     "correlated_50node_1e8_pallas_ms": corr50["pallas"],
                     "correlated_50node_1e8_xla_ms": corr50["xla"],
                     "imanconover_1e7x50_ms": ic_ms,
+                    "streaming_size_sweep_3e8_s": sweep_s,
+                    "large_table_471knot_ns_per_sample": table_ns,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
                     "target_imanconover_ms": 100.0,
