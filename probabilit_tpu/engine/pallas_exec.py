@@ -127,7 +127,13 @@ def supports(plan, keep_ids):
     """
     if plan.corr_matrix is not None and len(plan.corr_vars) > _MAX_CORR_K:
         return False
-    if keep_ids != frozenset({plan.sink._id}):
+    # Any NARROW keep-set works (each kept node adds one VMEM output
+    # block); the keep-everything default (gc_strategy=None) stays on
+    # the XLA path, whose output-selection DCE is built for it.
+    topo_ids = {node._id for node in plan.topo}
+    if plan.sink._id not in keep_ids or not keep_ids <= topo_ids:
+        return False
+    if len(keep_ids) > 16:
         return False
     if isinstance(plan.sink, _graph.NoOp):
         return False
@@ -458,11 +464,12 @@ def _gen_order(plan):
     return corr_ids + [nid for nid in plan.col_of if nid not in corr_set]
 
 
-def _make_kernel(plan):
+def _make_kernel(plan, keep_order):
     topo = list(plan.topo)
-    sink = plan.sink
     order = _gen_order(plan)
     corr_ids = [v._id for v in plan.corr_vars]
+    by_id = {node._id: node for node in topo}
+    keep_nodes = [by_id[nid] for nid in keep_order]
     K = len(corr_ids)
 
     def kernel(seed_ref, *refs):
@@ -470,7 +477,7 @@ def _make_kernel(plan):
         # recolor transform (A row-major, then b) computed by the stats
         # pass; see ``run``.
         ab_ref = refs[0] if K else None
-        out_ref = refs[-1]
+        out_refs = refs[-len(keep_nodes):]
         _seed_block_prng(seed_ref)
         shape = (_SUBLANES, _LANES)
         columns = {}
@@ -508,7 +515,13 @@ def _make_kernel(plan):
         with _special.kernel_safe_special():
             for node in topo:
                 ctx.value(node)
-            out_ref[:] = ctx.value(sink).astype(out_ref.dtype)
+            for node, out_ref in zip(keep_nodes, out_refs):
+                # Constants and scalar-broadcasting transforms may emit
+                # sub-block shapes; broadcast before the VMEM store.
+                val = jnp.broadcast_to(
+                    jnp.asarray(ctx.value(node)), (_SUBLANES, _LANES)
+                )
+                out_ref[:] = val.astype(out_ref.dtype)
 
     return kernel
 
@@ -623,11 +636,14 @@ def _recolor_transform(plan, words, grid, n):
         return jnp.concatenate([A.reshape(-1), b])
 
 
-def run(plan, seed, n):
-    """Execute the megakernel; returns the sink's (n,) sample array.
+def run(plan, seed, n, keep_ids=None):
+    """Execute the megakernel; returns ``{node_id: (n,) array}``.
 
     ``seed`` is an int scalar or an array of up to two int32 words (e.g.
     both words of a JAX key); missing words are zero-padded.
+    ``keep_ids`` (default: just the sink) selects which nodes' samples
+    are written to HBM — each kept node is one extra VMEM output block,
+    so narrow gc keep-lists stay on the megakernel path.
 
     Correlated plans run TWO kernels over the same hardware-PRNG stream:
     a cheap stats pass accumulating the correlated variables' score
@@ -657,19 +673,35 @@ def run(plan, seed, n):
         operands.append(_recolor_transform(plan, words, grid, n))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
-    kernel = _make_kernel(plan)
-    out = pl.pallas_call(
+    # Deterministic keep order: sink last (so the single-output common
+    # case keeps its historical layout), other kept nodes in topo order.
+    if keep_ids is None:
+        keep_ids = frozenset({plan.sink._id})
+    keep_order = [
+        node._id
+        for node in plan.topo
+        if node._id in keep_ids and node._id != plan.sink._id
+    ]
+    keep_order.append(plan.sink._id)
+
+    kernel = _make_kernel(plan, keep_order)
+    out_spec = pl.BlockSpec(
+        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((grid * _SUBLANES, _LANES), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((grid * _SUBLANES, _LANES), jnp.float32),
+        out_specs=[out_spec] * len(keep_order),
+        out_shape=[out_shape] * len(keep_order),
     )(words, *operands[1:])
-    return out.reshape(-1)[:n]
+    return {
+        nid: arr.reshape(-1)[:n] for nid, arr in zip(keep_order, outs)
+    }
 
 
-def run_jitted(plan, n):
+def run_jitted(plan, n, keep_ids=None):
     """Jitted entry keyed by seed; cached by the caller per plan."""
-    return jax.jit(lambda seed: run(plan, seed, n))
+    keep = None if keep_ids is None else frozenset(keep_ids)
+    return jax.jit(lambda seed: run(plan, seed, n, keep))

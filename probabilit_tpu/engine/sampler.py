@@ -31,14 +31,14 @@ __all__ = ["sample", "sample_from_quantiles", "resolve_key"]
 _PALLAS_FN_CACHE = {}
 
 
-def _get_pallas_fn(plan, size):
+def _get_pallas_fn(plan, size, keep_ids=None):
     from probabilit_tpu.engine import pallas_exec
 
-    key = (plan.signature(), size)
+    key = (plan.signature(), size, keep_ids)
     if key not in _PALLAS_FN_CACHE:
         if len(_PALLAS_FN_CACHE) > 64:
             _PALLAS_FN_CACHE.pop(next(iter(_PALLAS_FN_CACHE)))
-        _PALLAS_FN_CACHE[key] = pallas_exec.run_jitted(plan, size)
+        _PALLAS_FN_CACHE[key] = pallas_exec.run_jitted(plan, size, keep_ids)
     return _PALLAS_FN_CACHE[key]
 
 
@@ -81,16 +81,22 @@ def sample(
         from probabilit_tpu.engine import pallas_exec
         from probabilit_tpu.parallel import mesh as _par_mesh
 
-        gc_sink_only = gc_strategy is not None and len(gc_strategy) == 0
+        keep_ids = (
+            None
+            if gc_strategy is None
+            else frozenset({sink._id} | {node._id for node in gc_strategy})
+        )
         if (
             method is not None
-            or not gc_sink_only
-            or not pallas_exec.supports(plan, frozenset({sink._id}))
+            or keep_ids is None
+            or not pallas_exec.supports(plan, keep_ids)
         ):
             raise ValueError(
-                "executor='pallas' requires method=None, gc_strategy=[], "
-                "and whitelisted distribution families (correlated graphs: "
-                f"at most {pallas_exec._MAX_CORR_K} correlated variables)."
+                "executor='pallas' requires method=None, a narrow "
+                "gc_strategy keep-list (<= 16 kept nodes; [] keeps just "
+                "the sink), and whitelisted distribution families "
+                "(correlated graphs: at most "
+                f"{pallas_exec._MAX_CORR_K} correlated variables)."
             )
         if (
             plan.corr_matrix is not None
@@ -136,8 +142,9 @@ def sample(
         for node in plan.topo:
             if hasattr(node, "samples_"):
                 delattr(node, "samples_")
-        fn = _get_pallas_fn(plan, size)
-        out = fn(seed)
+        fn = _get_pallas_fn(plan, size, keep_ids)
+        outputs = fn(seed)
+        out = outputs[sink._id]
         if plan.corr_matrix is not None:
             # Correlated plans solve a Cholesky of EMPIRICAL score moments
             # inside the program; at small n (barely above K) that factor
@@ -146,7 +153,9 @@ def sample(
             # only on the correlated path.
             if not bool(jax.device_get(jnp.all(jnp.isfinite(out)))):
                 raise ValueError("Sampling produced non-finite values.")
-        sink.samples_ = out
+        by_id = {node._id: node for node in plan.topo}
+        for nid, arr in outputs.items():
+            by_id[nid].samples_ = arr
         return out
 
     key = resolve_key(random_state)

@@ -132,7 +132,7 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
         if executor == "pallas" and not eligible:
             raise ValueError("Graph not eligible for the pallas executor.")
         if eligible:
-            fn = pallas_exec.run_jitted(plan, block_size)
+            fn = pallas_exec.run_jitted(plan, block_size, keep)
 
             def run(b, key):
                 # Both 32-bit words of the folded key reach the kernel, so
@@ -142,7 +142,7 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
                     jax.random.key_data(jax.random.fold_in(key, b)).ravel()[-2:],
                     jnp.int32,
                 )
-                return fn(words)
+                return fn(words)[plan.sink._id]
 
             return plan, run
 

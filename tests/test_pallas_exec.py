@@ -59,11 +59,15 @@ class TestEligibility:
         sink = (a + b).correlate(a, b, corr_mat=np.eye(2))
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
-    def test_keep_all_not_supported(self):
+    def test_keep_all_small_graph_now_supported(self):
+        # Round 3: narrow keep-lists (<= 16 nodes) ride the megakernel;
+        # on a tiny graph "all nodes" is itself narrow.  The
+        # keep-everything DEFAULT (gc_strategy=None) still routes to the
+        # XLA path at the sampler level (keep_ids is None there).
         sink = Distribution("norm") + 1
         plan = _plan(sink)
         all_ids = frozenset(n._id for n in plan.topo)
-        assert not pallas_exec.supports(plan, all_ids)
+        assert pallas_exec.supports(plan, all_ids)
 
     def test_unsupported_family_rejected(self):
         # A continuous family with no native kernel (host-callback only):
@@ -117,6 +121,32 @@ class TestEligibility:
         assert not pallas_exec.supports(_plan(comp), frozenset({comp._id}))
         huge = Distribution("poisson", mu=5000) + 0  # reachable knots: 744 > 512
         assert not pallas_exec.supports(_plan(huge), frozenset({huge._id}))
+
+    def test_narrow_keep_sets_supported(self):
+        # Multi-output megakernel (round 3): a keep-list of up to 16
+        # nodes rides the fast path; keep-everything and foreign nodes
+        # do not.
+        a = Distribution("norm")
+        b = Distribution("uniform")
+        sink = a * b + 1
+        plan = _plan(sink)
+        assert pallas_exec.supports(plan, frozenset({sink._id}))
+        assert pallas_exec.supports(plan, frozenset({sink._id, a._id, b._id}))
+        # sink must be kept
+        assert not pallas_exec.supports(plan, frozenset({a._id}))
+        # foreign node ids are rejected
+        assert not pallas_exec.supports(plan, frozenset({sink._id, 10**9}))
+
+    def test_wide_keep_set_rejected(self):
+        total = Distribution("norm")
+        keep = [total]
+        for _ in range(17):
+            total = total + Distribution("norm")
+            keep.append(total)
+        plan = _plan(total)
+        keep_ids = frozenset(n._id for n in keep)
+        assert len(keep_ids) > 16
+        assert not pallas_exec.supports(plan, keep_ids)
 
     def test_mid_size_tables_supported(self):
         # The select-tree table kernels raised the cap from 64 to 512
@@ -331,7 +361,7 @@ class TestErrorPaths:
         fake_dev = type("Dev", (), {"platform": "tpu"})()
         monkeypatch.setattr(sampler_mod.jax, "devices", lambda: [fake_dev])
 
-        def boom(plan, size):
+        def boom(plan, size, keep_ids=None):
             raise RuntimeError("compile failed")
 
         monkeypatch.setattr(sampler_mod, "_get_pallas_fn", boom)
@@ -442,6 +472,30 @@ class TestOnTpu:
         # reproduces its quartiles.
         assert se.min() >= data.min() and se.max() <= data.max()
         assert abs(np.median(se) - np.median(data)) < 0.05
+
+    def test_multi_output_keep_list(self):
+        # gc_strategy=[a, b]: kept intermediates come from the SAME
+        # kernel instance as the sink, so the algebra must hold exactly.
+        a = Distribution("norm", loc=2.0)
+        b = Distribution("uniform")
+        sink = a * b + 1
+        out = np.asarray(
+            sink.sample(
+                200_000, random_state=5, gc_strategy=[a, b], executor="pallas"
+            )
+        )
+        sa = np.asarray(a.samples_)
+        sb = np.asarray(b.samples_)
+        np.testing.assert_allclose(out, sa * sb + 1, rtol=1e-6, atol=1e-6)
+        assert np.isclose(sa.mean(), 2.0, atol=0.02)
+        assert np.isclose(sb.mean(), 0.5, atol=0.01)
+        # Determinism with a keep-list.
+        out2 = np.asarray(
+            sink.sample(
+                200_000, random_state=5, gc_strategy=[a, b], executor="pallas"
+            )
+        )
+        np.testing.assert_array_equal(out, out2)
 
     def test_large_table_families_on_chip(self):
         # 512-cap select trees on the real chip: poisson mu=400 (510-knot
