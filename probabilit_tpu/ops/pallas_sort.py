@@ -3,7 +3,17 @@
 XLA's variadic sort on v5e runs at ~3.5 ns/element (measured, BASELINE.md)
 and is the cost floor of the exact Iman-Conover transform (4 sorts over a
 (50, 1e7) matrix = 6.75 s).  This module implements the comparison
-network by hand to measure how much of that constant is recoverable:
+network by hand to measure how much of that constant is recoverable.
+
+VERDICT (round 3, measured on chip — full numbers in BASELINE.md): none.
+The kernels are CORRECT on hardware, but a complete compare-exchange
+step costs 52 ps/elem/step (VMEM-bandwidth-bound), long unrolled bodies
+degrade a further ~36x under Mosaic, and even at the 13 ps single-
+primitive floor a ~300-step network lands above XLA's fused sort, which
+keeps tiles register-resident across network levels — a fusion Pallas
+cannot express.  The module stays in-tree as the measured evidence and
+a working reference for roll/mask/exchange idioms; production
+Iman-Conover keeps XLA sorts.  Original measurement goal:
 
 * ``sort_runs``   — phase 1: sort consecutive 8192-element runs of every
   row with ALTERNATING directions (run g ascending iff g even): the
@@ -65,24 +75,27 @@ def _bit_mask(shape, bit):
     """
     if bit < 7:
         iota = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
-        return ((iota >> bit) & 1) == 1
+        return (iota >> bit) & 1
     iota = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
-    return ((iota >> (bit - 7)) & 1) == 1
+    return (iota >> (bit - 7)) & 1
 
 
-def _exchange(x, p, bit, asc_mask):
+def _exchange(x, p, bit, keep_min):
     """One compare-exchange at distance 2^bit inside (..., 64, 128).
 
-    ``asc_mask``: boolean (broadcastable to x), True where the element's
-    pair sorts ascending.  Elements with bit set are the "hi" side.
-    Ties never swap (payload pairing stays exact for duplicate keys).
+    ``keep_min``: boolean (broadcastable to x), True where this element
+    keeps the pair minimum (= ascending-lo or descending-hi).  All mask
+    arithmetic happens in int32 at the call sites; i1 values appear only
+    as a compare feeding a select (Mosaic lowers i1-vector arithmetic
+    poorly).  Ties never swap, so (key, payload) pairing stays exact for
+    duplicate keys.
     """
     if bit < 7:
         axis, shift = x.ndim - 1, 1 << bit
     else:
         axis, shift = x.ndim - 2, 1 << (bit - 7)
     length = x.shape[axis]
-    hi = _bit_mask(x.shape, bit)
+    hi = _bit_mask(x.shape, bit) == 1
     # pltpu.roll wants non-negative shifts: roll by L - s is roll by -s.
     x_fwd = pltpu.roll(x, length - shift, axis)  # lo elements' partner
     x_bwd = pltpu.roll(x, shift, axis)  # hi elements' partner
@@ -90,11 +103,9 @@ def _exchange(x, p, bit, asc_mask):
     p_fwd = pltpu.roll(p, length - shift, axis)
     p_bwd = pltpu.roll(p, shift, axis)
     partner_p = jnp.where(hi, p_bwd, p_fwd)
-    keep_min = asc_mask != hi  # XOR: asc-lo and desc-hi keep the min
-    # Mosaic has no select between i1 vectors; build the swap mask with
-    # logical ops instead of where(mask, bool, bool).
-    swap = (keep_min & (partner < x)) | (~keep_min & (partner > x))
-    return jnp.where(swap, partner, x), jnp.where(swap, partner_p, p)
+    new_x = jnp.where(keep_min, jnp.minimum(x, partner), jnp.maximum(x, partner))
+    new_p = jnp.where(new_x != x, partner_p, p)
+    return new_x, new_p
 
 
 # ---------------------------------------------------------------------
@@ -105,20 +116,23 @@ def _exchange(x, p, bit, asc_mask):
 def _local_sort_kernel(x_ref, p_ref, xo_ref, po_ref):
     x = x_ref[:]
     p = p_ref[:]
-    # Ascending iff the run's global index is even (bit 13 of the global
-    # element index = run parity; rows hold a power-of-two run count, so
-    # per-row parity equals global parity).
+    # Direction bit per stage: ascending iff bit ``stage`` of the global
+    # element index is 0; for stage 13 that is the run parity (rows hold
+    # a power-of-two run count, so per-row parity equals global parity).
+    # keep_min = asc XOR hi = (dir_bit == pair_bit): pure int32 math,
+    # one compare per step.
     run_iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     runs_per_block = x.shape[0]
     g0 = pl.program_id(0) * runs_per_block
-    asc_run = ((run_iota + g0) & 1) == 0
+    parity_bits = (run_iota + g0) & 1
     for stage in range(1, _RUN_LOG + 1):
         if stage < _RUN_LOG:
-            asc = jnp.logical_not(_bit_mask(x.shape, stage))
+            dir_bits = _bit_mask(x.shape, stage)
         else:
-            asc = asc_run
+            dir_bits = parity_bits
         for bit in range(stage - 1, -1, -1):
-            x, p = _exchange(x, p, bit, asc)
+            keep_min = dir_bits == _bit_mask(x.shape, bit)
+            x, p = _exchange(x, p, bit, keep_min)
     xo_ref[:] = x
     po_ref[:] = p
 
@@ -183,10 +197,12 @@ def _tail_kernel(x_ref, p_ref, xo_ref, po_ref, *, stage):
     x = x_ref[0, 0]
     p = p_ref[0, 0]
     block = pl.program_id(1)
-    asc_scalar = ((block >> (stage - _RUN_LOG)) & 1) == 0
-    asc = jnp.full(x.shape, asc_scalar)
+    # keep_min = asc XOR hi = (dir_bit == pair_bit); dir_bit constant
+    # per block (a bit of the block index), int32 math only.
+    dir_bit = (block >> (stage - _RUN_LOG)) & 1
     for bit in range(_RUN_LOG - 1, -1, -1):
-        x, p = _exchange(x, p, bit, asc)
+        keep_min = _bit_mask(x.shape, bit) == dir_bit
+        x, p = _exchange(x, p, bit, keep_min)
     xo_ref[0, 0] = x
     po_ref[0, 0] = p
 
