@@ -432,17 +432,11 @@ def _seed_block_prng(seed_ref):
     get distinct words, int seeds (word1 == 0) are injective
     overall, and cross-key collisions are ~2^-64 chance.
     """
+    from probabilit_tpu.ops.hashing import fmix32
+
     b = jnp.uint32(pl.program_id(0))
-
-    def mix(h):
-        h = h ^ (h >> jnp.uint32(16))
-        h = h * jnp.uint32(0x85EBCA6B)
-        h = h ^ (h >> jnp.uint32(13))
-        h = h * jnp.uint32(0xC2B2AE35)
-        return h ^ (h >> jnp.uint32(16))
-
-    s0 = mix(jnp.uint32(seed_ref[0]) ^ (b * jnp.uint32(0xCC9E2D51)))
-    s1 = mix(
+    s0 = fmix32(jnp.uint32(seed_ref[0]) ^ (b * jnp.uint32(0xCC9E2D51)))
+    s1 = fmix32(
         jnp.uint32(seed_ref[1])
         ^ (b * jnp.uint32(0x1B873593))
         ^ jnp.uint32(0x9E3779B9)

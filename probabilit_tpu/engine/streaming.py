@@ -168,6 +168,8 @@ def sample_streaming(
     bitwise, except beta-class marginals with a or b < 1; see
     ``_block_program``).
     """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}.")
     plan, run = _block_program(sink, block_size, executor, method, total_size=size)
     key = resolve_key(random_state)
 
@@ -242,6 +244,11 @@ def estimate(
     for q in quantiles:
         if not 0.0 < q < 1.0:
             raise ValueError(f"Quantile levels must be in (0, 1), got {q}.")
+    if size < 1:
+        # size=0 would send block index -1 (uint32-wrapped) into the
+        # final masked block and fabricate statistics of unrequested
+        # samples under n=0.
+        raise ValueError(f"size must be >= 1, got {size}.")
     plan, run = _block_program(sink, block_size, executor, method, total_size=size)
     if plan.finalizers.get(sink._id) is not None:
         # e.g. a string-valued DiscreteDistribution: its device output is
@@ -265,12 +272,22 @@ def estimate(
     # sweep (1e8 -> 1e9 -> 1e10) hits one compiled program.
     from probabilit_tpu import config as _config
 
+    # LHS closes over the run's TOTAL size (its global stratification),
+    # so its block program is size-specific — unlike sobol/halton/None,
+    # whose run() is size-independent.  Without this key component a
+    # size sweep would silently reuse the wrong stratification domain.
+    lhs_total = (
+        size
+        if method is not None and method.lower().strip() == "lhs"
+        else None
+    )
     cache_key = (
         plan.signature(),
         block_size,
         quantiles,
         executor,
         method,
+        lhs_total,
         jnp.dtype(_config.float_dtype()).name,
         _compile._active_mesh_key(),
     )

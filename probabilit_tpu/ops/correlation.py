@@ -344,8 +344,10 @@ class ImanConover(Correlator):
         K_pad = -(-K // n_dev) * n_dev
         if K_pad != K:
             # Deterministic filler rows, independent of the data: iota
-            # through a splitmix-style hash, mapped to (0, 1) then ndtri'd
-            # so the padded score Gram stays comfortably PD.
+            # through a splitmix-style hash (a shortened cousin of
+            # ops/hashing.fmix32 — kept verbatim so padded results stay
+            # bitwise stable), mapped to (0, 1) then ndtri'd so the
+            # padded score Gram stays comfortably PD.
             idx = (
                 jnp.arange((K_pad - K) * N, dtype=jnp.uint32).reshape(K_pad - K, N)
                 + jnp.uint32(0x9E3779B9)

@@ -301,10 +301,16 @@ class PermutationCorrelator(Correlator):
         tol = self.tol
         key0 = jax.random.PRNGKey(int(self.seed))
 
-        def cond(state):
+        # Unbounded mode (iterations=0, reference parity: run until
+        # tolerance) dispatches the compiled loop in 10,000-cycle chunks
+        # from a host loop — same unbounded semantics, but a target below
+        # the reachable error leaves the process interruptible between
+        # chunks instead of hung inside one uninterruptible device
+        # program.  Bounded mode stays a single dispatch.
+        chunk_steps = 10_000 * num_vars
+
+        def cond_bounded(state):
             step, _, _, _, _, err, _ = state
-            if unbounded:
-                return err >= tol
             return (step < total_iters * num_vars) & (err >= tol)
 
         # Reference-parity progress lines (correlation.py:662-676): every
@@ -412,7 +418,31 @@ class PermutationCorrelator(Correlator):
             )
         err0 = full_error(corr)
         state = (jnp.int32(0), Xw, X, numerator, corr, err0, key0)
-        state = jax.lax.while_loop(cond, body, state)
+        if unbounded:
+
+            @jax.jit
+            def run_chunk(state, limit):
+                def cond(s):
+                    return (s[0] < limit) & (s[5] >= tol)
+
+                return jax.lax.while_loop(cond, body, state)
+
+            limit = chunk_steps
+            while True:
+                state = run_chunk(state, jnp.int32(limit))
+                if float(state[5]) < tol:
+                    break
+                if limit >= 2**31 - chunk_steps:
+                    # int32 step-counter safety valve, ~2e5x beyond any
+                    # practical run; a clear error beats silent overflow.
+                    raise RuntimeError(
+                        "PermutationCorrelator(iterations=0) did not reach "
+                        f"tol={tol} within 2^31 column steps; the target "
+                        "correlation may be unreachable for this data."
+                    )
+                limit += chunk_steps
+        else:
+            state = jax.lax.while_loop(cond_bounded, body, state)
         _, Xw_final, Xo_final, _, corr_final, err_final, _ = state
 
         if self.verbose:

@@ -281,13 +281,9 @@ def halton(key, n, d, dtype=None, scramble=True, offset=0):
 
 _FEISTEL_ROUNDS = 4
 
-
-def _mix32(x, k):
-    """Murmur3-style finalizer of ``x`` keyed by ``k`` (uint32 vectors)."""
-    h = (x + k) * jnp.uint32(0x9E3779B9)
-    h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
-    h = (h ^ (h >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
-    return h ^ (h >> jnp.uint32(16))
+# Keyed murmur3-finalizer avalanche, shared with the other mixer call
+# sites (ops/hashing.py).
+from probabilit_tpu.ops.hashing import keyed_mix32 as _mix32  # noqa: E402
 
 
 def _feistel_permutation(idx, round_keys, total):
@@ -304,6 +300,10 @@ def _feistel_permutation(idx, round_keys, total):
     """
     if total <= 1:
         return jnp.zeros_like(idx)
+    if total > 1 << 32:
+        raise ValueError(
+            f"LHS strata are uint32-indexed: total must be <= 2^32, got {total}."
+        )
     m = max(2, int(np.ceil(np.log2(total))))
     m += m & 1  # even: balanced halves
     h = m // 2
@@ -316,6 +316,11 @@ def _feistel_permutation(idx, round_keys, total):
             L, R = R, L ^ (_mix32(R, round_keys[r]) & mask_h)
         return (L << jnp.uint32(h)) | R
 
+    if total == 1 << 32:
+        # Full uint32 domain: the network is already a bijection of it,
+        # and the walk limit would not fit in uint32 anyway.
+        return feistel(idx)
+
     limit = jnp.uint32(total)
 
     def cond(v):
@@ -327,9 +332,6 @@ def _feistel_permutation(idx, round_keys, total):
     return jax.lax.while_loop(cond, body, feistel(idx))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n", "d", "dtype", "total")
-)
 def latin_hypercube(key, n, d, dtype=None, offset=0, total=None):
     """Latin hypercube sample: stratified keyed permutation per dimension.
 
@@ -345,6 +347,17 @@ def latin_hypercube(key, n, d, dtype=None, offset=0, total=None):
     total = n if total is None else int(total)
     if d == 0:
         return jnp.zeros((n, 0), dtype)
+    if isinstance(offset, (int, np.integer)):
+        # Host ints above 2^31-1 (e.g. a block at the top of a 2^32-point
+        # stream) overflow int32 coercion; wrap to uint32 explicitly.
+        offset = np.uint32(offset % (1 << 32))
+    return _latin_hypercube_traced(
+        key, offset, n, d, jnp.dtype(dtype).name, total
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "total"))
+def _latin_hypercube_traced(key, offset, n, d, dtype, total):
     rk = jax.random.bits(key, (d, _FEISTEL_ROUNDS + 1), dtype=jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(offset, jnp.uint32)
     cols = []

@@ -46,6 +46,28 @@ class TestLatinHypercube:
         )
         np.testing.assert_array_equal(full, np.vstack([lo, hi]))
 
+    def test_full_uint32_domain_boundary(self):
+        # total=2^32 is the advertised streaming cap: the Feistel network
+        # is a bijection of the full domain (no walk, no uint32 overflow).
+        import jax.numpy as jnp
+
+        rk = jax.random.bits(
+            jax.random.PRNGKey(0), (qmc._FEISTEL_ROUNDS,), dtype=jnp.uint32
+        )
+        idx = jnp.asarray([0, 1, 2**31, 2**32 - 1], jnp.uint32)
+        out = np.asarray(qmc._feistel_permutation(idx, rk, 1 << 32))
+        assert out.dtype == np.uint32 and len(set(out.tolist())) == 4
+        with pytest.raises(ValueError, match="2\\^32"):
+            qmc._feistel_permutation(idx, rk, (1 << 32) + 1)
+        # And through the public generator path (one small block of a
+        # 2^32-point stratification).
+        pts = np.asarray(
+            qmc.latin_hypercube(
+                jax.random.PRNGKey(1), 64, 2, offset=2**31, total=1 << 32
+            )
+        )
+        assert pts.shape == (64, 2) and 0.0 < pts.min() and pts.max() < 1.0
+
     def test_different_keys_differ(self):
         p1 = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(0), 64, 2))
         p2 = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(9), 64, 2))

@@ -369,6 +369,36 @@ class TestStreamedQMC:
         # Stratification: mean error ~1/n, far below the MC tolerance.
         assert abs(stats["mean"] - 0.5) < 1e-4
 
+    def test_lhs_estimate_size_sweep_not_cross_contaminated(self):
+        # LHS block programs close over the run's TOTAL size (the global
+        # stratification); the estimate cache must NOT reuse a program
+        # built for another size (review finding r3): the second call's
+        # mean must match the single-shot sample of ITS OWN size to
+        # stratification precision, not carry the first call's domain.
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        model = Distribution("uniform")
+        streaming.estimate(
+            model, 2048, block_size=1024, random_state=7, method="lhs"
+        )
+        stats = streaming.estimate(
+            model, 8192, block_size=1024, random_state=7, method="lhs"
+        )
+        single = np.asarray(
+            model.sample(8192, random_state=7, method="lhs")
+        ).mean()
+        assert abs(stats["mean"] - single) < 1e-5
+
+    def test_size_zero_rejected(self):
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        with pytest.raises(ValueError, match="size must be >= 1"):
+            streaming.estimate(Distribution("norm"), 0, block_size=256)
+        with pytest.raises(ValueError, match="size must be >= 1"):
+            streaming.sample_streaming(Distribution("norm"), 0, block_size=256)
+
 
 class TestStreamingFinalizers:
     def test_streamed_string_categorical_returns_values(self):
