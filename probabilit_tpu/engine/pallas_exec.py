@@ -699,3 +699,32 @@ def run_jitted(plan, n, keep_ids=None):
     """Jitted entry keyed by seed; cached by the caller per plan."""
     keep = None if keep_ids is None else frozenset(keep_ids)
     return jax.jit(lambda seed: run(plan, seed, n, keep))
+
+
+def environment_issue():
+    """None if the current environment can run the megakernel, else the
+    human-readable reason (platform / dtype / mesh).
+
+    Single source of truth for the library-level gate: ``sampler.sample``
+    raises the returned message on ``executor="pallas"``, and streaming's
+    ``executor="auto"`` eligibility treats any reason as "fall back to
+    the XLA executor".  (Graph eligibility is ``supports()``; this covers
+    only the execution environment.)
+    """
+    from probabilit_tpu import config
+    from probabilit_tpu.parallel import mesh as _par_mesh
+
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        return (
+            "executor='pallas' requires a TPU backend "
+            f"(current platform: {platform!r})."
+        )
+    if config.float_dtype() != jnp.float32:
+        return "executor='pallas' is float32-only."
+    if _par_mesh.current_mesh() is not None:
+        return (
+            "executor='pallas' does not run under a device mesh; "
+            "use the default executor for sharded sampling."
+        )
+    return None

@@ -79,7 +79,6 @@ def sample(
         # Opt-in megakernel path (single kernel, hardware PRNG); falls back
         # loudly if the graph is not eligible. See engine/pallas_exec.py.
         from probabilit_tpu.engine import pallas_exec
-        from probabilit_tpu.parallel import mesh as _par_mesh
 
         keep_ids = (
             None
@@ -108,23 +107,14 @@ def sample(
             raise ValueError(
                 "executor='pallas' supports correlator='imanconover' only."
             )
-        # Library-level environment gate, mirroring streaming's eligibility
-        # check: without it a CPU run surfaces Mosaic's "Only interpret
-        # mode is supported on CPU backend" instead of our own error.
-        # (Argument/graph validation above fires first — a user bug is the
-        # more actionable error on any platform.)
-        if jax.devices()[0].platform != "tpu":
-            raise ValueError(
-                "executor='pallas' requires a TPU backend "
-                f"(current platform: {jax.devices()[0].platform!r})."
-            )
-        if config.float_dtype() != jnp.float32:
-            raise ValueError("executor='pallas' is float32-only.")
-        if _par_mesh.current_mesh() is not None:
-            raise ValueError(
-                "executor='pallas' does not run under a device mesh; "
-                "use the default executor for sharded sampling."
-            )
+        # Library-level environment gate (shared with streaming's auto
+        # eligibility): without it a CPU run surfaces Mosaic's "Only
+        # interpret mode is supported on CPU backend" instead of our own
+        # error.  (Argument/graph validation above fires first — a user
+        # bug is the more actionable error on any platform.)
+        env_issue = pallas_exec.environment_issue()
+        if env_issue is not None:
+            raise ValueError(env_issue)
         if random_state is None:
             seed = int(np.random.SeedSequence().entropy % (2**31))
         elif isinstance(random_state, (int, np.integer)):

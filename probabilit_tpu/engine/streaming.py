@@ -119,20 +119,19 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
         return plan, run
 
     if executor in ("auto", "pallas"):
-        from probabilit_tpu import config
         from probabilit_tpu.engine import pallas_exec
-        from probabilit_tpu.parallel import mesh as _par_mesh
+        from probabilit_tpu.engine.sampler import _get_pallas_fn
 
         eligible = (
             pallas_exec.supports(plan, keep)
-            and config.float_dtype() == jnp.float32
-            and _par_mesh.current_mesh() is None
-            and jax.devices()[0].platform == "tpu"
+            and pallas_exec.environment_issue() is None
         )
         if executor == "pallas" and not eligible:
             raise ValueError("Graph not eligible for the pallas executor.")
         if eligible:
-            fn = pallas_exec.run_jitted(plan, block_size, keep)
+            # Shared with sample(): one Mosaic compile per
+            # (plan, block_size, keep) across both entry points.
+            fn = _get_pallas_fn(plan, block_size, keep)
 
             def run(b, key):
                 # Both 32-bit words of the folded key reach the kernel, so

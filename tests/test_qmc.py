@@ -68,6 +68,21 @@ class TestLatinHypercube:
         )
         assert pts.shape == (64, 2) and 0.0 < pts.min() and pts.max() < 1.0
 
+    def test_out_of_domain_padding_rows_terminate(self):
+        # Regression (review r3): indices past `total` (the padding rows
+        # of a partial final block) can lie on Feistel cycles entirely
+        # inside [total, 2^m); cycle-walking them spun the compiled
+        # while_loop forever for ~4% of keys.  PRNGKey(8) at n=1024,
+        # total=1000 reproduced the hang before the fix.
+        pts = np.asarray(
+            qmc.latin_hypercube(jax.random.PRNGKey(8), 1024, 1, total=1000)
+        )
+        assert pts.shape == (1024, 1)
+        assert np.all(np.isfinite(pts)) and np.all((0 <= pts) & (pts < 1))
+        # The 1000 in-domain rows still form the exact stratification.
+        strata = np.floor(pts[:1000, 0] * 1000).astype(int)
+        assert sorted(strata.tolist()) == list(range(1000))
+
     def test_different_keys_differ(self):
         p1 = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(0), 64, 2))
         p2 = np.asarray(qmc.latin_hypercube(jax.random.PRNGKey(9), 64, 2))
