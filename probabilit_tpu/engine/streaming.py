@@ -122,12 +122,15 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
         from probabilit_tpu.engine import pallas_exec
         from probabilit_tpu.engine.sampler import _get_pallas_fn
 
-        eligible = (
-            pallas_exec.supports(plan, keep)
-            and pallas_exec.environment_issue() is None
-        )
+        graph_ok = pallas_exec.supports(plan, keep)
+        env_issue = pallas_exec.environment_issue()
+        eligible = graph_ok and env_issue is None
         if executor == "pallas" and not eligible:
-            raise ValueError("Graph not eligible for the pallas executor.")
+            # Name the actual blocker: a graph problem is actionable by
+            # remodelling, an environment problem is not.
+            if not graph_ok:
+                raise ValueError("Graph not eligible for the pallas executor.")
+            raise ValueError(env_issue)
         if eligible:
             # Shared with sample(): one Mosaic compile per
             # (plan, block_size, keep) across both entry points.

@@ -430,7 +430,25 @@ class PermutationCorrelator(Correlator):
             limit = chunk_steps
             while True:
                 state = run_chunk(state, jnp.int32(limit))
-                if float(state[5]) < tol:
+                # NOT (err >= tol) rather than err < tol: a NaN error
+                # (constant or non-finite column makes every correlation
+                # NaN) exits the device loop immediately without
+                # advancing — mirroring the reference's `while error >=
+                # tol` host loop, which also falls through on NaN and
+                # returns the data unchanged.  `err < tol` would instead
+                # spin ~2^31/chunk no-op dispatches into the safety
+                # valve's misleading error.
+                err_now = float(state[5])
+                if not (err_now >= tol):
+                    if np.isnan(err_now):
+                        import warnings
+
+                        warnings.warn(
+                            "PermutationCorrelator error is NaN (constant "
+                            "or non-finite column?); returning the data "
+                            "unchanged.",
+                            stacklevel=3,
+                        )
                     break
                 if limit >= 2**31 - chunk_steps:
                     # int32 step-counter safety valve, ~2e5x beyond any

@@ -210,7 +210,6 @@ def clamp_open_unit(q):
 # =====================================================================
 
 
-@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble"))
 def sobol(key, n, d, dtype=None, scramble=True, offset=0):
     """``n`` points starting at index ``offset`` of a d-dim Sobol sequence.
 
@@ -219,7 +218,16 @@ def sobol(key, n, d, dtype=None, scramble=True, offset=0):
     compiled program.  Sequence length is capped at 2^32 by the 32-bit
     radical inverse.
     """
+    # Host-side normalisation before the trace boundary: ints >= 2^31
+    # overflow int32 argument coercion, and the config dtype default
+    # must not be burned into a trace cached under dtype=None.
+    offset = _wrap_offset_uint32(offset)
     dtype = config.float_dtype() if dtype is None else dtype
+    return _sobol_traced(key, n, d, jnp.dtype(dtype).name, scramble, offset)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble"))
+def _sobol_traced(key, n, d, dtype, scramble=True, offset=0):
     V = _direction_numbers(d)  # (d, 32)
     idx = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(offset, jnp.uint32)
     gray = idx ^ (idx >> 1)
@@ -235,6 +243,19 @@ def sobol(key, n, d, dtype=None, scramble=True, offset=0):
     return _bits_to_unit(acc, dtype)
 
 
+def _wrap_offset_uint32(offset):
+    """Wrap a HOST-int offset into uint32 range before it reaches a trace.
+
+    Python ints >= 2^31 (e.g. a block at the top of a 2^32-point stream)
+    overflow JAX's default int32 argument coercion; uint32 index math is
+    modular anyway, so wrapping preserves the intended counter value.
+    Traced offsets pass through untouched.
+    """
+    if isinstance(offset, (int, np.integer)):
+        return np.uint32(int(offset) % (1 << 32))
+    return offset
+
+
 @functools.lru_cache(maxsize=8)
 def _first_primes(d):
     primes, candidate = [], 2
@@ -245,14 +266,30 @@ def _first_primes(d):
     return np.array(primes, dtype=np.int64)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble"))
 def halton(key, n, d, dtype=None, scramble=True, offset=0):
     """``n`` points starting at index ``offset`` of a d-dim Halton sequence.
 
     ``offset`` may be traced; index arithmetic is 32-bit unless x64 is
     enabled, capping streamed sequences at 2^31 points in float32 mode.
     """
+    if isinstance(offset, (int, np.integer)):
+        # Host-side cap check before the trace boundary: unlike the
+        # uint32 generators, wrapping here would silently REPEAT
+        # earlier points (the digit loop is signed-index).
+        bits = 64 if jax.config.read("jax_enable_x64") else 32
+        if int(offset) >= 2 ** (bits - 1):
+            raise ValueError(
+                f"Halton streams are int{bits}-indexed: offset must be "
+                f"< 2^{bits - 1}, got {int(offset)}."
+            )
+    # Resolve the config default HERE: inside the jit it would be burned
+    # into a trace cached under dtype=None, surviving a config switch.
     dtype = config.float_dtype() if dtype is None else dtype
+    return _halton_traced(key, n, d, jnp.dtype(dtype).name, scramble, offset)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "d", "dtype", "scramble"))
+def _halton_traced(key, n, d, dtype, scramble=True, offset=0):
     primes = _first_primes(d)
     compute_dtype = jnp.float64 if jnp.dtype(dtype) == jnp.dtype(jnp.float64) else jnp.float32
     idx_dtype = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
@@ -358,10 +395,7 @@ def latin_hypercube(key, n, d, dtype=None, offset=0, total=None):
     total = n if total is None else int(total)
     if d == 0:
         return jnp.zeros((n, 0), dtype)
-    if isinstance(offset, (int, np.integer)):
-        # Host ints above 2^31-1 (e.g. a block at the top of a 2^32-point
-        # stream) overflow int32 coercion; wrap to uint32 explicitly.
-        offset = np.uint32(offset % (1 << 32))
+    offset = _wrap_offset_uint32(offset)
     return _latin_hypercube_traced(
         key, offset, n, d, jnp.dtype(dtype).name, total
     )

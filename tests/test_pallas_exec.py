@@ -349,6 +349,19 @@ class TestErrorPaths:
         with pytest.raises(ValueError, match="TPU backend"):
             sink.sample(64, random_state=0, gc_strategy=[], executor="pallas")
 
+    @pytest.mark.skipif(on_tpu, reason="checks the CPU refusal path")
+    def test_streaming_forced_pallas_names_environment_blocker(self):
+        # sample_streaming must name the ACTUAL blocker: an eligible
+        # graph blocked by the platform gets the environment message,
+        # not "Graph not eligible" (review r3).
+        from probabilit_tpu.engine import streaming
+
+        sink = Distribution("norm") + 1
+        with pytest.raises(ValueError, match="TPU backend"):
+            streaming.sample_streaming(
+                sink, 256, block_size=128, executor="pallas"
+            )
+
     def test_failed_call_clears_stale_samples(self, monkeypatch):
         # A previous successful run's samples_ must not survive a failed
         # pallas call (ADVICE r2): the clearing loop runs before fn(seed).

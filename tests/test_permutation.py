@@ -174,6 +174,20 @@ class TestPermutationCorrelator:
         assert abs(achieved - 0.4) < 0.04 + 1e-6
         np.testing.assert_allclose(np.sort(Xt[:, 0]), np.sort(X[:, 0]), rtol=1e-6)
 
+    def test_unbounded_nan_error_returns_unchanged(self):
+        # A constant column makes every correlation NaN; the unbounded
+        # host loop must fall through like the reference's
+        # `while error >= tol` (review r3: `err < tol` kept dispatching
+        # no-op chunks until the 2^31 safety valve).
+        from probabilit_tpu.ops.permutation import PermutationCorrelator
+
+        X = np.column_stack([np.ones(64), np.arange(64.0)]).astype(np.float32)
+        pc = PermutationCorrelator(iterations=0, tol=1e-3, seed=0)
+        pc.set_target(np.array([[1.0, 0.5], [0.5, 1.0]]))
+        with pytest.warns(UserWarning, match="NaN"):
+            out = np.asarray(pc(X))
+        np.testing.assert_array_equal(out, X)
+
     def test_verbose_progress_lines(self, capfd):
         rng = np.random.default_rng(0)
         X = rng.normal(size=(50, 2))

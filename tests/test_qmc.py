@@ -131,6 +131,17 @@ class TestSobol:
         hi = np.asarray(qmc.sobol(jax.random.PRNGKey(0), 32, 3, offset=32))
         np.testing.assert_allclose(full, np.vstack([lo, hi]), atol=1e-7)
 
+    def test_offset_above_int31_wraps_not_crashes(self):
+        # Host ints >= 2^31 overflow JAX's int32 argument coercion unless
+        # wrapped to uint32 first (review r3: sobol advertises 2^32-point
+        # streams but crashed at the top half).
+        pts = np.asarray(qmc.sobol(jax.random.PRNGKey(0), 8, 2, offset=2**31))
+        assert pts.shape == (8, 2) and 0.0 <= pts.min() and pts.max() < 1.0
+        via_generate = np.asarray(
+            qmc.generate("sobol", jax.random.PRNGKey(0), 8, 2, offset=2**31)
+        )
+        np.testing.assert_array_equal(pts, via_generate)
+
     def test_integration_beats_pseudo_random(self):
         # Estimate E[prod(x)] on [0,1]^4 = 1/16; Sobol error should beat MC.
         n, d = 1024, 4
@@ -151,6 +162,12 @@ class TestHalton:
         pts = np.asarray(qmc.halton(jax.random.PRNGKey(5), 200, 6))
         assert pts.min() >= 0.0 and pts.max() < 1.0
         assert np.allclose(pts.mean(axis=0), 0.5, atol=0.06)
+
+    def test_offset_above_index_cap_raises(self):
+        # Halton's digit loop is signed-index: wrapping would silently
+        # repeat earlier points, so the cap is a clear host-side error.
+        with pytest.raises(ValueError, match="int32-indexed"):
+            qmc.halton(jax.random.PRNGKey(0), 8, 2, offset=2**31)
 
 
 class TestMethodPlumbing:
