@@ -79,18 +79,20 @@ def treeprint(node):
           └──Constant(2)
     """
     lines = []
-
-    def render(n, indent, connector):
+    # Explicit preorder stack: graphs are routinely deeper than Python's
+    # recursion limit (12k-node chains are a tested scale), so a
+    # recursive renderer would raise RecursionError.
+    stack = [(node, "", "")]
+    while stack:
+        n, indent, connector = stack.pop()
         lines.append(indent + connector + _node_label(n))
         children = list(n.get_parents())
         if not children:
-            return
+            continue
         # A node drawn on a "last branch" (or the root) contributes blank
         # indentation below itself; a middle branch keeps its pipe running.
         deeper = indent + ("│  " if connector == "├──" else "   ")
-        for child in children[:-1]:
-            render(child, deeper, "├──")
-        render(children[-1], deeper, "└──")
-
-    render(node, indent="", connector="")
+        entries = [(child, deeper, "├──") for child in children[:-1]]
+        entries.append((children[-1], deeper, "└──"))
+        stack.extend(reversed(entries))
     print("\n".join(lines))

@@ -88,10 +88,10 @@ class Distribution(AbstractDistribution):
         return list(self.get_parents()) == []
 
     def _rewire(self, update):
-        self.args = tuple(update(a) if isinstance(a, Node) else a for a in self.args)
-        self.kwargs = {
-            k: (update(v) if isinstance(v, Node) else v) for k, v in self.kwargs.items()
-        }
+        # update() on EVERY item: non-Node arguments are deep-copied,
+        # matching reference copy semantics (modeling.py:371-394).
+        self.args = tuple(update(a) for a in self.args)
+        self.kwargs = {k: update(v) for k, v in self.kwargs.items()}
 
     def _static_signature(self):
         sig_args = tuple(

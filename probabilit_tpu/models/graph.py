@@ -180,18 +180,29 @@ class Node(abc.ABC):
         return list(seen.values())
 
     def num_distribution_nodes(self):
-        """Number of unique ancestor nodes that are distribution nodes."""
-        return sum(1 for node in set(self.nodes()) if node._is_distribution)
+        """Number of unique ancestor nodes that are distribution nodes.
+
+        Uses :meth:`unique_nodes` (linear) rather than the reference's
+        ``set(self.nodes())`` (modeling.py:425-429): path-multiplicity
+        traversal is exponential on graphs with shared subexpressions;
+        the resulting SET is identical.
+        """
+        return sum(1 for node in self.unique_nodes() if node._is_distribution)
 
     def to_graph(self):
         """Convert the computational graph to a networkx MultiDiGraph.
 
         Kept for reference API parity (``modeling.py:663-680``); the engine
         itself uses :func:`topological_sort` and does not need networkx.
+        One divergence: each node contributes its parent edges ONCE (the
+        reference iterates path-multiplicity ``nodes()``, which duplicates
+        edges per path and is exponential on shared subexpressions);
+        repeated parents of a single node — ``a + a`` — still yield
+        parallel edges.
         """
         import networkx as nx
 
-        nodes = list(self.nodes())
+        nodes = self.unique_nodes()
         if len(nodes) == 1:
             G = nx.MultiDiGraph()
             G.add_node(self)
@@ -315,7 +326,8 @@ class Node(abc.ABC):
         """Distribution with no Distribution ancestors (``modeling.py:616-626``)."""
         if not self._is_distribution:
             return False
-        ancestors = set(self.nodes()) - {self}
+        # unique_nodes, not set(nodes()): linear on shared subexpressions.
+        ancestors = set(self.unique_nodes()) - {self}
         return not any(node._is_distribution for node in ancestors)
 
     def correlate(self, *variables, corr_mat):
@@ -329,7 +341,10 @@ class Node(abc.ABC):
         assert corr_mat.shape[0] == corr_mat.shape[1]
         assert corr_mat.shape[0] == len(variables)
         assert len(variables) == len(set(variables))
-        nodes = set(self.nodes())
+        # unique_nodes, not set(nodes()): linear on shared subexpressions
+        # (a 26-deep x = x + x chain made the reference's traversal yield
+        # 2^26+ nodes at model-build time).
+        nodes = set(self.unique_nodes())
         for var in variables:
             if var not in nodes:
                 raise ValueError(f"{var} is not an ancestor of {self}")
@@ -761,10 +776,12 @@ class ScalarFunctionTransform(Transform):
                 yield arg
 
     def _rewire(self, update):
-        self.args = tuple(update(a) if isinstance(a, Node) else a for a in self.args)
-        self.kwargs = {
-            k: (update(v) if isinstance(v, Node) else v) for k, v in self.kwargs.items()
-        }
+        # update() on EVERY item, Node or not: non-Node arguments are
+        # deep-copied, matching reference copy semantics (modeling.py:
+        # 371-394 — a mutable arg must not stay aliased between a graph
+        # and its copy).
+        self.args = tuple(update(a) for a in self.args)
+        self.kwargs = {k: update(v) for k, v in self.kwargs.items()}
 
     def _static_signature(self):
         return ("ScalarFunctionTransform", id(self.func), str(self.dtype))
@@ -784,6 +801,16 @@ class ScalarFunctionTransform(Transform):
                 for k, v in self.kwargs.items()
             }
             return self.func(*args, **kwargs)
+
+        if not arrays:
+            # Constant-only arguments (no Node inputs): vmap would reject
+            # the zero-array call, and the reference's per-sample loop
+            # just repeats one value — evaluate once and broadcast.
+            out_dtype = (
+                self.dtype if self.dtype is not None else config.float_dtype()
+            )
+            value = jnp.asarray(call_scalar(), dtype=out_dtype)
+            return jnp.broadcast_to(value, (ctx.n,))
 
         # Fast path: the function is jax-traceable -> vectorise and compile.
         # Only trace-time incompatibilities (a Tracer leaking into numpy /

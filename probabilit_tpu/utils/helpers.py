@@ -45,6 +45,11 @@ def zip_args(args, kwargs):
     ('x',) {'n': 10}
     ('y',) {'n': 20}
     """
+    if not args and not kwargs:
+        # Both streams empty: there are zero argument streams, hence zero
+        # calls.  Without this, zip of two infinite repeat(()) streams
+        # would yield ((), {}) forever (latent hang in the reference).
+        return
     names = list(kwargs)
     positional = zip(*args) if args else itertools.repeat(())
     keyword = zip(*(kwargs[k] for k in names)) if names else itertools.repeat(())

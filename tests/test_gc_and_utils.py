@@ -101,6 +101,11 @@ class TestZipArgs:
         out = list(itertools.islice(zip_args((), {"a": (1, 2)}), 2))
         assert out[0][1] == {"a": 1}
 
+    def test_both_empty_terminates(self):
+        # Zero argument streams = zero calls; the reference's version
+        # yields ((), {}) forever here (review r3).
+        assert list(zip_args((), {})) == []
+
 
 class TestAdjustMinmaxQuantiles:
     def test_no_change_when_mean_matches(self):

@@ -104,6 +104,16 @@ class TestCopy:
         # Copied samples are independent objects
         assert expr2.samples_ is not expr.samples_
 
+    def test_copy_deepcopies_mutable_non_node_args(self):
+        # Reference copy semantics (modeling.py:371-394): non-Node
+        # arguments go through deepcopy, so a mutable arg must not stay
+        # aliased between a graph and its copy (review r3).
+        loc = np.array(1.5)  # 0-d array: a mutable non-Node argument
+        d = Distribution("norm", loc=loc, scale=2.0)
+        d2 = d.copy()
+        assert d2.kwargs["loc"] is not d.kwargs["loc"]
+        np.testing.assert_array_equal(d2.kwargs["loc"], d.kwargs["loc"])
+
     def test_copy_remaps_correlations(self):
         a, b = Distribution("uniform"), Distribution("uniform")
         expr = (a + b).correlate(a, b, corr_mat=np.eye(2))
@@ -145,6 +155,34 @@ class TestTreeprint:
         assert out.splitlines()[0] == "Subtract"
         assert 'Distribution("norm", loc=1, scale=Distribution("expon"))' in out
         assert "Constant(2)" in out
+
+    def test_treeprint_deep_chain_no_recursion_error(self, capsys):
+        # Chains deeper than Python's recursion limit are a supported
+        # scale (12k-node compile regression test); the renderer must
+        # not recurse (review r3).
+        total = Distribution("norm")
+        for _ in range(1500):
+            total = total + 1.0
+        treeprint(total)
+        out = capsys.readouterr().out
+        assert out.count("Add") == 1500
+
+
+class TestSharedSubexpressionScaling:
+    def test_correlate_on_shared_subexpression_graph(self):
+        # x = x + x doubling 26 times shares every level; the reference's
+        # path-multiplicity set(nodes()) yields 2^26+ nodes here and
+        # effectively hangs at model-BUILD time (review r3).  unique_nodes
+        # makes ancestry validation linear in the ~30 unique nodes.
+        a, b = Distribution("norm"), Distribution("norm")
+        x = a + b
+        for _ in range(26):
+            x = x + x
+        x.correlate(a, b, corr_mat=np.eye(2))
+        assert x.num_distribution_nodes() == 2
+        assert a._is_initial_sampling_node()
+        g = x.to_graph()
+        assert g.number_of_nodes() == 26 + 3  # 26 Adds + root Add + a + b
 
 
 class TestOverloads:

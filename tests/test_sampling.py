@@ -222,6 +222,21 @@ class TestScalarTransform:
         s = np.asarray(f(x, 3.0).sample(100, random_state=0))
         np.testing.assert_allclose(s, np.asarray(x.samples_) * 3.0, rtol=1e-5)
 
+    def test_constant_only_args(self):
+        # No Node inputs at all (review r3): vmap rejects a zero-array
+        # call; the value must be evaluated once and broadcast, like the
+        # reference's per-sample loop.
+        @scalar_transform
+        def f(a, b):
+            return a * b
+
+        norm = Distribution("norm")
+        expr = f(2.0, 3.0) + norm
+        s = np.asarray(expr.sample(50, random_state=0))
+        np.testing.assert_allclose(
+            s, np.asarray(norm.samples_) + 6.0, rtol=1e-6
+        )
+
 
 class TestGCStrategy:
     def test_default_keeps_everything(self):
