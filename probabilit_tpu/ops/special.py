@@ -57,7 +57,19 @@ def erfinv_f32(x):
     x = jnp.asarray(x, jnp.float32)
     w = -jnp.log(jnp.clip((1.0 - x) * (1.0 + x), 1e-37))
     w = jnp.minimum(w, jnp.float32(16.64))
+    p1, p2 = _giles_branch_polys(w)
+    return jnp.where(w < 5.0, p1, p2) * x
 
+
+def _giles_branch_polys(w):
+    """Giles (2012) erfinv polynomial branches evaluated at ``w``.
+
+    Returns ``(p1, p2)``: the central branch (fit for w < 5) in
+    ``w - 2.5`` and the tail branch (fit up to w ~ 16.6, clamped there)
+    in ``sqrt(w) - 3``.  One home for the 18 coefficients so
+    :func:`erfinv_f32` and :func:`ndtri_fast_wide` can never drift apart
+    on a retune.
+    """
     wc = w - 2.5
     p1 = jnp.float32(2.81022636e-08)
     p1 = jnp.float32(3.43273939e-07) + p1 * wc
@@ -69,7 +81,7 @@ def erfinv_f32(x):
     p1 = jnp.float32(0.246640727) + p1 * wc
     p1 = jnp.float32(1.50140941) + p1 * wc
 
-    ws = jnp.sqrt(w) - 3.0
+    ws = jnp.sqrt(jnp.minimum(w, jnp.float32(16.64))) - 3.0
     p2 = jnp.float32(-0.000200214257)
     p2 = jnp.float32(0.000100950558) + p2 * ws
     p2 = jnp.float32(0.00134934322) + p2 * ws
@@ -79,8 +91,7 @@ def erfinv_f32(x):
     p2 = jnp.float32(0.00943887047) + p2 * ws
     p2 = jnp.float32(1.00167406) + p2 * ws
     p2 = jnp.float32(2.83297682) + p2 * ws
-
-    return jnp.where(w < 5.0, p1, p2) * x
+    return p1, p2
 
 
 _SQRT2 = 1.4142135623730951
@@ -128,28 +139,7 @@ def ndtri_fast_wide(q):
     w = -(jnp.log(tail_c) + jnp.log1p(-tail_c) + log4)
     x = 2.0 * q - 1.0
     sign = jnp.where(q >= 0.5, jnp.float32(1.0), jnp.float32(-1.0))
-
-    wc = w - 2.5
-    p1 = jnp.float32(2.81022636e-08)
-    p1 = jnp.float32(3.43273939e-07) + p1 * wc
-    p1 = jnp.float32(-3.5233877e-06) + p1 * wc
-    p1 = jnp.float32(-4.39150654e-06) + p1 * wc
-    p1 = jnp.float32(0.00021858087) + p1 * wc
-    p1 = jnp.float32(-0.00125372503) + p1 * wc
-    p1 = jnp.float32(-0.00417768164) + p1 * wc
-    p1 = jnp.float32(0.246640727) + p1 * wc
-    p1 = jnp.float32(1.50140941) + p1 * wc
-
-    ws = jnp.sqrt(jnp.minimum(w, jnp.float32(16.64))) - 3.0
-    p2 = jnp.float32(-0.000200214257)
-    p2 = jnp.float32(0.000100950558) + p2 * ws
-    p2 = jnp.float32(0.00134934322) + p2 * ws
-    p2 = jnp.float32(-0.00367342844) + p2 * ws
-    p2 = jnp.float32(0.00573950773) + p2 * ws
-    p2 = jnp.float32(-0.0076224613) + p2 * ws
-    p2 = jnp.float32(0.00943887047) + p2 * ws
-    p2 = jnp.float32(1.00167406) + p2 * ws
-    p2 = jnp.float32(2.83297682) + p2 * ws
+    p1, p2 = _giles_branch_polys(w)
 
     # Far tail (w beyond the Giles fit): erfc(y) ~ exp(-y^2)/(y sqrt(pi)),
     # two fixed-point iterations of y^2 = w + ln2 - ln(y sqrt(pi)).
@@ -178,7 +168,17 @@ def ndtr_fast(x):
         return ndtr(x)
     z = jnp.abs(x) * jnp.float32(1.0 / _SQRT2)
     t = 1.0 / (1.0 + jnp.float32(0.3275911) * z)
-    poly = t * (
+    tail = 0.5 * _as_tail_poly(t) * jnp.exp(-z * z)  # ndtr(-|x|), rel-accurate
+    return jnp.where(x >= 0, 1.0 - tail, tail)
+
+
+def _as_tail_poly(t):
+    """A&S 7.1.26 erfc polynomial in ``t = 1/(1 + 0.3275911 z)``.
+
+    Shared by :func:`ndtr_fast` (times ``exp(-z^2)``) and
+    :func:`ndtr_scaled_neg` (without it).
+    """
+    return t * (
         jnp.float32(0.254829592)
         + t
         * (
@@ -190,13 +190,30 @@ def ndtr_fast(x):
             )
         )
     )
-    tail = 0.5 * poly * jnp.exp(-z * z)  # = ndtr(-|x|), relative-accurate
-    return jnp.where(x >= 0, 1.0 - tail, tail)
 
 
 def ndtr_neg_fast(x):
     """Survival function ndtr(-x) = P(Z > x), relative-accurate for x > 0."""
     return ndtr_fast(-jnp.asarray(x))
+
+
+def ndtr_scaled_neg(x):
+    """``exp(x^2/2) * ndtr(x)`` for ``x <= 0`` (scaled normal CDF).
+
+    The A&S 7.1.26 tail is ``0.5 * poly * exp(-x^2/2)``; dropping the
+    exponential factor yields the scaled CDF directly, so callers can
+    evaluate products like ``exp(c) * ndtr(x)`` as
+    ``exp(c - x^2/2) * ndtr_scaled_neg(x)`` and stay finite where the
+    two factors individually over/underflow (invgauss' Shuster CDF).
+    """
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float32:
+        from jax.scipy.special import log_ndtr
+
+        return jnp.exp(0.5 * x * x + log_ndtr(x))
+    z = jnp.abs(x) * jnp.float32(1.0 / _SQRT2)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * z)
+    return 0.5 * _as_tail_poly(t)
 
 
 def expm1_safe(x):
@@ -651,25 +668,32 @@ def discrete_ppf_bisect(cdf, q, hi, max_iters=40):
     """Generic discrete ppf: smallest integer k in [0, hi] with cdf(k) >= q.
 
     ``cdf`` maps a float array of ks to CDF values; ``hi`` is a per-element
-    upper bound on the support needed.  Runs a fixed number of bisection
-    steps (static shapes, fully vectorised), used by Poisson/Binomial/...
-    kernels when parameters are traced (composite distributions).
+    upper bound on the support needed.  Runs at most ``max_iters``
+    bisection steps (static shapes, fully vectorised), used by
+    Poisson/Binomial/... kernels when parameters are traced (composite
+    distributions).
+
+    The trip cap is load-bearing, not a formality: above 2^24 the f32
+    midpoint ``floor((lo+hi)/2)`` can round back onto ``lo`` while
+    ``hi - lo`` is still > 1 (spacing >= 2), so a width-only condition
+    would spin the device loop forever.  On a capped exit ``hi`` still
+    satisfies ``cdf(hi) >= q`` — correct to one f32 ulp of the support.
     """
     q = jnp.asarray(q)
     lo = jnp.full(q.shape, -1.0, q.dtype)  # invariant: cdf(lo) < q
     hi = jnp.broadcast_to(jnp.asarray(hi, q.dtype), q.shape)
 
-    def body(_, carry):
-        lo, hi = carry
+    def cond(carry):
+        i, lo, hi = carry
+        return (i < max_iters) & jnp.any(hi - lo > 1.0)
+
+    def body(carry):
+        i, lo, hi = carry
         mid = jnp.floor((lo + hi) / 2.0)
         go_right = cdf(mid) < q
         lo = jnp.where(go_right, mid, lo)
         hi = jnp.where(go_right, hi, mid)
-        return lo, hi
+        return i + 1, lo, hi
 
-    lo, hi = jax.lax.while_loop(
-        lambda c: jnp.any(c[1] - c[0] > 1.0),
-        lambda c: body(None, c),
-        (lo, hi),
-    )
+    _, lo, hi = jax.lax.while_loop(cond, body, (jnp.int32(0), lo, hi))
     return hi
