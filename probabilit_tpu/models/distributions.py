@@ -63,14 +63,11 @@ class Distribution(AbstractDistribution):
 
         # Shares Transform's depth cap: composite parameters recurse, and
         # deep chains must not exhaust the stack when stringified.
-        if Transform._repr_depth >= Transform._REPR_MAX_DEPTH:
+        if Transform._repr_capped():
             return f'{type(self).__name__}("{self.distr}", ...)'
-        Transform._repr_depth += 1
-        try:
+        with Transform._repr_frame():
             args = ", ".join(repr(arg) for arg in self.args)
             kwargs = ", ".join(f"{k}={repr(v)}" for (k, v) in self.kwargs.items())
-        finally:
-            Transform._repr_depth -= 1
         out = f'{type(self).__name__}("{self.distr}"'
         if args:
             out += f", {args}"
@@ -175,14 +172,18 @@ class EmpiricalDistribution(AbstractDistribution):
             grid = jnp.linspace(0.0, 1.0, self.data.shape[0], dtype=config.float_dtype())
             return jnp.interp(q, grid, sorted_data)
 
-        # Exact numpy semantics for every other method.
+        # Exact numpy semantics for every other method.  The result dtype is
+        # whatever np.quantile itself produces (interpolating methods return
+        # floats even for integer data — casting back to the data dtype
+        # would truncate e.g. midpoint quantiles of ints); probe it once at
+        # trace time on a single quantile.
         import jax
 
-        out_dtype = (
-            self.data.dtype
-            if np.issubdtype(self.data.dtype, np.number)
-            else config.np_float_dtype()
-        )
+        try:
+            probe = np.quantile(a=self.data, q=np.float64(0.5), **self.kwargs)
+            out_dtype = np.asarray(probe).dtype
+        except TypeError:
+            out_dtype = config.np_float_dtype()
         out_dtype = jax.dtypes.canonicalize_dtype(out_dtype)
 
         def host(q_np):
@@ -282,7 +283,11 @@ class DiscreteDistribution(AbstractDistribution):
     def _static_signature(self):
         return (
             "DiscreteDistribution",
-            self.values.tobytes() if self.values.dtype != object else repr(self.values),
+            # tolist(), not repr(array): numpy truncates reprs past 1000
+            # elements, which would collide signatures of different tables.
+            self.values.tobytes()
+            if self.values.dtype != object
+            else repr(self.values.tolist()),
             str(self.values.dtype),
             self.probabilities.tobytes(),
         )

@@ -165,6 +165,11 @@ def Triangular(low, mode, high, low_perc=0.1, high_perc=0.9):
         raise ValueError(f"Must have {low=} < {mode=} < {high=}")
     if not ((0 <= low_perc <= 1.0) and (0 <= high_perc <= 1.0)):
         raise ValueError("Percentiles must be between 0 and 1.")
+    # Stricter than the reference (which only range-checks): inverted
+    # percentiles make the Newton fit diverge to a garbage distribution
+    # with nothing but an RMSE warning — refuse them up front.
+    if not (low_perc < high_perc):
+        raise ValueError(f"Must have {low_perc=} < {high_perc=}")
 
     if np.isclose(low_perc, 0.0) and np.isclose(high_perc, 1.0):
         loc, scale, c = low, high - low, (mode - low) / (high - low)

@@ -23,6 +23,7 @@ Each node class therefore carries two things:
 from __future__ import annotations
 
 import abc
+import contextlib
 import copy as _copy
 import functools
 import heapq
@@ -507,14 +508,26 @@ class Transform(Node, OverloadMixin, abc.ABC):
     _REPR_MAX_DEPTH = 50
     _repr_depth = 0
 
-    def __repr__(self):
-        if Transform._repr_depth >= Transform._REPR_MAX_DEPTH:
-            return f"{type(self).__name__}(...)"
+    @classmethod
+    def _repr_capped(cls):
+        """True once the recursive-repr budget is spent (stop recursing)."""
+        return Transform._repr_depth >= Transform._REPR_MAX_DEPTH
+
+    @classmethod
+    @contextlib.contextmanager
+    def _repr_frame(cls):
+        """One level of recursive repr; shared by every node family."""
         Transform._repr_depth += 1
         try:
-            parents = ", ".join(repr(parent) for parent in self.get_parents())
+            yield
         finally:
             Transform._repr_depth -= 1
+
+    def __repr__(self):
+        if Transform._repr_capped():
+            return f"{type(self).__name__}(...)"
+        with Transform._repr_frame():
+            parents = ", ".join(repr(parent) for parent in self.get_parents())
         return f"{type(self).__name__}({parents})"
 
     def _static_signature(self):
@@ -784,7 +797,24 @@ class ScalarFunctionTransform(Transform):
         self.kwargs = {k: update(v) for k, v in self.kwargs.items()}
 
     def _static_signature(self):
-        return ("ScalarFunctionTransform", id(self.func), str(self.dtype))
+        # Static (non-Node) arguments and the Node/static layout are part of
+        # the structure: st(x, 2) and st(x, 3), or f(x, node) vs f(node, x),
+        # compute different functions and must not share a signature (the
+        # checkpoint fingerprint and program cache both key on this).
+        arg_layout = tuple(
+            "<node>" if isinstance(a, Node) else repr(a) for a in self.args
+        )
+        kwarg_layout = tuple(
+            (k, "<node>" if isinstance(v, Node) else repr(v))
+            for k, v in sorted(self.kwargs.items())
+        )
+        return (
+            "ScalarFunctionTransform",
+            id(self.func),
+            str(self.dtype),
+            arg_layout,
+            kwarg_layout,
+        )
 
     def _emit(self, ctx):
         node_args = [a for a in self.args if isinstance(a, Node)]
@@ -820,11 +850,29 @@ class ScalarFunctionTransform(Transform):
         # ValueError, ...) surface instead of silently degrading 1000x.
         try:
             return jax.vmap(call_scalar)(*arrays)
-        except (jax.errors.TracerArrayConversionError, jax.errors.TracerBoolConversionError, TypeError, NotImplementedError):
+        except (jax.errors.TracerArrayConversionError, jax.errors.TracerBoolConversionError, TypeError, NotImplementedError) as exc:
+            fname = getattr(self.func, "__name__", self.func)
+            if isinstance(
+                exc,
+                (
+                    jax.errors.TracerArrayConversionError,
+                    jax.errors.TracerBoolConversionError,
+                ),
+            ):
+                detail = "is not jax-traceable"
+            else:
+                # A plain TypeError can mean EITHER an untraceable function
+                # OR a genuine bug; surface the message so a bug is visible
+                # here, not first as an opaque runtime callback failure.
+                detail = (
+                    "raised at trace time "
+                    f"({type(exc).__name__}: {str(exc)[:200]}) — if this "
+                    "points at a bug in the function, the host loop will "
+                    "raise it again at sampling time"
+                )
             warnings.warn(
-                f"scalar_transform function {getattr(self.func, '__name__', self.func)!r} "
-                "is not jax-traceable; falling back to the per-sample host loop "
-                "(orders of magnitude slower).",
+                f"scalar_transform function {fname!r} {detail}; falling back "
+                "to the per-sample host loop (orders of magnitude slower).",
                 stacklevel=2,
             )
 

@@ -70,7 +70,9 @@ def use_mesh(mesh):
 def sample_sharding(ndim=2, mesh=None):
     """NamedSharding partitioning axis 0 (samples) over the mesh."""
     mesh = current_mesh() if mesh is None else mesh
-    if mesh is None:
+    if mesh is None or ndim < 1:
+        # 0-d values have no sample axis to partition; None means "leave
+        # placement alone", the correct no-op for scalars.
         return None
     axis = mesh.axis_names[0]
     spec = PartitionSpec(axis, *([None] * (ndim - 1)))

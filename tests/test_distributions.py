@@ -216,6 +216,10 @@ class TestTriangular:
             Triangular(5, 2, 10)
         with pytest.raises(ValueError):
             Triangular(1, 5, 9, low_perc=-0.5)
+        # Inverted percentiles would make the Newton fit diverge to a
+        # garbage distribution; they must be refused up front.
+        with pytest.raises(ValueError, match="low_perc"):
+            Triangular(1, 5, 9, low_perc=0.9, high_perc=0.1)
 
     def test_sampling_matches_percentiles(self):
         distr = Triangular(low=1, mode=5, high=9)

@@ -36,6 +36,15 @@ class TestMeshInvariance:
             # Samples axis split over all 8 devices
             assert len({d for d in x.sharding.device_set}) == 8
 
+    def test_shard_samples_scalar_is_noop(self):
+        # 0-d values have no sample axis; placement must be left alone
+        # instead of crashing on a one-axis PartitionSpec.
+        from probabilit_tpu.parallel import shard_samples
+
+        with use_mesh(make_mesh()):
+            out = shard_samples(np.float32(1.5))
+        assert float(np.asarray(out)) == 1.5
+
     def test_correlated_sampling_under_mesh(self):
         a, b = Distribution("uniform"), Distribution("expon")
         corr = np.array([[1, 0.6], [0.6, 1]])

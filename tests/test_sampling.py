@@ -151,6 +151,20 @@ class TestNonParametricDistributions:
                                method="closest_observation")
         np.testing.assert_array_equal(out, expected)
 
+    def test_empirical_interpolating_method_keeps_float_result(self):
+        # np.quantile returns floats for interpolating methods even on
+        # integer data; casting back to the data dtype would truncate
+        # (midpoint of [1, 2] is 1.5, not 1).
+        emp = EmpiricalDistribution([1, 2], method="midpoint")
+        out = np.asarray(emp.sample_from_quantiles(np.array([[0.5]])))
+        np.testing.assert_allclose(out, [1.5])
+
+        emp2 = EmpiricalDistribution([1, 2], method="hazen")
+        out2 = np.asarray(emp2.sample_from_quantiles(np.array([[0.3]])))
+        np.testing.assert_allclose(
+            out2, np.quantile([1, 2], 0.3, method="hazen"), rtol=1e-6
+        )
+
     def test_cumulative_interpolation(self):
         distr = CumulativeDistribution([0, 0.2, 0.8, 1], [10, 15, 20, 25])
         qs = np.linspace(0, 1, num=6)
@@ -184,6 +198,17 @@ class TestNonParametricDistributions:
         with pytest.raises(ValueError, match="Length mismatch"):
             DiscreteDistribution([1, 2, 3], probabilities=[0.5, 0.5])
 
+    def test_discrete_large_object_tables_sign_differently(self):
+        # repr(array) truncates past 1000 elements; the static signature
+        # must still distinguish big string tables that differ deep inside.
+        v1 = [f"s{i}" for i in range(1500)]
+        v2 = list(v1)
+        v2[1200] = "different"
+        p = np.ones(1500) / 1500
+        d1 = DiscreteDistribution(v1, probabilities=p)
+        d2 = DiscreteDistribution(v2, probabilities=p)
+        assert d1._static_signature() != d2._static_signature()
+
 
 class TestScalarTransform:
     def test_traceable_function_compiles(self):
@@ -212,6 +237,19 @@ class TestScalarTransform:
         xs, ys = np.asarray(x.samples_), np.asarray(y.samples_)
         expected = np.where(xs > 0, xs * ys, 0.0)
         np.testing.assert_allclose(s, expected, rtol=1e-5)
+
+    def test_trace_time_bug_surfaces_in_warning(self):
+        # A plain TypeError at trace time may be a genuine bug in the user
+        # function; the fallback warning must carry the original message so
+        # the bug is visible before the opaque runtime callback failure.
+        @scalar_transform
+        def bad(a):
+            return "a" + a
+
+        node = bad(Distribution("norm"))
+        with pytest.warns(UserWarning, match="raised at trace time"):
+            with pytest.raises(Exception):
+                node.sample(8, random_state=0)
 
     def test_non_node_args(self):
         @scalar_transform

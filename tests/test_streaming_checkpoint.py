@@ -190,6 +190,24 @@ class TestCheckpointFingerprint:
         with pytest.raises(ValueError, match="fingerprint"):
             checkpoint.load(different, path)
 
+    def test_scalar_transform_static_args_distinguish(self):
+        # Static (non-Node) arguments and the Node/static layout are part
+        # of the structure: st(x, 2) and st(x, 3) compute different
+        # functions and must not share a fingerprint.
+        from probabilit_tpu.engine import checkpoint
+        from probabilit_tpu.modeling import Distribution, scalar_transform
+
+        @scalar_transform
+        def f(a, b):
+            return a + b
+
+        x = Distribution("norm")
+        fp2 = checkpoint.graph_fingerprint(f(x, 2.0))
+        fp3 = checkpoint.graph_fingerprint(f(x, 3.0))
+        fp_swapped = checkpoint.graph_fingerprint(f(2.0, x))
+        assert fp2 != fp3
+        assert fp2 != fp_swapped
+
     def test_fingerprint_stable_across_rebuilds(self):
         from probabilit_tpu.engine import checkpoint
         from probabilit_tpu.modeling import Distribution
