@@ -260,8 +260,9 @@ def bench_qmc_portfolio(n=1_000_000, repeats=2):
     for i in range(repeats):
         t0 = time.perf_counter()
         run(i + 1)
-        best = min(best, time.perf_counter() - t0)
-        log(f"qmc portfolio run {i}: {best * 1e3:.0f} ms")
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"qmc portfolio run {i}: {dt * 1e3:.0f} ms")
     return best * 1e3
 
 

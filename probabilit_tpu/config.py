@@ -44,8 +44,10 @@ def set_dtype(dtype):
     dtype = jnp.dtype(dtype)
     if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
         raise ValueError(f"dtype must be float32 or float64, got {dtype}")
-    if dtype == jnp.dtype(jnp.float64):
-        jax.config.update("jax_enable_x64", True)
+    # Keep jax_enable_x64 in lockstep both ways: leaving it on after a
+    # float64 session would make JAX's default dtypes (python literals,
+    # dtype-less arange) disagree with float_dtype()/int_dtype().
+    jax.config.update("jax_enable_x64", dtype == jnp.dtype(jnp.float64))
     _FLOAT_DTYPE = dtype
     return dtype
 
@@ -56,4 +58,4 @@ def int_dtype():
 
 
 def np_float_dtype():
-    return np.dtype(float_dtype().name if hasattr(float_dtype(), "name") else float_dtype())
+    return np.dtype(float_dtype())

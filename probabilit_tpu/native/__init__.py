@@ -38,12 +38,27 @@ def _load():
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
                 _SRC
             ):
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
+                try:
+                    # Build to a temp path and rename: os.replace is atomic,
+                    # so a concurrent process can never CDLL a half-written
+                    # file.
+                    tmp = f"{_SO}.build.{os.getpid()}"
+                    subprocess.run(
+                        [
+                            "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                            _SRC, "-o", tmp,
+                        ],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                    os.replace(tmp, _SO)
+                except Exception:
+                    # No toolchain (or a failed build): a shipped .so that
+                    # merely *looks* stale by mtime is still the right
+                    # library to load — fall through to CDLL if it exists.
+                    if not os.path.exists(_SO):
+                        raise
             lib = ctypes.CDLL(_SO)
             lib.probnative_sobol_directions.argtypes = [
                 ctypes.c_int,
