@@ -64,6 +64,30 @@ class TestGarbageCollectorClass:
         )
         assert n_with_samples == 2
 
+    def test_census_matches_path_multiplicity_traversal(self):
+        # The O(V+E) propagated census must equal the reference's
+        # Counter over the duplicate-revisiting nodes() traversal.
+        from collections import Counter
+
+        a = Distribution("norm")
+        b = a + a
+        sink = b * b + a
+        expected = Counter(p for node in sink.nodes() for p in node.get_parents())
+        gc = GarbageCollector(strategy=[]).set_sink(sink)
+        assert gc._edges_left == expected
+
+    def test_deep_shared_chain_census_is_linear(self):
+        # x = x + x nested 40 deep has 2^40 paths; the census must be
+        # computed by multiplicity propagation, not traversal.
+        import time
+
+        x = Distribution("norm")
+        for _ in range(40):
+            x = x + x
+        t0 = time.perf_counter()
+        GarbageCollector(strategy=[]).set_sink(x)
+        assert time.perf_counter() - t0 < 2.0
+
     def test_set_sink_required(self):
         gc = GarbageCollector(strategy=[])
         with pytest.raises(ValueError, match="set_sink"):
@@ -72,6 +96,28 @@ class TestGarbageCollectorClass:
     def test_strategy_type_validation(self):
         with pytest.raises(TypeError):
             GarbageCollector(strategy=42)
+
+
+class TestConfigDtype:
+    def test_x64_flag_follows_dtype_both_ways(self):
+        # Switching back to float32 must also disable jax_enable_x64, or
+        # JAX default dtypes disagree with float_dtype()/int_dtype().
+        import jax
+        import jax.numpy as jnp
+
+        from probabilit_tpu import config
+
+        orig = config.float_dtype()
+        try:
+            config.set_dtype(jnp.float64)
+            assert jax.config.read("jax_enable_x64")
+            assert config.np_float_dtype() == np.dtype("float64")
+            config.set_dtype(jnp.float32)
+            assert not jax.config.read("jax_enable_x64")
+            assert config.np_float_dtype() == np.dtype("float32")
+            assert config.int_dtype() == jnp.int32
+        finally:
+            config.set_dtype(orig)
 
 
 class TestBuildCorrmat:
