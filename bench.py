@@ -46,7 +46,7 @@ def bench_flagship(n=100_000_000, repeats=5):
     def run(seed):
         # Fetch a scalar reduction: guarantees the full computation executed
         # (block_until_ready alone is unreliable over the axon tunnel).
-        return float(jnp.mean(fn(seed)[sink._id]))
+        return float(jnp.mean(fn(seed)[0][sink._id]))
 
     t0 = time.perf_counter()
     val = run(0)
@@ -78,12 +78,12 @@ def bench_flagship(n=100_000_000, repeats=5):
     n_big = 8 * n
     fn_big = pallas_exec.run_jitted(plan, n_big)
     t0 = time.perf_counter()
-    float(jnp.mean(fn_big(0)[sink._id]))
+    float(jnp.mean(fn_big(0)[0][sink._id]))
     log(f"flagship 8e8 compile+first: {time.perf_counter() - t0:.2f}s")
     big_times = []
     for i in range(3):
         t0 = time.perf_counter()
-        float(jnp.mean(fn_big(i + 1)[sink._id]))
+        float(jnp.mean(fn_big(i + 1)[0][sink._id]))
         big_times.append(time.perf_counter() - t0)
         log(f"flagship 8e8 run {i}: {big_times[-1] * 1e3:.1f} ms")
     med_big = float(np.median(big_times))

@@ -696,9 +696,28 @@ def run(plan, seed, n, keep_ids=None):
 
 
 def run_jitted(plan, n, keep_ids=None):
-    """Jitted entry keyed by seed; cached by the caller per plan."""
+    """Jitted entry keyed by seed; cached by the caller per plan.
+
+    Returns ``(outputs, finite_flag)`` — the same contract as
+    ``compile.get_program``'s body.  Computing the all-finite flag inside
+    the jitted program keeps the guard to a fused reduction — no second
+    dispatch — so ``sample(executor="pallas")`` can enforce the same
+    non-finite contract as the XLA path on every graph, not just
+    correlated ones.  (A reserved string key in the outputs dict would
+    not work: jit sorts pytree dict keys, and int node-ids don't compare
+    with strings.)
+    """
     keep = None if keep_ids is None else frozenset(keep_ids)
-    return jax.jit(lambda seed: run(plan, seed, n, keep))
+
+    def fn(seed):
+        outputs = run(plan, seed, n, keep)
+        flag = jnp.bool_(True)
+        for value in outputs.values():
+            if value is not None and jnp.issubdtype(value.dtype, jnp.inexact):
+                flag = jnp.logical_and(flag, jnp.all(jnp.isfinite(value)))
+        return outputs, flag
+
+    return jax.jit(fn)
 
 
 def environment_issue():

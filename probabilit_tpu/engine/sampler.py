@@ -133,16 +133,14 @@ def sample(
             if hasattr(node, "samples_"):
                 delattr(node, "samples_")
         fn = _get_pallas_fn(plan, size, keep_ids)
-        outputs = fn(seed)
+        outputs, flag = fn(seed)
         out = outputs[sink._id]
-        if plan.corr_matrix is not None:
-            # Correlated plans solve a Cholesky of EMPIRICAL score moments
-            # inside the program; at small n (barely above K) that factor
-            # can go singular and NaN every sample.  Mirror sample()'s
-            # finite guard here — one extra device reduction + fetch,
-            # only on the correlated path.
-            if not bool(jax.device_get(jnp.all(jnp.isfinite(out)))):
-                raise ValueError("Sampling produced non-finite values.")
+        # Same contract as the default executor on EVERY graph (Log/Sqrt/
+        # Divide/Power are all whitelisted and can NaN on valid inputs):
+        # the flag is fused into the jitted program, so this costs one
+        # scalar fetch, not an extra dispatch.
+        if not bool(jax.device_get(flag)):
+            raise ValueError("Sampling produced non-finite values.")
         by_id = {node._id: node for node in plan.topo}
         for nid, arr in outputs.items():
             by_id[nid].samples_ = arr
@@ -168,7 +166,11 @@ def sample_from_quantiles(sink, quantiles, correlator="imanconover", gc_strategy
     if quantiles.ndim != 2:
         raise ValueError("`quantiles` must have shape (num_samples, dimensionality)")
     _, n_dim = quantiles.shape
-    assert n_dim == plan.d
+    if n_dim != plan.d:
+        raise ValueError(
+            f"`quantiles` has {n_dim} columns but the graph has {plan.d} "
+            "sampling dimensions."
+        )
     return _execute(plan, quantiles, correlator, gc_strategy)
 
 

@@ -144,7 +144,8 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
                     jax.random.key_data(jax.random.fold_in(key, b)).ravel()[-2:],
                     jnp.int32,
                 )
-                return fn(words)[plan.sink._id]
+                outputs, _ = fn(words)  # per-block finiteness checked host-side
+                return outputs[plan.sink._id]
 
             return plan, run
 

@@ -103,7 +103,10 @@ def rankdata(X, axis=0, method="average"):
             jnp.arange(n, dtype=jnp.int32)[None, :], XT.shape
         )
     else:
-        sorted_ranks = _sorted_average_ranks(X_sorted.astype(jnp.float32))
+        # No f32 cast: tie detection must happen in the input dtype (an
+        # f32 cast merges f64 values closer than f32 epsilon into false
+        # ties), and f64 inputs get f64 ranks (exact beyond 2^24 rows).
+        sorted_ranks = _sorted_average_ranks(X_sorted)
     ranks = apply_inverse_permutation_rows(order, sorted_ranks)
     ranks = ranks.T if axis == 0 else ranks
     return ranks[:, 0] if squeeze else ranks
@@ -535,11 +538,15 @@ def decorrelate(X, remove_variance=True):
     mean = jnp.mean(X, axis=0)
     var = jnp.var(X, axis=0)
     Xc = X - mean
-    cov = (Xc.T @ Xc) / (N - 1)
+    # Statistics-bearing matmul/cholesky/solve: pin f32 precision or the
+    # MXU rounds inputs to bfloat16 (~1e-3 residual correlation after
+    # whitening) — same pin as every other correlator path in this file.
+    with jax.default_matmul_precision("float32"):
+        cov = (Xc.T @ Xc) / (N - 1)
 
-    L = jnp.linalg.cholesky(cov)
-    if not remove_variance:
-        L = L / jnp.sqrt(var)
+        L = jnp.linalg.cholesky(cov)
+        if not remove_variance:
+            L = L / jnp.sqrt(var)
 
-    Xw = jax.scipy.linalg.solve_triangular(L, Xc.T, lower=True).T
+        Xw = jax.scipy.linalg.solve_triangular(L, Xc.T, lower=True).T
     return mean + Xw

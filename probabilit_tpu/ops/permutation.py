@@ -118,8 +118,13 @@ class CorrelationMatrix:
 
         self.corr_mat[:, col] += delta_col
         self.corr_mat[col, :] += delta_col
-        self.numerator[:, col] += delta_num
-        self.numerator[col, :] += delta_num
+        # numerator is stored /m (see __init__), so the raw sum-delta is
+        # scaled to match.  (The reference adds the raw delta to its
+        # /m-normalized numerator — correlation.py:846,873 — leaving that
+        # public state wrong by ~m on changed entries; its corr_mat stays
+        # right only because delta_column re-divides independently.)
+        self.numerator[:, col] += delta_num / self.m
+        self.numerator[col, :] += delta_num / self.m
 
         self.X_[i, col], self.X_[j, col] = self.X_[j, col], self.X_[i, col]
         if self.correlation_type == "spearman":
@@ -310,7 +315,7 @@ class PermutationCorrelator(Correlator):
         chunk_steps = 10_000 * num_vars
 
         def cond_bounded(state):
-            step, _, _, _, _, err, _ = state
+            step, _, _, _, err, _ = state
             return (step < total_iters * num_vars) & (err >= tol)
 
         # Reference-parity progress lines (correlation.py:662-676): every
@@ -322,7 +327,7 @@ class PermutationCorrelator(Correlator):
         verbose_inloop = self.verbose and print_every > 0
 
         def body(state):
-            step, Xw, Xo, numerator, corr, err, key = state
+            step, Xw, Xo, corr, err, key = state
             iteration = step // num_vars + 1
             k = step % num_vars
 
@@ -374,9 +379,7 @@ class PermutationCorrelator(Correlator):
             accept = new_err < old_err
 
             def commit(args):
-                Xw, Xo, numerator, corr = args
-                numerator = numerator.at[:, k].add(delta_num)
-                numerator = numerator.at[k, :].add(delta_num)
+                Xw, Xo, corr = args
                 corr = corr.at[:, k].add(delta_col)
                 corr = corr.at[k, :].add(delta_col)
                 vi = Xw[ii, k]
@@ -388,10 +391,12 @@ class PermutationCorrelator(Correlator):
                 oj = Xo[jj, k]
                 Xo = Xo.at[ii, k].set(jnp.where(pair_ok, oj, oi))
                 Xo = Xo.at[jj, k].set(jnp.where(pair_ok, oi, oj))
-                return Xw, Xo, numerator, corr
+                return Xw, Xo, corr
 
-            Xw, Xo, numerator, corr = jax.lax.cond(
-                accept, commit, lambda args: args, (Xw, Xo, numerator, corr)
+            # corr evolves by delta_col alone; a numerator carry would be
+            # write-only state (delta_num is recomputed from Xw each step).
+            Xw, Xo, corr = jax.lax.cond(
+                accept, commit, lambda args: args, (Xw, Xo, corr)
             )
 
             err = jax.lax.cond(
@@ -409,7 +414,7 @@ class PermutationCorrelator(Correlator):
                     ),
                     lambda: None,
                 )
-            return (step + 1, Xw, Xo, numerator, corr, err, key)
+            return (step + 1, Xw, Xo, corr, err, key)
 
         if self.verbose:
             print(
@@ -417,13 +422,13 @@ class PermutationCorrelator(Correlator):
                 f"{self.iters if self.iters else 'inf'} iterations."
             )
         err0 = full_error(corr)
-        state = (jnp.int32(0), Xw, X, numerator, corr, err0, key0)
+        state = (jnp.int32(0), Xw, X, corr, err0, key0)
         if unbounded:
 
             @jax.jit
             def run_chunk(state, limit):
                 def cond(s):
-                    return (s[0] < limit) & (s[5] >= tol)
+                    return (s[0] < limit) & (s[4] >= tol)
 
                 return jax.lax.while_loop(cond, body, state)
 
@@ -438,7 +443,7 @@ class PermutationCorrelator(Correlator):
                 # returns the data unchanged.  `err < tol` would instead
                 # spin ~2^31/chunk no-op dispatches into the safety
                 # valve's misleading error.
-                err_now = float(state[5])
+                err_now = float(state[4])
                 if not (err_now >= tol):
                     if np.isnan(err_now):
                         import warnings
@@ -461,7 +466,7 @@ class PermutationCorrelator(Correlator):
                 limit += chunk_steps
         else:
             state = jax.lax.while_loop(cond_bounded, body, state)
-        _, Xw_final, Xo_final, _, corr_final, err_final, _ = state
+        _, Xw_final, Xo_final, corr_final, err_final, _ = state
 
         if self.verbose:
             print(

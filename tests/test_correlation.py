@@ -255,6 +255,25 @@ class TestTieHandling:
         ref = np.apply_along_axis(scipy.stats.rankdata, 0, X)
         np.testing.assert_allclose(mine, ref)
 
+    def test_rankdata_f64_near_ties_stay_distinct(self):
+        # An f32 cast before tie detection would merge f64 values closer
+        # than f32 epsilon into false ties; under x64 they must rank
+        # distinctly, like scipy.
+        import jax
+
+        import scipy.stats
+
+        from probabilit_tpu.ops.correlation import rankdata
+
+        x = np.array([1.0, 1.0 + 1e-12, 1.0 - 1e-12, 2.0], dtype=np.float64)
+        old = jax.config.read("jax_enable_x64")
+        try:
+            jax.config.update("jax_enable_x64", True)
+            mine = np.asarray(rankdata(x)) + 1.0
+        finally:
+            jax.config.update("jax_enable_x64", old)
+        np.testing.assert_allclose(mine, scipy.stats.rankdata(x))
+
     def test_rankdata_ordinal_is_permutation(self, rng):
         from probabilit_tpu.ops.correlation import rankdata
 

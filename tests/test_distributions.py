@@ -102,6 +102,16 @@ class TestPpfKernelAccuracy:
         mismatch = np.mean(ours != expected)
         assert mismatch < 0.01, f"{name}: {mismatch:.3%} mismatched"
 
+    @pytest.mark.parametrize("mu", [0.005, 0.02, 0.024, 0.1, 1.0])
+    def test_invgauss_small_mu(self, mu):
+        # The Shuster-CDF product exp(2/mu)*ndtr(b) must go through the
+        # scaled form (the exponentials cancel to exp(-a^2/2)); a direct
+        # exp clipped at exp(80) was 1.2e-2 wrong for mu < 0.025.
+        q = np.linspace(0.01, 0.99, 99)
+        ours = np.asarray(ppf_mod.call("invgauss", q.astype(np.float32), mu))
+        expected = scipy.stats.invgauss(mu).ppf(q)
+        np.testing.assert_allclose(ours, expected, rtol=1e-3)
+
     def test_generic_table_gating(self):
         # Engages exactly for static no-kernel discrete families with a
         # cap-sized reachable support.

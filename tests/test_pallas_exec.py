@@ -340,6 +340,17 @@ class TestErrorPaths:
                 correlator="cholesky",
             )
 
+    @pytest.mark.skipif(not on_tpu, reason="megakernel runs on TPU only")
+    def test_nonfinite_uncorrelated_raises(self):
+        # Log of a normal NaNs on every negative draw; the pallas path
+        # must enforce the same non-finite contract as the default
+        # executor on UNCORRELATED graphs too (fused in-program flag).
+        from probabilit_tpu.modeling import Log
+
+        sink = Log(Distribution("norm", loc=0, scale=1))
+        with pytest.raises(ValueError, match="non-finite"):
+            sink.sample(4096, random_state=0, gc_strategy=[], executor="pallas")
+
     @pytest.mark.skipif(on_tpu, reason="checks the CPU refusal path")
     def test_requires_tpu_platform(self):
         # Library-level pre-check: an otherwise-eligible graph on a

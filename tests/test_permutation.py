@@ -75,6 +75,19 @@ class TestCorrelationMatrix:
         np.testing.assert_allclose(cm[:, :], original, atol=1e-12)
         np.testing.assert_allclose(cm.X, X, atol=1e-12)
 
+    def test_numerator_stays_consistent_after_commit(self, rng):
+        # numerator is stored as (centered.T @ centered) / m; commit must
+        # keep it in those units (the reference adds the raw sum-delta,
+        # corrupting its numerator by ~m on changed entries).
+        X = rng.normal(size=(15, 3))
+        cm = CorrelationMatrix(X)
+        cm.commit(col=0, i=[1, 4], j=[2, 9])
+        Xs = cm.X_
+        centered = Xs - Xs.mean(axis=0)
+        np.testing.assert_allclose(
+            cm.numerator, centered.T @ centered / cm.m, atol=1e-12
+        )
+
     def test_disjointness_enforced(self, rng):
         cm = CorrelationMatrix(rng.normal(size=(10, 3)))
         with pytest.raises(ValueError, match="disjoint"):

@@ -322,7 +322,7 @@ class TestQuantileAPI:
         a = Distribution("norm")
         b = Distribution("norm")
         expr = a + b
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError, match="columns"):
             expr.sample_from_quantiles(np.random.rand(10, 1))
 
     def test_constant_dtype_preserved(self):
