@@ -161,8 +161,18 @@ def sample(
 
 
 def sample_from_quantiles(sink, quantiles, correlator="imanconover", gc_strategy=None):
+    """Sample the graph from an explicit ``(n, d)`` quantile matrix.
+
+    Quantiles are clamped to the open unit interval before the ppf
+    kernels (ops/qmc.clamp_open_unit): exact 0/1 endpoints — whether
+    user-written (``np.linspace(0, 1, n)``) or produced by f64->f32
+    rounding — would hit ppf singularities and trip the non-finite guard
+    with an opaque error.  An endpoint therefore yields the most extreme
+    finite draw (~±5.3 sigma for a normal in float32), the same value the
+    RNG path's most extreme uniform produces.
+    """
     plan = _compile.get_plan(sink)
-    quantiles = jnp.asarray(quantiles, config.float_dtype())
+    quantiles = _qmc.clamp_open_unit(jnp.asarray(quantiles, config.float_dtype()))
     if quantiles.ndim != 2:
         raise ValueError("`quantiles` must have shape (num_samples, dimensionality)")
     _, n_dim = quantiles.shape

@@ -796,17 +796,32 @@ class ScalarFunctionTransform(Transform):
         self.args = tuple(update(a) for a in self.args)
         self.kwargs = {k: update(v) for k, v in self.kwargs.items()}
 
+    @staticmethod
+    def _static_arg_token(v):
+        """Stable, collision-resistant token for a non-Node argument.
+
+        repr() alone is wrong for two classes of values: numpy truncates
+        array reprs past 1000 elements (different tables would collide),
+        and default object reprs embed memory addresses (the checkpoint
+        fingerprint would differ across processes for the same graph).
+        """
+        if isinstance(v, Node):
+            return "<node>"
+        if isinstance(v, np.ndarray):
+            return ("ndarray", v.shape, str(v.dtype), v.tobytes())
+        r = repr(v)
+        if " at 0x" in r:
+            return ("object", type(v).__qualname__)
+        return r
+
     def _static_signature(self):
         # Static (non-Node) arguments and the Node/static layout are part of
         # the structure: st(x, 2) and st(x, 3), or f(x, node) vs f(node, x),
         # compute different functions and must not share a signature (the
         # checkpoint fingerprint and program cache both key on this).
-        arg_layout = tuple(
-            "<node>" if isinstance(a, Node) else repr(a) for a in self.args
-        )
+        arg_layout = tuple(self._static_arg_token(a) for a in self.args)
         kwarg_layout = tuple(
-            (k, "<node>" if isinstance(v, Node) else repr(v))
-            for k, v in sorted(self.kwargs.items())
+            (k, self._static_arg_token(v)) for k, v in sorted(self.kwargs.items())
         )
         return (
             "ScalarFunctionTransform",

@@ -38,11 +38,11 @@ def _load():
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
                 _SRC
             ):
+                tmp = f"{_SO}.build.{os.getpid()}"
                 try:
                     # Build to a temp path and rename: os.replace is atomic,
                     # so a concurrent process can never CDLL a half-written
                     # file.
-                    tmp = f"{_SO}.build.{os.getpid()}"
                     subprocess.run(
                         [
                             "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
@@ -59,6 +59,9 @@ def _load():
                     # library to load — fall through to CDLL if it exists.
                     if not os.path.exists(_SO):
                         raise
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
             lib = ctypes.CDLL(_SO)
             lib.probnative_sobol_directions.argtypes = [
                 ctypes.c_int,

@@ -67,7 +67,12 @@ def _sorted_average_ranks(X_sorted):
     last = jnp.flip(
         jax.lax.cummin(jnp.flip(jnp.where(ends, pos, N), axis=1), axis=1), axis=1
     )
-    return (first + last).astype(X_sorted.dtype) * 0.5
+    # Ranks carry at least f32: rank sums are exact integers up to 2^24,
+    # and materializing them in a NARROWER input dtype (f16 data) would
+    # round them to the data grid above 2048 rows.  Wider inputs (f64
+    # under x64) keep their width so ranks stay exact beyond 2^24 rows.
+    rank_dtype = jnp.result_type(X_sorted.dtype, jnp.float32)
+    return (first + last).astype(rank_dtype) * 0.5
 
 
 def rankdata(X, axis=0, method="average"):

@@ -255,6 +255,18 @@ class TestTieHandling:
         ref = np.apply_along_axis(scipy.stats.rankdata, 0, X)
         np.testing.assert_allclose(mine, ref)
 
+    def test_rankdata_f16_input_gets_f32_ranks(self):
+        # Ranks must materialize in at least f32: f16 ranks round to the
+        # data grid above 2048 rows.
+        from probabilit_tpu.ops.correlation import rankdata
+
+        import scipy.stats
+
+        x = (np.arange(5000, dtype=np.float16) % 409).astype(np.float16)
+        mine = np.asarray(rankdata(x)) + 1.0
+        assert mine.dtype == np.float32
+        np.testing.assert_allclose(mine, scipy.stats.rankdata(x.astype(np.float64)))
+
     def test_rankdata_f64_near_ties_stay_distinct(self):
         # An f32 cast before tie detection would merge f64 values closer
         # than f32 epsilon into false ties; under x64 they must rank

@@ -325,6 +325,16 @@ class TestQuantileAPI:
         with pytest.raises(ValueError, match="columns"):
             expr.sample_from_quantiles(np.random.rand(10, 1))
 
+    def test_endpoint_quantiles_stay_finite(self):
+        # np.linspace(0, 1) grids are a natural way to evaluate the
+        # quantile function; exact 0/1 must clamp to the open interval
+        # (most extreme finite draw), not hit the ppf singularity and
+        # trip the non-finite guard.
+        d = Distribution("norm")
+        out = np.asarray(d.sample_from_quantiles(np.linspace(0, 1, 11)[:, None]))
+        assert np.all(np.isfinite(out))
+        assert out[0] < -5 and out[-1] > 5  # ~±5.3 sigma in float32
+
     def test_constant_dtype_preserved(self):
         s = np.asarray(Constant(2).sample(3, random_state=0))
         assert np.issubdtype(s.dtype, np.integer)

@@ -208,6 +208,31 @@ class TestCheckpointFingerprint:
         assert fp2 != fp3
         assert fp2 != fp_swapped
 
+    def test_scalar_transform_array_args_sign_by_content(self):
+        # numpy reprs truncate past 1000 elements and default object
+        # reprs embed memory addresses: array args must sign by bytes,
+        # address-bearing reprs by type (stable across processes).
+        from probabilit_tpu.engine import checkpoint
+        from probabilit_tpu.modeling import Distribution, scalar_transform
+
+        @scalar_transform
+        def f(a, table):
+            return a
+
+        x = Distribution("norm")
+        t1 = np.arange(2000.0)
+        t2 = t1.copy()
+        t2[1200] = -1.0
+        assert checkpoint.graph_fingerprint(f(x, t1)) != checkpoint.graph_fingerprint(
+            f(x, t2)
+        )
+        # Same-typed address-bearing objects fingerprint identically
+        # (stability beats distinguishing them).
+        o1, o2 = object(), object()
+        assert checkpoint.graph_fingerprint(f(x, o1)) == checkpoint.graph_fingerprint(
+            f(x, o2)
+        )
+
     def test_fingerprint_stable_across_rebuilds(self):
         from probabilit_tpu.engine import checkpoint
         from probabilit_tpu.modeling import Distribution
