@@ -20,6 +20,7 @@ from probabilit_tpu.models.distributions import (
 )
 from probabilit_tpu.models.factories import PERT
 from probabilit_tpu.inspection import plot
+from probabilit_tpu.engine.sensitivity import sensitivity
 
 __version__ = "0.1.0"
 
@@ -34,4 +35,5 @@ __all__ = [
     "MultivariateDistribution",
     "PERT",
     "plot",
+    "sensitivity",
 ]

@@ -264,49 +264,21 @@ _CACHE_LIMIT = 128
 _INLINE_FINITE_CHECK_MAX = 64
 
 
-def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None):
-    """Build (or fetch) the jitted sampling program for this plan.
+def build_body(plan, correlator_cls, keep_ids, check_finite=True, generated_ok=False):
+    """Build the traced 3-phase sampling body for ``plan``.
 
-    With ``rng_inline_n=None`` the program takes a ``(n, d)`` quantile
-    matrix.  With ``rng_inline_n=n`` it takes a PRNG *key* and generates
-    the uniforms inside the traced program — the counter-based bits fuse
-    directly into the ppf kernels, so no quantile buffer ever materialises
-    in HBM (the memory- and bandwidth-optimal path for ``method=None``).
+    Returns ``body(quantiles, gen_key=None) -> (outputs, finite_flag)``.
+    Shared by ``get_program`` (which jits it, optionally behind in-program
+    RNG) and ``engine/sensitivity`` (which differentiates through it with
+    distribution parameters swapped for traced scalars).
     """
-    correlator_cls = resolve_correlator(correlator)
-    key = (
-        plan.signature(),
-        getattr(correlator_cls, "__qualname__", str(correlator_cls)),
-        tuple(sorted(keep_ids)),
-        bool(check_finite),
-        jnp.dtype(config.float_dtype()).name,
-        rng_inline_n,
-        _active_mesh_key(),
-    )
-    cached = _PROGRAM_CACHE.get(key)
-    if cached is not None:
-        return cached
-
     corr_matrix = plan.corr_matrix
     corr_vars = list(plan.corr_vars)
     topo = list(plan.topo)
     pre_topo = list(plan.pre_topo)
     col_of = dict(plan.col_of)
     sink = plan.sink
-
-    d = plan.d
-
-    # The two-sort "generated" Iman-Conover variant applies when the engine
-    # itself draws the samples (a PRNG key is available) and every
-    # correlated variable has a monotone inverse-CDF: sorted marginals come
-    # from uniform order statistics instead of a data sort, and the
-    # variables' own quantile columns provide the normal scores.
-    generated_ok = (
-        corr_matrix is not None
-        and rng_inline_n is not None
-        and hasattr(correlator_cls, "_recolor_scores")
-        and all(_generatable(v) for v in corr_vars)
-    )
+    keep_ids = frozenset(keep_ids)
     corr_var_ids = frozenset(v._id for v in corr_vars)
 
     def body(quantiles, gen_key=None):
@@ -410,6 +382,53 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
                 ok = jnp.all(jnp.isfinite(value))
                 flag = ok if flag is None else jnp.logical_and(flag, ok)
         return outputs, flag
+
+    return body
+
+
+def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None):
+    """Build (or fetch) the jitted sampling program for this plan.
+
+    With ``rng_inline_n=None`` the program takes a ``(n, d)`` quantile
+    matrix.  With ``rng_inline_n=n`` it takes a PRNG *key* and generates
+    the uniforms inside the traced program — the counter-based bits fuse
+    directly into the ppf kernels, so no quantile buffer ever materialises
+    in HBM (the memory- and bandwidth-optimal path for ``method=None``).
+    """
+    correlator_cls = resolve_correlator(correlator)
+    key = (
+        plan.signature(),
+        getattr(correlator_cls, "__qualname__", str(correlator_cls)),
+        tuple(sorted(keep_ids)),
+        bool(check_finite),
+        jnp.dtype(config.float_dtype()).name,
+        rng_inline_n,
+        _active_mesh_key(),
+    )
+    cached = _PROGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    d = plan.d
+
+    # The two-sort "generated" Iman-Conover variant applies when the engine
+    # itself draws the samples (a PRNG key is available) and every
+    # correlated variable has a monotone inverse-CDF: sorted marginals come
+    # from uniform order statistics instead of a data sort, and the
+    # variables' own quantile columns provide the normal scores.
+    generated_ok = (
+        plan.corr_matrix is not None
+        and rng_inline_n is not None
+        and hasattr(correlator_cls, "_recolor_scores")
+        and all(_generatable(v) for v in plan.corr_vars)
+    )
+    body = build_body(
+        plan,
+        correlator_cls,
+        keep_ids,
+        check_finite=check_finite,
+        generated_ok=generated_ok,
+    )
 
     if rng_inline_n is None:
         program = body

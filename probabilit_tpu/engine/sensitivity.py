@@ -1,0 +1,336 @@
+"""Parameter sensitivities: ``jax.grad`` through the sampling program.
+
+A capability with no counterpart in the reference (which drives scipy's
+``.ppf`` per node, ``modeling.py:805-812`` — opaque to autodiff): because
+the whole model here compiles to ONE traced JAX function of its inputs
+(``engine/compile.py:build_body``), swapping a distribution's numeric
+parameters for traced scalars and differentiating the resulting statistic
+gives exact pathwise (reparameterization) derivatives
+
+    d/dtheta  E[ statistic(sink) ],    samples = f(theta, U),  U fixed
+
+at the cost of one extra compiled program — no finite-difference re-runs,
+no common-random-number plumbing, and the gradient program runs on the TPU
+like any other.  The estimator is the standard pathwise one: unbiased for
+``statistic="mean"``, consistent for smooth functionals; all draws are
+common random numbers by construction (the quantile matrix is a function
+of the key only).
+
+Supported parameters: numeric scalar ``args``/``kwargs`` of continuous
+``Distribution`` nodes with native inverse-CDF kernels (``ops/ppf.py``).
+Discrete families are rejected (their ppf is a step function — the
+pathwise gradient is zero almost everywhere and would silently misreport
+the true sensitivity), as are host-callback fallback families (a
+``pure_callback`` has no JVP).
+"""
+
+from __future__ import annotations
+
+import numbers
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from probabilit_tpu import config
+from probabilit_tpu.engine import compile as _compile
+from probabilit_tpu.engine.sampler import resolve_key
+from probabilit_tpu.ops import ppf as _ppf
+from probabilit_tpu.ops.qmc import clamp_open_unit
+
+__all__ = ["sensitivity", "SensitivityResult"]
+
+_GRAD_CACHE = {}
+_CACHE_LIMIT = 64
+
+_STATISTICS = {
+    "mean": jnp.mean,
+    "var": lambda x: jnp.var(x, ddof=1),
+    "std": lambda x: jnp.std(x, ddof=1),
+}
+
+
+class SensitivityResult:
+    """Statistic value + gradients, keyed by ``(node, parameter)``.
+
+    ``gradients`` maps ``(node, name_or_position)`` to the float
+    derivative of the statistic with respect to that parameter.
+    """
+
+    def __init__(self, value, gradients):
+        self.value = value
+        self.gradients = gradients
+
+    def __getitem__(self, key):
+        return self.gradients[key]
+
+    def __repr__(self):
+        rows = ", ".join(
+            f"d/d({node!r}, {slot!r})={g:.6g}"
+            for (node, slot), g in self.gradients.items()
+        )
+        return f"SensitivityResult(value={self.value:.6g}, {rows})"
+
+
+def _numeric_slots(node):
+    """The numeric scalar parameter slots of a Distribution node."""
+    slots = []
+    for i, a in enumerate(node.args):
+        if isinstance(a, numbers.Real) and not isinstance(a, bool):
+            slots.append(i)
+    for k in node.kwargs:
+        v = node.kwargs[k]
+        if isinstance(v, numbers.Real) and not isinstance(v, bool):
+            slots.append(k)
+    return slots
+
+
+def _validate_family(node):
+    from probabilit_tpu.models.distributions import (
+        Distribution,
+        _scipy_is_multivariate,
+    )
+
+    if not isinstance(node, Distribution):
+        raise TypeError(
+            "sensitivity(wrt=...) targets parametric Distribution nodes; "
+            f"got {type(node).__name__}."
+        )
+    name = node.distr
+    if _scipy_is_multivariate(name):
+        raise ValueError(
+            f'"{name}" is multivariate; parameter sensitivities are '
+            "supported for univariate continuous families."
+        )
+    import scipy.stats as sps
+
+    frozen = getattr(sps, name, None)
+    if isinstance(frozen, sps.rv_discrete) or isinstance(
+        getattr(frozen, "dist", None), sps.rv_discrete
+    ):
+        raise ValueError(
+            f'"{name}" is discrete: its inverse CDF is a step function, so '
+            "the pathwise derivative is zero almost everywhere and does not "
+            "estimate the true parameter sensitivity (use a smoothed "
+            "relaxation or score-function estimator instead)."
+        )
+    if _ppf.lookup(name) is None:
+        raise ValueError(
+            f'"{name}" samples through the host scipy fallback, which has '
+            "no derivative; sensitivities need a native ppf kernel "
+            "(ops/ppf.py)."
+        )
+
+
+def _normalize_wrt(plan, wrt):
+    """-> list of (node, slot) pairs, validated against the plan."""
+    from probabilit_tpu.models.graph import Node
+
+    if isinstance(wrt, Node):
+        wrt = [wrt]
+    if isinstance(wrt, dict):
+        items = [(node, list(slots)) for node, slots in wrt.items()]
+    else:
+        items = [(node, None) for node in wrt]
+
+    topo_ids = {n._id for n in plan.topo}
+    pairs = []
+    for node, slots in items:
+        _validate_family(node)
+        if node._id not in topo_ids:
+            raise ValueError(f"{node!r} is not an ancestor of the sampled node.")
+        available = _numeric_slots(node)
+        if slots is None:
+            slots = available
+            if not slots:
+                raise ValueError(
+                    f"{node!r} has no numeric scalar parameters to "
+                    "differentiate (Node-valued parameters are part of the "
+                    "graph: target their own leaf distributions instead)."
+                )
+        for slot in slots:
+            if slot not in available:
+                raise ValueError(
+                    f"{node!r} has no numeric scalar parameter {slot!r}; "
+                    f"available: {available}."
+                )
+            pairs.append((node, slot))
+    if not pairs:
+        raise ValueError("wrt is empty.")
+    return pairs
+
+
+def _read_slot(node, slot):
+    if isinstance(slot, int):
+        return node.args[slot]
+    return node.kwargs[slot]
+
+
+def _write_slot(node, slot, value):
+    if isinstance(slot, int):
+        args = list(node.args)
+        args[slot] = value
+        node.args = tuple(args)
+    else:
+        node.kwargs[slot] = value
+
+
+def sensitivity(
+    sink,
+    wrt,
+    size=65536,
+    random_state=None,
+    statistic="mean",
+    correlator="imanconover",
+):
+    """Pathwise derivative of ``statistic(sink samples)`` w.r.t. parameters.
+
+    Parameters
+    ----------
+    sink : Node
+        The quantity of interest (any node of the model graph).
+    wrt : Distribution | list[Distribution] | dict[Distribution, list]
+        Which parameters to differentiate: whole nodes (all numeric scalar
+        parameters) or an explicit per-node list of parameter names /
+        positional indices (e.g. ``{x: ["loc", "scale"]}``).
+    size : int
+        Monte Carlo sample size for the estimate.
+    random_state : None | int | numpy Generator/RandomState | jax key
+        Same contract as ``sample()``; fixed draws make the gradient
+        deterministic given a seed.
+    statistic : "mean" | "var" | "std" | callable
+        Scalar functional of the sink's sample vector.  A callable
+        receives the traced ``(size,)`` array and must return a scalar
+        (it is differentiated through, so it must be jax-traceable).
+    correlator : str | Correlator class
+        Correlation-induction method for graphs with declared
+        correlations, as in ``sample()``.
+
+    Returns
+    -------
+    SensitivityResult
+        ``.value`` — the statistic estimate; ``.gradients`` — dict of
+        ``(node, slot) -> d statistic / d parameter``.
+
+    >>> import probabilit_tpu as pt
+    >>> x = pt.Distribution("norm", loc=2.0, scale=3.0)
+    >>> y = 5 * x + 1
+    >>> res = sensitivity(y, wrt=x, size=20000, random_state=0)
+    >>> abs(res[(x, "loc")] - 5.0) < 1e-3
+    True
+    """
+    plan = _compile.get_plan(sink)
+    pairs = _normalize_wrt(plan, wrt)
+    if plan.finalizers.get(sink._id) is not None:
+        raise ValueError(
+            "The sampled node produces host-finalized (non-numeric) output; "
+            "sensitivities need a numeric sink."
+        )
+    size = int(size)
+    if size <= max(1, len(plan.corr_vars)):
+        raise ValueError(f"size={size} is too small to estimate a statistic.")
+
+    stat_fn = _STATISTICS.get(statistic, statistic)
+    if not callable(stat_fn):
+        raise ValueError(
+            f"statistic must be one of {sorted(_STATISTICS)} or a callable; "
+            f"got {statistic!r}."
+        )
+
+    correlator_cls = _compile.resolve_correlator(correlator)
+    slot_key = tuple((node._id, slot) for node, slot in pairs)
+    stat_key = statistic if isinstance(statistic, str) else id(statistic)
+    cache_key = (
+        plan.signature(),
+        slot_key,
+        stat_key,
+        size,
+        getattr(correlator_cls, "__qualname__", str(correlator_cls)),
+        jnp.dtype(config.float_dtype()).name,
+        _compile._active_mesh_key(),
+    )
+    grad_fn = _GRAD_CACHE.get(cache_key)
+    if grad_fn is None:
+        grad_fn = _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls)
+        if len(_GRAD_CACHE) >= _CACHE_LIMIT:
+            _GRAD_CACHE.pop(next(iter(_GRAD_CACHE)))
+        _GRAD_CACHE[cache_key] = grad_fn
+
+    dtype = config.float_dtype()
+    theta0 = jnp.asarray([float(_read_slot(n, s)) for n, s in pairs], dtype)
+    key = resolve_key(random_state)
+    try:
+        value, grads = grad_fn(theta0, key)
+    except jax.errors.TracerBoolConversionError as exc:  # pragma: no cover
+        raise ValueError(
+            "A targeted parameter reaches a ppf kernel that branches on its "
+            "concrete value, so it cannot be traced for differentiation: "
+            f"{exc}"
+        ) from None
+    value = float(value)
+    grads = np.asarray(grads, np.float64)
+    if not np.all(np.isfinite(grads)) or not np.isfinite(value):
+        raise FloatingPointError(
+            "Non-finite sensitivity estimate (value "
+            f"{value}, gradients {grads.tolist()}); the statistic or a ppf "
+            "kernel is not differentiable at the current parameters."
+        )
+    return SensitivityResult(
+        value, {pair: float(g) for pair, g in zip(pairs, grads)}
+    )
+
+
+def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls):
+    """Jitted ``value_and_grad`` of the statistic over the sampling body."""
+    from probabilit_tpu.parallel import mesh as _par_mesh
+
+    sink_id = plan.sink._id
+    generated_ok = (
+        plan.corr_matrix is not None
+        and hasattr(correlator_cls, "_recolor_scores")
+        and all(_compile._generatable(v) for v in plan.corr_vars)
+    )
+    body = _compile.build_body(
+        plan,
+        correlator_cls,
+        keep_ids=frozenset([sink_id]),
+        check_finite=False,
+        generated_ok=generated_ok,
+    )
+    sharding = _par_mesh.sample_sharding(ndim=2)
+    d = plan.d
+
+    def value_of(theta, rng_key):
+        # Swap the targeted parameters for traced scalars for the duration
+        # of the trace (jit caches the traced program, so this Python-level
+        # mutation runs once per compilation, never per call) and restore
+        # them on every exit path.
+        saved = [(_read_slot(n, s)) for n, s in pairs]
+        try:
+            for (node, slot), th in zip(pairs, theta):
+                _write_slot(node, slot, th)
+            # Identical draw semantics to sample(method=None)'s in-program
+            # RNG path (compile.get_program): same fold_in tag, so the
+            # correlated fast path sees the same stream.
+            gen_key = jax.random.fold_in(rng_key, 0x0D0E5)
+            quantiles = clamp_open_unit(
+                jax.random.uniform(
+                    rng_key, (size, d), dtype=config.float_dtype()
+                )
+            )
+            if sharding is not None:
+                quantiles = jax.lax.with_sharding_constraint(quantiles, sharding)
+            outputs, _ = body(quantiles, gen_key=gen_key)
+            samples = outputs[sink_id]
+            if not jnp.issubdtype(samples.dtype, jnp.inexact):
+                raise ValueError(
+                    "The sampled node is integer-valued; its statistic has "
+                    "no parameter derivative."
+                )
+            return stat_fn(samples)
+        finally:
+            for (node, slot), orig in zip(pairs, saved):
+                _write_slot(node, slot, orig)
+
+    return jax.jit(jax.value_and_grad(value_of, argnums=0))

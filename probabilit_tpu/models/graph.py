@@ -323,6 +323,16 @@ class Node(abc.ABC):
             self, size, block_size=block_size, random_state=random_state, **kwargs
         )
 
+    def sensitivity(self, wrt, size=65536, random_state=None, **kwargs):
+        """Pathwise derivative of a statistic of this node w.r.t.
+        distribution parameters, via ``jax.grad`` through the compiled
+        sampling program.  See ``engine.sensitivity.sensitivity``."""
+        from probabilit_tpu.engine import sensitivity as _sens
+
+        return _sens.sensitivity(
+            self, wrt, size=size, random_state=random_state, **kwargs
+        )
+
     def _is_initial_sampling_node(self):
         """Distribution with no Distribution ancestors (``modeling.py:616-626``)."""
         if not self._is_distribution:

@@ -1,0 +1,160 @@
+"""Parameter-sensitivity tests: pathwise gradients vs analytic truth.
+
+``sensitivity()`` differentiates a statistic of the compiled sampling
+program w.r.t. distribution parameters (engine/sensitivity.py) — a
+capability the scipy-driven reference cannot offer (its per-node ``.ppf``
+calls are opaque to autodiff, reference ``modeling.py:805-812``).  Tests
+check the estimator against closed-form derivatives, common-random-number
+determinism, parameter restoration, validation errors, and the correlated
+path.
+"""
+
+import numpy as np
+import pytest
+
+import probabilit_tpu as pt
+from probabilit_tpu.engine.sensitivity import sensitivity
+
+
+class TestAnalyticGradients:
+    def test_affine_of_normal_mean(self):
+        # E[5(loc + scale Z) + 1]: d/dloc = 5 exactly (pathwise, any n);
+        # d/dscale = 5 E[Z] -> 0 in expectation.
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        y = 5 * x + 1
+        res = sensitivity(y, wrt=x, size=100_000, random_state=0)
+        assert res[(x, "loc")] == pytest.approx(5.0, abs=1e-4)
+        assert res[(x, "scale")] == pytest.approx(0.0, abs=0.05)
+        assert res.value == pytest.approx(11.0, abs=0.1)
+
+    def test_variance_statistic(self):
+        # var(scale Z) = scale^2 -> d/dscale = 2 scale.
+        x = pt.Distribution("norm", loc=0.0, scale=3.0)
+        res = sensitivity(
+            x, wrt={x: ["scale"]}, size=200_000, random_state=1, statistic="var"
+        )
+        assert res[(x, "scale")] == pytest.approx(6.0, rel=0.05)
+
+    def test_exponential_through_transform(self):
+        # X ~ Expon(scale=s): E[X^2] = 2 s^2 -> d/ds = 4 s.
+        e = pt.Distribution("expon", scale=2.0)
+        res = sensitivity(e**2, wrt={e: ["scale"]}, size=400_000, random_state=2)
+        assert res[(e, "scale")] == pytest.approx(8.0, rel=0.05)
+
+    def test_positional_parameter_lognorm(self):
+        # lognorm(s): E[X] = exp(s^2/2) -> d/ds = s exp(s^2/2).
+        s = 0.5
+        x = pt.Distribution("lognorm", s)
+        res = sensitivity(x, wrt={x: [0]}, size=400_000, random_state=3)
+        truth = s * np.exp(s**2 / 2)
+        assert res[(x, 0)] == pytest.approx(truth, rel=0.05)
+
+    def test_callable_statistic(self):
+        # P05 of norm(loc, scale): quantile is loc + scale z_q -> d/dloc = 1.
+        import jax.numpy as jnp
+
+        x = pt.Distribution("norm", loc=1.0, scale=2.0)
+        res = sensitivity(
+            x,
+            wrt={x: ["loc"]},
+            size=100_000,
+            random_state=4,
+            statistic=lambda v: jnp.quantile(v, 0.05),
+        )
+        assert res[(x, "loc")] == pytest.approx(1.0, abs=0.05)
+
+
+class TestContracts:
+    def test_common_random_numbers_deterministic(self):
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        r1 = sensitivity(x, wrt=x, size=10_000, random_state=7)
+        r2 = sensitivity(x, wrt=x, size=10_000, random_state=7)
+        assert r1.value == r2.value
+        assert r1.gradients == r2.gradients
+
+    def test_parameters_restored_and_sampling_unchanged(self):
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        y = x + 1
+        before = np.asarray(y.sample(1000, random_state=0))
+        sensitivity(y, wrt=x, size=4096, random_state=0)
+        assert x.kwargs["loc"] == 2.0 and type(x.kwargs["loc"]) is float
+        after = np.asarray(y.sample(1000, random_state=0))
+        np.testing.assert_array_equal(before, after)
+
+    def test_node_method(self):
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        res = (2 * x).sensitivity(wrt=x, size=4096, random_state=0)
+        assert res[(x, "loc")] == pytest.approx(2.0, abs=1e-4)
+
+    def test_correlated_graph(self):
+        # Linearity through the correlated fast path: d E[a+b]/d loc_b = 1.
+        a = pt.Distribution("norm")
+        b = pt.Distribution("norm", loc=1.0, scale=2.0)
+        s = a + b
+        s.correlate(a, b, corr_mat=np.array([[1.0, 0.7], [0.7, 1.0]]))
+        res = sensitivity(s, wrt=b, size=50_000, random_state=5)
+        assert res[(b, "loc")] == pytest.approx(1.0, abs=1e-3)
+        assert np.isfinite(res[(b, "scale")])
+
+    def test_result_repr(self):
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        res = sensitivity(x, wrt={x: ["loc"]}, size=4096, random_state=0)
+        assert "d/d(" in repr(res) and "value=" in repr(res)
+
+
+class TestValidation:
+    def test_discrete_rejected(self):
+        p = pt.Distribution("poisson", 4.0)
+        with pytest.raises(ValueError, match="discrete"):
+            sensitivity(p, wrt=p, size=4096)
+
+    def test_non_distribution_rejected(self):
+        x = pt.Distribution("norm")
+        with pytest.raises(TypeError, match="Distribution"):
+            sensitivity(x + 1, wrt=x + 1, size=4096)
+
+    def test_non_ancestor_rejected(self):
+        x = pt.Distribution("norm")
+        other = pt.Distribution("norm", loc=9.0)
+        with pytest.raises(ValueError, match="ancestor"):
+            sensitivity(x + 1, wrt=other, size=4096)
+
+    def test_unknown_slot_rejected(self):
+        x = pt.Distribution("norm", loc=2.0)
+        with pytest.raises(ValueError, match="no numeric scalar parameter"):
+            sensitivity(x, wrt={x: ["shape"]}, size=4096)
+
+    def test_node_valued_parameter_not_a_slot(self):
+        mu = pt.Distribution("norm", loc=5.0)
+        x = pt.Distribution("norm", loc=mu, scale=1.0)
+        # loc is a Node (part of the graph): only scale is a numeric slot.
+        res = sensitivity(x, wrt=x, size=50_000, random_state=6)
+        assert set(res.gradients) == {(x, "scale")}
+        # ...and the leaf's own loc is reachable by targeting the leaf.
+        res2 = sensitivity(x, wrt={mu: ["loc"]}, size=50_000, random_state=6)
+        assert res2[(mu, "loc")] == pytest.approx(1.0, abs=1e-4)
+
+    def test_bad_statistic_rejected(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        with pytest.raises(ValueError, match="statistic"):
+            sensitivity(x, wrt=x, size=4096, statistic="median")
+
+    def test_host_fallback_family_rejected(self):
+        from probabilit_tpu.ops import ppf as _ppf
+
+        # Find a continuous scipy family with no native kernel.
+        import scipy.stats as sps
+
+        name = None
+        for cand in ("genhyperbolic", "kappa4", "burr12", "mielke"):
+            if (
+                getattr(sps, cand, None) is not None
+                and _ppf.lookup(cand) is None
+            ):
+                name = cand
+                break
+        if name is None:
+            pytest.skip("every probed family has a native kernel")
+        node = pt.Distribution(name, 1.0, 1.0)
+        with pytest.raises(ValueError, match="native ppf kernel"):
+            sensitivity(node, wrt={node: [0]}, size=4096)
