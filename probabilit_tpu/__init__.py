@@ -20,7 +20,7 @@ from probabilit_tpu.models.distributions import (
 )
 from probabilit_tpu.models.factories import PERT
 from probabilit_tpu.inspection import plot
-from probabilit_tpu.engine.sensitivity import sensitivity
+from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
 
 __version__ = "0.1.0"
 
@@ -36,4 +36,5 @@ __all__ = [
     "PERT",
     "plot",
     "sensitivity",
+    "sobol_indices",
 ]

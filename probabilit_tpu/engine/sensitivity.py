@@ -39,9 +39,15 @@ from probabilit_tpu.engine.sampler import resolve_key
 from probabilit_tpu.ops import ppf as _ppf
 from probabilit_tpu.ops.qmc import clamp_open_unit
 
-__all__ = ["sensitivity", "SensitivityResult"]
+__all__ = [
+    "sensitivity",
+    "SensitivityResult",
+    "sobol_indices",
+    "SobolIndices",
+]
 
 _GRAD_CACHE = {}
+_SOBOL_CACHE = {}
 _CACHE_LIMIT = 64
 
 _STATISTICS = {
@@ -334,3 +340,215 @@ def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls):
                 _write_slot(node, slot, orig)
 
     return jax.jit(jax.value_and_grad(value_of, argnums=0))
+
+
+# =====================================================================
+# Variance-based global sensitivity: Sobol' indices
+# =====================================================================
+
+
+class SobolIndices:
+    """First-order and total Sobol' indices, keyed by variable node.
+
+    ``first_order[node]`` is the fraction of the sink's variance explained
+    by that variable alone; ``total_order[node]`` includes every
+    interaction the variable participates in.  Estimates are Monte Carlo
+    (may fall slightly outside [0, 1] at small sizes).
+    """
+
+    def __init__(self, variables, first_order, total_order, mean, variance, size):
+        self.variables = list(variables)
+        self.first_order = dict(zip(variables, first_order))
+        self.total_order = dict(zip(variables, total_order))
+        self.mean = mean
+        self.variance = variance
+        self.size = size
+
+    def __getitem__(self, node):
+        return (self.first_order[node], self.total_order[node])
+
+    def __repr__(self):
+        rows = ", ".join(
+            f"{node!r}: S={self.first_order[node]:.4f} "
+            f"ST={self.total_order[node]:.4f}"
+            for node in self.variables
+        )
+        return f"SobolIndices(variance={self.variance:.6g}, {rows})"
+
+
+def sobol_indices(
+    sink,
+    wrt=None,
+    size=8192,
+    random_state=None,
+    method="sobol",
+):
+    """Variance-based global sensitivity of ``sink`` to its variables.
+
+    Pick-freeze (Saltelli) estimation: with base quantile matrices A and
+    B, the sink is evaluated on A, B, and on A with variable ``i``'s
+    quantile column replaced from B — all ``(2 + k) * size`` model
+    evaluations batched into ONE compiled XLA program (the same traced
+    body ``sample()`` runs, ``engine/compile.py:build_body``).  First-order
+    indices use the Sobol'-Saltelli covariance estimator
+    ``S_i = mean(f(B) * (f(AB_i) - f(A))) / Var`` and total indices the
+    Jansen estimator ``ST_i = mean((f(A) - f(AB_i))^2) / (2 Var)``
+    (Saltelli et al. 2010's recommended pair).  The reference has no
+    global-sensitivity capability at all — and at scipy speeds a
+    (2+k)-fold evaluation sweep would be prohibitive.
+
+    Parameters
+    ----------
+    sink : Node
+        Quantity of interest.  Must be numeric and must not declare
+        correlations (Sobol' indices assume independent inputs; use
+        ``sensitivity()`` for parameter derivatives of correlated models).
+    wrt : None | Node | list[Node]
+        Which variables to attribute variance to.  Default: every initial
+        sampling node.  A composite distribution node may also be passed —
+        its index then measures its OWN innovation column (the fresh
+        randomness it adds), with parameter randomness attributed to its
+        ancestor variables.
+    size : int
+        Evaluations per matrix; total model evaluations = (2 + k) * size.
+    random_state : None | int | numpy Generator/RandomState | jax key
+        Same contract as ``sample()``.
+    method : "sobol" | "halton" | "lhs" | None
+        Base-matrix generator.  QMC (default) pairs A and B as the first
+        and second halves of one 2d-dimensional low-discrepancy sequence;
+        ``None`` uses independent PRNG uniforms.
+
+    >>> import probabilit_tpu as pt
+    >>> a = pt.Distribution("norm", loc=0.0, scale=2.0)
+    >>> b = pt.Distribution("norm", loc=0.0, scale=1.0)
+    >>> res = sobol_indices(a + b, size=4096, random_state=0)
+    >>> abs(res.first_order[a] - 0.8) < 0.05   # var 4 of total 5
+    True
+    """
+    from probabilit_tpu.models.graph import Node
+
+    plan = _compile.get_plan(sink)
+    if plan.corr_matrix is not None:
+        raise ValueError(
+            "sobol_indices requires independent inputs, but the model "
+            "declares correlations; variance attribution under dependence "
+            "is not identifiable with pick-freeze estimators."
+        )
+    if plan.finalizers.get(sink._id) is not None:
+        raise ValueError(
+            "The sampled node produces host-finalized (non-numeric) "
+            "output; Sobol' indices need a numeric sink."
+        )
+
+    if wrt is None:
+        variables = list(plan.isns)
+        if not variables:
+            raise ValueError("The model has no sampling nodes.")
+    else:
+        variables = [wrt] if isinstance(wrt, Node) else list(wrt)
+        if not variables:
+            raise ValueError("wrt is empty.")
+        seen = set()
+        for v in variables:
+            if v._id not in plan.col_of:
+                raise ValueError(
+                    f"{v!r} is not a distribution node of the sampled "
+                    "graph; Sobol' indices attribute variance to sampling "
+                    "nodes (transforms are deterministic given those)."
+                )
+            if v._id in seen:
+                raise ValueError(f"{v!r} appears twice in wrt.")
+            seen.add(v._id)
+    cols = tuple(plan.col_of[v._id] for v in variables)
+
+    size = int(size)
+    if size < 4:
+        raise ValueError(f"size={size} is too small to estimate variances.")
+    method_name = None if method is None else str(method).lower().strip()
+
+    fn = _build_sobol_fn(plan, cols, size, method_name)
+    key = resolve_key(random_state)
+    mean, variance, first, total = (np.asarray(v, np.float64) for v in fn(key))
+    if not np.isfinite(variance) or variance <= 0.0:
+        raise FloatingPointError(
+            f"Sink variance estimate is {variance}; Sobol' indices are "
+            "undefined for a constant (or non-finite) quantity."
+        )
+    return SobolIndices(
+        variables,
+        [float(s) for s in first],
+        [float(t) for t in total],
+        float(mean),
+        float(variance),
+        size,
+    )
+
+
+def _build_sobol_fn(plan, cols, size, method_name):
+    """Jitted ``key -> (mean, var, S, ST)`` pick-freeze program."""
+    from probabilit_tpu.ops import qmc as _qmc
+    from probabilit_tpu.parallel import mesh as _par_mesh
+
+    cache_key = (
+        plan.signature(),
+        cols,
+        size,
+        method_name,
+        jnp.dtype(config.float_dtype()).name,
+        _compile._active_mesh_key(),
+    )
+    cached = _SOBOL_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
+    correlator_cls = _compile.resolve_correlator("imanconover")
+    sink_id = plan.sink._id
+    body = _compile.build_body(
+        plan,
+        correlator_cls,
+        keep_ids=frozenset([sink_id]),
+        check_finite=False,
+        generated_ok=False,
+    )
+    sharding = _par_mesh.sample_sharding(ndim=2)
+    d = plan.d
+    k = len(cols)
+    col_idx = jnp.asarray(cols, jnp.int32)
+
+    def run(key):
+        dtype = config.float_dtype()
+        if method_name is None:
+            ka, kb = jax.random.split(key)
+            A = clamp_open_unit(jax.random.uniform(ka, (size, d), dtype=dtype))
+            B = clamp_open_unit(jax.random.uniform(kb, (size, d), dtype=dtype))
+        else:
+            # One 2d-dimensional low-discrepancy stream: dimension j of A
+            # pairs with dimension d+j of B, the standard Saltelli design
+            # (keeps the A/B pairing itself low-discrepancy).
+            AB = _qmc.generate(method_name, key, size, 2 * d, dtype=dtype)
+            A, B = AB[:, :d], AB[:, d:]
+        # (k, size, d): copy i replaces variable i's column with B's.
+        hot = jnp.zeros((k, 1, d), dtype).at[jnp.arange(k), 0, col_idx].set(1.0)
+        AB_i = A[None, :, :] * (1.0 - hot) + B[None, :, :] * hot
+        stacked = jnp.concatenate([A[None], B[None], AB_i], axis=0)
+        stacked = stacked.reshape((2 + k) * size, d)
+        if sharding is not None:
+            stacked = jax.lax.with_sharding_constraint(stacked, sharding)
+        outputs, _ = body(stacked)
+        y = outputs[sink_id]
+        if not jnp.issubdtype(y.dtype, jnp.inexact):
+            y = y.astype(dtype)
+        y = y.reshape(2 + k, size)
+        fA, fB, fAB = y[0], y[1], y[2:]
+        both = jnp.concatenate([fA, fB])
+        mean = jnp.mean(both)
+        variance = jnp.var(both, ddof=1)
+        first = jnp.mean(fB[None, :] * (fAB - fA[None, :]), axis=1) / variance
+        total = 0.5 * jnp.mean((fA[None, :] - fAB) ** 2, axis=1) / variance
+        return mean, variance, first, total
+
+    fn = jax.jit(run)
+    if len(_SOBOL_CACHE) >= _CACHE_LIMIT:
+        _SOBOL_CACHE.pop(next(iter(_SOBOL_CACHE)))
+    _SOBOL_CACHE[cache_key] = fn
+    return fn

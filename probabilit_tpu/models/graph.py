@@ -333,6 +333,16 @@ class Node(abc.ABC):
             self, wrt, size=size, random_state=random_state, **kwargs
         )
 
+    def sobol_indices(self, wrt=None, size=8192, random_state=None, **kwargs):
+        """First-order/total Sobol' variance decomposition of this node
+        over its (independent) sampling variables, batched pick-freeze on
+        the compiled program.  See ``engine.sensitivity.sobol_indices``."""
+        from probabilit_tpu.engine import sensitivity as _sens
+
+        return _sens.sobol_indices(
+            self, wrt, size=size, random_state=random_state, **kwargs
+        )
+
     def _is_initial_sampling_node(self):
         """Distribution with no Distribution ancestors (``modeling.py:616-626``)."""
         if not self._is_distribution:

@@ -158,3 +158,110 @@ class TestValidation:
         node = pt.Distribution(name, 1.0, 1.0)
         with pytest.raises(ValueError, match="native ppf kernel"):
             sensitivity(node, wrt={node: [0]}, size=4096)
+
+
+class TestSobolIndices:
+    def test_linear_model_variance_shares(self):
+        # f = a + b, var(a)=4, var(b)=1: S_a = ST_a = 0.8, S_b = ST_b = 0.2.
+        a = pt.Distribution("norm", loc=0.0, scale=2.0)
+        b = pt.Distribution("norm", loc=0.0, scale=1.0)
+        res = pt.sobol_indices(a + b, size=8192, random_state=0)
+        assert res.first_order[a] == pytest.approx(0.8, abs=0.02)
+        assert res.total_order[a] == pytest.approx(0.8, abs=0.02)
+        assert res.first_order[b] == pytest.approx(0.2, abs=0.02)
+        assert res.variance == pytest.approx(5.0, rel=0.05)
+        assert res[a] == (res.first_order[a], res.total_order[a])
+
+    def test_ishigami_analytic(self):
+        # The canonical GSA benchmark (Ishigami & Homma 1990), a=7, b=0.1:
+        # S = [0.3139, 0.4424, 0], ST = [0.5576, 0.4424, 0.2437].
+        from probabilit_tpu.models.graph import Sin
+
+        pi = np.pi
+        xs = [
+            pt.Distribution("uniform", loc=-pi, scale=2 * pi) for _ in range(3)
+        ]
+        x1, x2, x3 = xs
+        f = Sin(x1) + 7 * Sin(x2) ** 2 + 0.1 * x3**4 * Sin(x1)
+        res = pt.sobol_indices(f, size=32768, random_state=1)
+        truth_S = [0.3139, 0.4424, 0.0]
+        truth_T = [0.5576, 0.4424, 0.2437]
+        for x, ts, tt in zip(xs, truth_S, truth_T):
+            assert res.first_order[x] == pytest.approx(ts, abs=0.01)
+            assert res.total_order[x] == pytest.approx(tt, abs=0.01)
+        assert res.variance == pytest.approx(13.844, rel=0.02)
+
+    def test_interaction_only_model(self):
+        # f = a * b with zero-mean factors: all variance is interaction —
+        # first-order ~ 0, totals ~ 1.
+        a = pt.Distribution("norm", loc=0.0, scale=1.0)
+        b = pt.Distribution("norm", loc=0.0, scale=1.0)
+        res = pt.sobol_indices(a * b, size=16384, random_state=2)
+        assert res.first_order[a] == pytest.approx(0.0, abs=0.05)
+        assert res.total_order[a] == pytest.approx(1.0, abs=0.05)
+
+    def test_prng_method_agrees(self):
+        a = pt.Distribution("norm", loc=0.0, scale=2.0)
+        b = pt.Distribution("norm", loc=0.0, scale=1.0)
+        res = pt.sobol_indices(a + b, size=32768, random_state=3, method=None)
+        assert res.first_order[a] == pytest.approx(0.8, abs=0.05)
+
+    def test_subset_and_composite_wrt(self):
+        # Composite node: its index measures its own innovation column.
+        mu = pt.Distribution("norm", loc=0.0, scale=3.0)
+        x = pt.Distribution("norm", loc=mu, scale=1.0)
+        res = pt.sobol_indices(x, wrt=[mu, x], size=16384, random_state=4)
+        # var = 9 + 1; mu explains 0.9, x's own innovation 0.1.
+        assert res.first_order[mu] == pytest.approx(0.9, abs=0.03)
+        assert res.first_order[x] == pytest.approx(0.1, abs=0.03)
+
+    def test_node_method_and_determinism(self):
+        a = pt.Distribution("norm", loc=0.0, scale=2.0)
+        b = pt.Distribution("norm", loc=0.0, scale=1.0)
+        r1 = (a + b).sobol_indices(size=4096, random_state=5)
+        r2 = (a + b).sobol_indices(size=4096, random_state=5)
+        assert r1.first_order == r2.first_order
+        assert r1.total_order == r2.total_order
+
+    def test_correlated_model_rejected(self):
+        a = pt.Distribution("norm")
+        b = pt.Distribution("norm")
+        s = (a + b).correlate(a, b, corr_mat=np.array([[1.0, 0.5], [0.5, 1.0]]))
+        with pytest.raises(ValueError, match="independent"):
+            pt.sobol_indices(s, size=4096)
+
+    def test_non_distribution_wrt_rejected(self):
+        a = pt.Distribution("norm")
+        with pytest.raises(ValueError, match="distribution node"):
+            pt.sobol_indices(a + 1, wrt=[a + 1], size=4096)
+
+    def test_constant_sink_rejected(self):
+        a = pt.Distribution("norm")
+        with pytest.raises(FloatingPointError, match="constant"):
+            pt.sobol_indices(a * 0.0, size=4096, random_state=0)
+
+    def test_duplicate_wrt_rejected(self):
+        a = pt.Distribution("norm")
+        with pytest.raises(ValueError, match="twice"):
+            pt.sobol_indices(a + 1, wrt=[a, a], size=4096)
+
+    def test_repr(self):
+        a = pt.Distribution("norm")
+        b = pt.Distribution("norm")
+        res = pt.sobol_indices(a + b, size=4096, random_state=6)
+        assert "S=" in repr(res) and "ST=" in repr(res)
+
+    def test_under_mesh_matches_unsharded(self):
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        a = pt.Distribution("norm", loc=0.0, scale=2.0)
+        b = pt.Distribution("norm", loc=0.0, scale=1.0)
+        base = pt.sobol_indices(a + b, size=8192, random_state=7)
+        with use_mesh(make_mesh()):
+            sharded = pt.sobol_indices(a + b, size=8192, random_state=7)
+        assert sharded.first_order[a] == pytest.approx(
+            base.first_order[a], abs=1e-5
+        )
+        assert sharded.total_order[b] == pytest.approx(
+            base.total_order[b], abs=1e-5
+        )
