@@ -384,6 +384,35 @@ def bench_large_table(n=100_000_000, n_big=400_000_000):
     return ns
 
 
+def bench_sobol_indices(size=1 << 20, repeats=2):
+    """Global sensitivity on the 20-node DAG (round-3 capability).
+
+    First-order + total Sobol' indices over the DAG's 8 variables:
+    (2 + 8) * 2^20 ~ 10.5M model evaluations batched into ONE compiled
+    pick-freeze program.  The scipy reference has no GSA capability; at
+    its measured DAG throughput the same evaluation sweep alone would
+    take ~1 minute per analysis.
+    """
+    from probabilit_tpu import sobol_indices
+    from probabilit_tpu.models import benchmarks
+
+    sink = benchmarks.mixed_dag_20()
+    t0 = time.perf_counter()
+    res = sobol_indices(sink, size=size, random_state=0)
+    log(f"sobol-indices compile+first: {time.perf_counter() - t0:.2f}s")
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        res = sobol_indices(sink, size=size, random_state=i + 1)
+        best = min(best, time.perf_counter() - t0)
+    top = max(res.first_order.values())
+    log(
+        f"sobol-indices (10 matrices x {size:.0f} rows): {best * 1e3:.0f} ms, "
+        f"top S={top:.3f}"
+    )
+    return best * 1e3
+
+
 def _release_device_memory():
     """Drop dead device buffers between benchmarks.
 
@@ -414,6 +443,8 @@ def main():
     _release_device_memory()
     table_ns = bench_large_table()
     _release_device_memory()
+    sobol_ms = bench_sobol_indices()
+    _release_device_memory()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
 
@@ -433,6 +464,7 @@ def main():
                     "imanconover_1e7x50_ms": ic_ms,
                     "streaming_size_sweep_3e8_s": sweep_s,
                     "large_table_471knot_ns_per_sample": table_ns,
+                    "sobol_indices_20node_10x1m_ms": sobol_ms,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
                     "target_imanconover_ms": 100.0,
