@@ -1,0 +1,102 @@
+"""Sensitivity analysis of a Monte Carlo model, two complementary ways.
+
+Both run through the SAME compiled sampling program `sample()` uses —
+capabilities the scipy-driven reference cannot offer (its per-node
+`.ppf` calls are opaque to autodiff, and a pick-freeze sweep at scipy
+throughput is prohibitive):
+
+1. `sensitivity()` — LOCAL, derivative-based: exact pathwise
+   d statistic / d parameter via `jax.grad` through the program.
+   "If the price volatility were 1% higher, how would the P95 move?"
+2. `sobol_indices()` — GLOBAL, variance-based: which variables' overall
+   randomness drives the output variance, interactions included.
+   "Which inputs are worth refining at all?"
+
+Run: python examples/04_sensitivity.py   (seconds on CPU or TPU)
+"""
+
+import numpy as np
+
+from probabilit_tpu import Distribution, sensitivity, sobol_indices
+
+
+def build_project_cost():
+    """A project-cost model: labour, materials, delay risk."""
+    labour_hours = Distribution("triang", c=0.3, loc=800, scale=600)
+    hourly_rate = Distribution("norm", loc=95.0, scale=8.0)
+    materials = Distribution("lognorm", s=0.35, scale=40_000.0)
+    delay_months = Distribution("expon", scale=1.5)
+    overhead_rate = Distribution("uniform", loc=0.10, scale=0.08)
+
+    base = labour_hours * hourly_rate + materials
+    delay_penalty = delay_months * 12_000.0
+    total = (base + delay_penalty) * (1.0 + overhead_rate)
+    variables = {
+        "labour_hours": labour_hours,
+        "hourly_rate": hourly_rate,
+        "materials": materials,
+        "delay_months": delay_months,
+        "overhead_rate": overhead_rate,
+    }
+    return total, variables
+
+
+def main():
+    total, variables = build_project_cost()
+
+    # ------------------------------------------------------------------
+    # Global: where does the output variance come from?
+    # ------------------------------------------------------------------
+    res = sobol_indices(total, size=1 << 15, random_state=0)
+    print("Sobol' indices (first-order S, total ST):")
+    for name, node in variables.items():
+        s, st = res[node]
+        bar = "#" * int(round(40 * max(s, 0.0)))
+        print(f"  {name:<14} S={s:6.3f}  ST={st:6.3f}  {bar}")
+    print(f"  output mean {res.mean:,.0f}, std {np.sqrt(res.variance):,.0f}")
+    interactions = 1.0 - sum(res.first_order.values())
+    print(f"  variance in interactions: {interactions:.1%}\n")
+
+    # ------------------------------------------------------------------
+    # Local: exact derivatives of the P95 (budget-at-risk) w.r.t. the
+    # parameters we could actually change.  Pathwise gradients under
+    # common random numbers — no finite differences, no noise floor.
+    # ------------------------------------------------------------------
+    grad = sensitivity(
+        total,
+        wrt={
+            variables["hourly_rate"]: ["loc", "scale"],
+            variables["delay_months"]: ["scale"],
+            variables["materials"]: ["s"],
+        },
+        size=1 << 18,
+        random_state=0,
+        statistic="q0.95",
+    )
+    print(f"P95 cost: {grad.value:,.0f}")
+    print("d P95 / d parameter:")
+    for (node, slot), g in grad.gradients.items():
+        name = next(k for k, v in variables.items() if v is node)
+        print(f"  {name}.{slot:<6} {g:12,.1f}")
+
+    # A sanity check the derivative is actionable: bump the hourly-rate
+    # mean by +1 and compare the predicted vs re-simulated P95 shift.
+    bump = 1.0
+    predicted = grad[(variables["hourly_rate"], "loc")] * bump
+    variables["hourly_rate"].kwargs["loc"] += bump
+    shifted = sensitivity(
+        total,
+        wrt={variables["hourly_rate"]: ["loc"]},
+        size=1 << 18,
+        random_state=0,
+        statistic="q0.95",
+    ).value
+    variables["hourly_rate"].kwargs["loc"] -= bump
+    print(
+        f"\n+{bump} on hourly rate mean: predicted P95 shift {predicted:,.1f}, "
+        f"re-simulated {shifted - grad.value:,.1f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,31 @@ _STATISTICS = {
 }
 
 
+def _resolve_statistic(statistic):
+    """-> (callable, hashable cache key); raises on unknown statistics."""
+    if isinstance(statistic, str):
+        fn = _STATISTICS.get(statistic)
+        if fn is not None:
+            return fn, statistic
+        if len(statistic) > 1 and statistic[0] == "q":
+            # "q0.95": quantile/VaR level, matching streaming's result keys.
+            # jnp.quantile linearly interpolates order statistics, so its
+            # pathwise derivative flows through the sort permutation — the
+            # standard quantile-sensitivity estimator.
+            try:
+                level = float(statistic[1:])
+            except ValueError:
+                level = None
+            if level is not None and 0.0 < level < 1.0:
+                return (lambda x: jnp.quantile(x, level)), statistic
+    elif callable(statistic):
+        return statistic, id(statistic)
+    raise ValueError(
+        f"statistic must be one of {sorted(_STATISTICS)}, 'q<level>' "
+        f"(e.g. 'q0.95'), or a callable; got {statistic!r}."
+    )
+
+
 class SensitivityResult:
     """Statistic value + gradients, keyed by ``(node, parameter)``.
 
@@ -205,8 +230,9 @@ def sensitivity(
     random_state : None | int | numpy Generator/RandomState | jax key
         Same contract as ``sample()``; fixed draws make the gradient
         deterministic given a seed.
-    statistic : "mean" | "var" | "std" | callable
-        Scalar functional of the sink's sample vector.  A callable
+    statistic : "mean" | "var" | "std" | "q<level>" | callable
+        Scalar functional of the sink's sample vector.  ``"q0.95"``
+        differentiates the 95% quantile (VaR sensitivity).  A callable
         receives the traced ``(size,)`` array and must return a scalar
         (it is differentiated through, so it must be jax-traceable).
     correlator : str | Correlator class
@@ -237,16 +263,10 @@ def sensitivity(
     if size <= max(1, len(plan.corr_vars)):
         raise ValueError(f"size={size} is too small to estimate a statistic.")
 
-    stat_fn = _STATISTICS.get(statistic, statistic)
-    if not callable(stat_fn):
-        raise ValueError(
-            f"statistic must be one of {sorted(_STATISTICS)} or a callable; "
-            f"got {statistic!r}."
-        )
+    stat_fn, stat_key = _resolve_statistic(statistic)
 
     correlator_cls = _compile.resolve_correlator(correlator)
     slot_key = tuple((node._id, slot) for node, slot in pairs)
-    stat_key = statistic if isinstance(statistic, str) else id(statistic)
     cache_key = (
         plan.signature(),
         slot_key,

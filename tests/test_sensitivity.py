@@ -265,3 +265,25 @@ class TestSobolIndices:
         assert sharded.total_order[b] == pytest.approx(
             base.total_order[b], abs=1e-5
         )
+
+
+class TestQuantileStatistic:
+    def test_var_sensitivity_normal(self):
+        # q-quantile of loc + scale Z is loc + scale z_q:
+        # d/dloc = 1, d/dscale = z_q.
+        import scipy.stats
+
+        x = pt.Distribution("norm", loc=10.0, scale=2.0)
+        res = sensitivity(
+            x, wrt=x, size=200_000, random_state=8, statistic="q0.95"
+        )
+        z95 = scipy.stats.norm.ppf(0.95)
+        assert res[(x, "loc")] == pytest.approx(1.0, abs=0.02)
+        assert res[(x, "scale")] == pytest.approx(z95, rel=0.03)
+        assert res.value == pytest.approx(10.0 + 2.0 * z95, rel=0.01)
+
+    def test_bad_level_rejected(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        for bad in ("q1.5", "qabc", "q0", "q"):
+            with pytest.raises(ValueError, match="statistic"):
+                sensitivity(x, wrt=x, size=4096, statistic=bad)
