@@ -66,6 +66,45 @@ _SAFE_FAMILIES = {
     "bernoulli",
     "geom",
     "randint",
+    # Round-3 closed-form batch (ops/ppf.py): pure exp/log/power/tan/
+    # ndtri/expm1_safe elementwise math, verified to lower in Mosaic.
+    # Excluded on purpose: anglit (arcsin), wrapcauchy (arctan),
+    # semicircular/cosine/foldnorm/foldcauchy/exponnorm (Newton bodies),
+    # pearson3 (alpha = 4/skew^2 escapes the incomplete-gamma trip caps),
+    # gennorm/halfgennorm (gammaincinv argument is 1/beta, ditto).
+    "alpha",
+    "bradford",
+    "burr",
+    "burr12",
+    "dweibull",
+    "exponpow",
+    "exponweib",
+    "fatiguelife",
+    "genhalflogistic",
+    "genlogistic",
+    "gibrat",
+    "gompertz",
+    "halfcauchy",
+    "halflogistic",
+    "invweibull",
+    "johnsonsb",
+    "johnsonsu",
+    "kappa3",
+    "laplace_asymmetric",
+    "levy",
+    "levy_l",
+    "loglaplace",
+    "lomax",
+    "mielke",
+    "moyal",
+    "powerlognorm",
+    "powernorm",
+    "trapezoid",
+    "truncexpon",
+    "truncpareto",
+    "truncweibull_min",
+    "tukeylambda",
+    "reciprocal",
 }
 
 # Families solved by Newton on Mosaic-safe incomplete gamma/beta functions
@@ -83,6 +122,13 @@ _INCOMPLETE_FAMILY_CAPS = {
     "betaprime": 30.0,
     "t": 60.0,  # betaincinv(df / 2, .)
     "f": 60.0,
+    # Round 3: the generic shape-cap check bounds every shape parameter
+    # in (0, cap], which doubles as the gammaincinv-argument bound here
+    # (and auto-excludes gengamma's c < 0 branch).
+    "dgamma": 30.0,
+    "loggamma": 30.0,
+    "gengamma": 30.0,
+    "rdist": 60.0,  # betaincinv(c / 2, c / 2, .)
 }
 
 

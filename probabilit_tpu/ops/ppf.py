@@ -417,6 +417,494 @@ def f(q, dfn, dfd, loc=0.0, scale=1.0):
 
 
 # =====================================================================
+# Continuous, closed form — wider scipy coverage (round 3)
+#
+# Each formula inverts the family's scipy.stats CDF analytically (or
+# through the native gammaincinv/betaincinv/ndtri kernels); parameter
+# names/order mirror scipy so reference models run unchanged, and the
+# whole batch is parity-swept against scipy.ppf in
+# tests/test_distributions.py.
+# =====================================================================
+
+
+@register("alpha")
+def alpha(q, a, loc=0.0, scale=1.0):
+    # CDF = ndtr(a - 1/x) / ndtr(a) on x > 0.
+    a, q = _f(a), _f(q)
+    x = 1.0 / (a - special.ndtri_fast_wide(q * special.ndtr_fast(a)))
+    # Upper tail: the denominator cancels to f32 noise as
+    # ndtri(q Phi(a)) -> a.  First-order there:
+    # a - ndtri(p) ~ D (1 - a D / 2) with D = Phi(a)(1-q)/phi(a), and
+    # (1-q) is Sterbenz-exact, so the tail quantile stays
+    # relative-accurate (error O(D^2) < 1e-4 at the switch point).
+    inv_sqrt2pi = 0.3989422804014327
+    phi_a = inv_sqrt2pi * jnp.exp(-0.5 * a * a)
+    D = special.ndtr_fast(a) * (1.0 - q) / phi_a
+    x_tail = 1.0 / (D * (1.0 - 0.5 * a * D))
+    x = jnp.where(q > 1.0 - 1e-3, x_tail, x)
+    return _f(loc) + _f(scale) * x
+
+
+@register("anglit")
+def anglit(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * (jnp.arcsin(jnp.sqrt(_f(q))) - 0.25 * jnp.pi)
+
+
+@register("bradford")
+def bradford(q, c, loc=0.0, scale=1.0):
+    c = _f(c)
+    return _f(loc) + _f(scale) * special.expm1_safe(_f(q) * jnp.log1p(c)) / c
+
+
+@register("burr")
+def burr(q, c, d, loc=0.0, scale=1.0):
+    # Burr III: CDF = (1 + x^-c)^-d.
+    q, c, d = _f(q), _f(c), _f(d)
+    # log1p(q - 1): q - 1 is Sterbenz-exact in f32, so the log keeps
+    # relative accuracy as q -> 1 where log(q) collapses to 0.
+    x = jnp.power(special.expm1_safe(-jnp.log1p(q - 1.0) / d), -1.0 / c)
+    return _f(loc) + _f(scale) * x
+
+
+@register("burr12")
+def burr12(q, c, d, loc=0.0, scale=1.0):
+    # Burr XII: SF = (1 + x^c)^-d.
+    q, c, d = _f(q), _f(c), _f(d)
+    x = jnp.power(special.expm1_safe(-jnp.log1p(-q) / d), 1.0 / c)
+    return _f(loc) + _f(scale) * x
+
+
+@register("dgamma")
+def dgamma(q, a, loc=0.0, scale=1.0):
+    # Reflected gamma: CDF = gammaincc(a, -x)/2 left of 0,
+    # 1/2 + gammainc(a, x)/2 right of 0.
+    q, a = _f(q), _f(a)
+    eps = 1e-7
+    low = -special.gammainccinv(a, jnp.clip(2.0 * q, eps, 1.0))
+    high = special.gammaincinv(a, jnp.clip(2.0 * q - 1.0, 0.0, 1.0 - eps))
+    return _f(loc) + _f(scale) * jnp.where(q < 0.5, low, high)
+
+
+@register("dweibull")
+def dweibull(q, c, loc=0.0, scale=1.0):
+    q, c = _f(q), _f(c)
+    eps = 1e-12
+    mag_low = jnp.power(-jnp.log(jnp.clip(2.0 * q, eps)), 1.0 / c)
+    mag_high = jnp.power(-jnp.log(jnp.clip(2.0 * (1.0 - q), eps)), 1.0 / c)
+    return _f(loc) + _f(scale) * jnp.where(q < 0.5, -mag_low, mag_high)
+
+
+@register("exponpow")
+def exponpow(q, b, loc=0.0, scale=1.0):
+    # CDF = 1 - exp(1 - exp(x^b)).
+    x = jnp.power(jnp.log1p(-jnp.log1p(-_f(q))), 1.0 / _f(b))
+    return _f(loc) + _f(scale) * x
+
+
+@register("exponweib")
+def exponweib(q, a, c, loc=0.0, scale=1.0):
+    # CDF = (1 - exp(-x^c))^a.
+    q, a, c = _f(q), _f(a), _f(c)
+    # 1 - q^(1/a) evaluated as -expm1(log1p(q-1)/a): exact-difference
+    # log plus expm1 keep the upper tail accurate in f32.
+    t = -special.expm1_safe(jnp.log1p(q - 1.0) / a)
+    x = jnp.power(-jnp.log(t), 1.0 / c)
+    return _f(loc) + _f(scale) * x
+
+
+@register("fatiguelife")
+def fatiguelife(q, c, loc=0.0, scale=1.0):
+    # Birnbaum-Saunders: x = ((c z + sqrt(c^2 z^2 + 4)) / 2)^2.
+    t = _f(c) * special.ndtri_fast(_f(q))
+    return _f(loc) + _f(scale) * 0.25 * jnp.square(t + jnp.sqrt(t * t + 4.0))
+
+
+@register("genhalflogistic")
+def genhalflogistic(q, c, loc=0.0, scale=1.0):
+    # CDF = (1 - t) / (1 + t) with t = (1 - c x)^(1/c) on [0, 1/c].
+    q, c = _f(q), _f(c)
+    t = (1.0 - q) / (1.0 + q)
+    return _f(loc) + _f(scale) * (1.0 - jnp.power(t, c)) / c
+
+
+@register("genlogistic")
+def genlogistic(q, c, loc=0.0, scale=1.0):
+    # CDF = (1 + exp(-x))^-c.
+    q = _f(q)
+    x = -jnp.log(special.expm1_safe(-jnp.log1p(q - 1.0) / _f(c)))
+    return _f(loc) + _f(scale) * x
+
+
+@register("gengamma")
+def gengamma(q, a, c, loc=0.0, scale=1.0):
+    q, a, c = _f(q), _f(a), _f(c)
+    val = jnp.where(c > 0, special.gammaincinv(a, q), special.gammainccinv(a, q))
+    return _f(loc) + _f(scale) * jnp.power(val, 1.0 / c)
+
+
+@register("gennorm")
+def gennorm(q, beta, loc=0.0, scale=1.0):
+    q, beta = _f(q), _f(beta)
+    mag = jnp.power(
+        special.gammaincinv(1.0 / beta, jnp.abs(2.0 * q - 1.0)), 1.0 / beta
+    )
+    return _f(loc) + _f(scale) * jnp.sign(q - 0.5) * mag
+
+
+@register("halfgennorm")
+def halfgennorm(q, beta, loc=0.0, scale=1.0):
+    beta = _f(beta)
+    return _f(loc) + _f(scale) * jnp.power(
+        special.gammaincinv(1.0 / beta, _f(q)), 1.0 / beta
+    )
+
+
+@register("gibrat")
+def gibrat(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.exp(special.ndtri_fast(_f(q)))
+
+
+@register("gompertz")
+def gompertz(q, c, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.log1p(-jnp.log1p(-_f(q)) / _f(c))
+
+
+@register("halfcauchy")
+def halfcauchy(q, loc=0.0, scale=1.0):
+    # tan(pi q / 2) loses f32 resolution as q -> 1: route through the
+    # cotangent of the complementary angle, exact in the tail.
+    q = _f(q)
+    return _f(loc) + _f(scale) / jnp.tan(0.5 * jnp.pi * (1.0 - q))
+
+
+@register("halflogistic")
+def halflogistic(q, loc=0.0, scale=1.0):
+    q = _f(q)
+    return _f(loc) + _f(scale) * (jnp.log1p(q) - jnp.log1p(-q))
+
+
+@register("invweibull")
+def invweibull(q, c, loc=0.0, scale=1.0):
+    q = _f(q)
+    return _f(loc) + _f(scale) * jnp.power(-jnp.log1p(q - 1.0), -1.0 / _f(c))
+
+
+@register("johnsonsb")
+def johnsonsb(q, a, b, loc=0.0, scale=1.0):
+    z = (special.ndtri_fast(_f(q)) - _f(a)) / _f(b)
+    return _f(loc) + _f(scale) / (1.0 + jnp.exp(-z))
+
+
+@register("johnsonsu")
+def johnsonsu(q, a, b, loc=0.0, scale=1.0):
+    z = (special.ndtri_fast(_f(q)) - _f(a)) / _f(b)
+    # sinh via exp: Mosaic has no sinh primitive, and the explicit form
+    # keeps the kernel megakernel-eligible (worst case ~1e-3 relative
+    # at |z| ~ 1e-4 where |x| itself is ~1e-4 — inside the f32 contract).
+    ez = jnp.exp(z)
+    return _f(loc) + _f(scale) * 0.5 * (ez - 1.0 / ez)
+
+
+@register("kappa3")
+def kappa3(q, a, loc=0.0, scale=1.0):
+    # CDF = x (a + x^a)^(-1/a)  =>  x = (a q^a / (1 - q^a))^(1/a).
+    q, a = _f(q), _f(a)
+    z = a * jnp.log1p(q - 1.0)
+    # q^a / (1 - q^a) = exp(z) / (-expm1(z)): both factors stay
+    # relative-accurate over the whole quantile range.
+    ratio = jnp.exp(z) / (-special.expm1_safe(z))
+    return _f(loc) + _f(scale) * jnp.power(a * ratio, 1.0 / a)
+
+
+@register("laplace_asymmetric")
+def laplace_asymmetric(q, kappa, loc=0.0, scale=1.0):
+    q, kappa = _f(q), _f(kappa)
+    k2 = kappa * kappa
+    split = k2 / (1.0 + k2)
+    low = kappa * jnp.log(jnp.clip(q * (1.0 + k2) / k2, 1e-30))
+    high = -jnp.log(jnp.clip((1.0 - q) * (1.0 + k2), 1e-30)) / kappa
+    return _f(loc) + _f(scale) * jnp.where(q < split, low, high)
+
+
+@register("levy")
+def levy(q, loc=0.0, scale=1.0):
+    z = special.ndtri_fast_wide(0.5 * _f(q))
+    return _f(loc) + _f(scale) / (z * z)
+
+
+@register("levy_l")
+def levy_l(q, loc=0.0, scale=1.0):
+    z = special.ndtri_fast_wide(0.5 * (1.0 - _f(q)))
+    return _f(loc) - _f(scale) / (z * z)
+
+
+@register("loggamma")
+def loggamma(q, c, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.log(special.gammaincinv(_f(c), _f(q)))
+
+
+@register("loglaplace")
+def loglaplace(q, c, loc=0.0, scale=1.0):
+    q, c = _f(q), _f(c)
+    low = jnp.power(jnp.clip(2.0 * q, 1e-30), 1.0 / c)
+    high = jnp.power(jnp.clip(2.0 * (1.0 - q), 1e-30), -1.0 / c)
+    return _f(loc) + _f(scale) * jnp.where(q < 0.5, low, high)
+
+
+@register("lomax")
+def lomax(q, c, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * special.expm1_safe(-jnp.log1p(-_f(q)) / _f(c))
+
+
+@register("mielke")
+def mielke(q, k, s, loc=0.0, scale=1.0):
+    # CDF = x^k (1 + x^s)^(-k/s).
+    q, k, s = _f(q), _f(k), _f(s)
+    z = (s / k) * jnp.log1p(q - 1.0)
+    ratio = jnp.exp(z) / (-special.expm1_safe(z))
+    return _f(loc) + _f(scale) * jnp.power(ratio, 1.0 / s)
+
+
+@register("moyal")
+def moyal(q, loc=0.0, scale=1.0):
+    # CDF = erfc(exp(-x/2) / sqrt(2)):  x = -2 log(-ndtri(q/2)).
+    x = -2.0 * jnp.log(-special.ndtri_fast_wide(0.5 * _f(q)))
+    return _f(loc) + _f(scale) * x
+
+
+@register("pearson3")
+def pearson3(q, skew, loc=0.0, scale=1.0):
+    # Standardized Pearson III == gamma(alpha) / b + zeta with
+    # alpha = 4/skew^2, b = skew/2, zeta = -2/skew; the sign of the skew
+    # flips the tail the gamma lives in.  skew == 0 is the normal.
+    # f32 caveat: |skew| << 1 standardizes a huge-alpha gamma and loses
+    # relative precision; the reference (scipy) computes in f64.
+    q, skew = _f(q), _f(skew)
+    safe = jnp.where(jnp.abs(skew) < 1e-12, 1.0, skew)
+    alpha = jnp.clip(4.0 / (safe * safe), max=1e12)
+    b = 2.0 / safe
+    zeta = -2.0 / safe
+    qq = jnp.where(skew < 0, 1.0 - q, q)
+    g = special.gammaincinv(alpha, qq)
+    x = jnp.where(
+        jnp.abs(skew) < 1e-12, special.ndtri_fast(q), g / b + zeta
+    )
+    return _f(loc) + _f(scale) * x
+
+
+@register("powerlognorm")
+def powerlognorm(q, c, s, loc=0.0, scale=1.0):
+    # CDF = 1 - ndtr(-log(x)/s)^c.
+    q, c, s = _f(q), _f(c), _f(s)
+    x = jnp.exp(-s * _powernorm_score(q, c))
+    return _f(loc) + _f(scale) * x
+
+
+def _powernorm_score(q, c):
+    """ndtri(w) for w = (1-q)^(1/c), tail-stable at both ends.
+
+    For q -> 0, w -> 1 and ndtri(w) loses all resolution; there
+    1 - w = -expm1(log1p(-q)/c) stays accurate and ndtri(w) = -ndtri(1-w).
+    For q -> 1, w -> 0 where the direct wide kernel is accurate.
+    """
+    w = jnp.power(1.0 - q, 1.0 / c)
+    direct = special.ndtri_fast_wide(w)
+    one_minus_w = -special.expm1_safe(jnp.log1p(-q) / c)
+    reflected = -special.ndtri_fast_wide(jnp.clip(one_minus_w, 2.0**-126))
+    return jnp.where(q < 0.5, reflected, direct)
+
+
+@register("powernorm")
+def powernorm(q, c, loc=0.0, scale=1.0):
+    # CDF = 1 - ndtr(-x)^c.
+    q, c = _f(q), _f(c)
+    return _f(loc) - _f(scale) * _powernorm_score(q, c)
+
+
+@register("rdist")
+def rdist(q, c, loc=0.0, scale=1.0):
+    c = _f(c)
+    return _f(loc) + _f(scale) * (
+        2.0 * special.betaincinv(0.5 * c, 0.5 * c, _f(q)) - 1.0
+    )
+
+
+@register("trapezoid")
+def trapezoid(q, c, d, loc=0.0, scale=1.0):
+    # Rising on [0, c], flat on [c, d], falling on [d, 1];
+    # h = 2 / (1 + d - c) is the plateau density.
+    q, c, d = _f(q), _f(c), _f(d)
+    h = 2.0 / (1.0 + d - c)
+    q1 = 0.5 * h * c
+    q2 = h * (d - 0.5 * c)
+    rise = jnp.sqrt(jnp.clip(2.0 * c * q / h, 0.0))
+    flat = q / h + 0.5 * c
+    fall = 1.0 - jnp.sqrt(jnp.clip(2.0 * (1.0 - d) * (1.0 - q) / h, 0.0))
+    x = jnp.where(q < q1, rise, jnp.where(q < q2, flat, fall))
+    return _f(loc) + _f(scale) * x
+
+
+@register("truncexpon")
+def truncexpon(q, b, loc=0.0, scale=1.0):
+    x = -jnp.log1p(_f(q) * special.expm1_safe(-_f(b)))
+    return _f(loc) + _f(scale) * x
+
+
+@register("truncpareto")
+def truncpareto(q, b, c, loc=0.0, scale=1.0):
+    # Pareto(b) truncated to [1, c]: CDF = (1 - x^-b) / (1 - c^-b).
+    q, b, c = _f(q), _f(b), _f(c)
+    x = jnp.power(1.0 - q * (1.0 - jnp.power(c, -b)), -1.0 / b)
+    return _f(loc) + _f(scale) * x
+
+
+@register("truncweibull_min")
+def truncweibull_min(q, c, a, b, loc=0.0, scale=1.0):
+    # weibull_min(c) truncated to [a, b], via survival interpolation.
+    q, c, a, b = _f(q), _f(c), _f(a), _f(b)
+    sa = jnp.exp(-jnp.power(a, c))
+    sb = jnp.exp(-jnp.power(b, c))
+    x = jnp.power(-jnp.log(sa - q * (sa - sb)), 1.0 / c)
+    return _f(loc) + _f(scale) * x
+
+
+@register("tukeylambda")
+def tukeylambda(q, lam, loc=0.0, scale=1.0):
+    q, lam = _f(q), _f(lam)
+    near0 = jnp.abs(lam) < 1e-7
+    safe = jnp.where(near0, 1.0, lam)
+    general = (jnp.power(q, safe) - jnp.power(1.0 - q, safe)) / safe
+    x = jnp.where(near0, jnp.log(q) - jnp.log1p(-q), general)
+    return _f(loc) + _f(scale) * x
+
+
+@register("wrapcauchy")
+def wrapcauchy(q, c, loc=0.0, scale=1.0):
+    q, c = _f(q), _f(c)
+    val = (1.0 - c) / (1.0 + c)
+    low = 2.0 * jnp.arctan(val * jnp.tan(jnp.pi * q))
+    high = 2.0 * jnp.pi - 2.0 * jnp.arctan(val * jnp.tan(jnp.pi * (1.0 - q)))
+    # q == 0.5 exactly: tan(float32(pi/2)) flips sign, both branches
+    # land a full period off; the median is pi by symmetry.
+    x = jnp.where(q < 0.5, low, jnp.where(q > 0.5, high, jnp.pi))
+    return _f(loc) + _f(scale) * x
+
+
+@register("reciprocal")
+def reciprocal(q, a, b, loc=0.0, scale=1.0):
+    """scipy alias of ``loguniform``."""
+    return loguniform(q, a, b, loc=loc, scale=scale)
+
+
+# =====================================================================
+# Continuous, safeguarded-Newton on a closed-form CDF
+# =====================================================================
+
+
+@register("cosine")
+def cosine(q, loc=0.0, scale=1.0):
+    # CDF = (pi + x + sin x) / (2 pi) on [-pi, pi].
+    q = _f(q)
+
+    def cdf(x):
+        return (jnp.pi + x + jnp.sin(x)) / (2.0 * jnp.pi)
+
+    def pdf(x):
+        return (1.0 + jnp.cos(x)) / (2.0 * jnp.pi)
+
+    x0 = jnp.pi * (2.0 * q - 1.0)
+    x = special.continuous_ppf_newton(cdf, pdf, q, x0, -jnp.pi, jnp.pi)
+    return _f(loc) + _f(scale) * x
+
+
+@register("foldnorm")
+def foldnorm(q, c, loc=0.0, scale=1.0):
+    # CDF = ndtr(x - c) + ndtr(x + c) - 1 on x >= 0.
+    q, c = _f(q), _f(c)
+
+    def cdf(x):
+        return special.ndtr_fast(x - c) - special.ndtr_neg_fast(x + c)
+
+    inv_sqrt2pi = 0.3989422804014327
+
+    def pdf(x):
+        return inv_sqrt2pi * (
+            jnp.exp(-0.5 * jnp.square(x - c)) + jnp.exp(-0.5 * jnp.square(x + c))
+        )
+
+    hi = c + 9.0
+    x0 = jnp.clip(c + special.ndtri_fast(q) * 0.5, 0.0, hi)
+    x = special.continuous_ppf_newton(cdf, pdf, q, x0, 0.0, hi)
+    return _f(loc) + _f(scale) * x
+
+
+@register("foldcauchy")
+def foldcauchy(q, c, loc=0.0, scale=1.0):
+    # CDF = (arctan(x - c) + arctan(x + c)) / pi on x >= 0.
+    q, c = _f(q), _f(c)
+
+    def cdf(x):
+        return (jnp.arctan(x - c) + jnp.arctan(x + c)) / jnp.pi
+
+    def pdf(x):
+        return (
+            1.0 / (1.0 + jnp.square(x - c)) + 1.0 / (1.0 + jnp.square(x + c))
+        ) / jnp.pi
+
+    # Heavy upper tail: 1 - F ~ 2/(pi x), so bracket by the tail inverse.
+    hi = c + 4.0 / (jnp.pi * jnp.clip(1.0 - q, 1e-12))
+    x0 = jnp.clip(2.0 / (jnp.pi * jnp.clip(1.0 - q, 1e-12)), 0.0, hi)
+    x = special.continuous_ppf_newton(cdf, pdf, q, x0, 0.0, hi)
+    # Deep tail: the f32 CDF resolves ~6e-8, flooring Newton at ~6%
+    # relative out there; arctan(u) ~ u - u^3/3 gives the closed form
+    # eps = pi(1-q) = 1/(x-c) + 1/(x+c)  =>  x = (1+sqrt(1+(eps c)^2))/eps
+    # with (1-q) Sterbenz-exact (series truncation error < 3e-5 past the
+    # switch point).
+    eps = jnp.pi * (1.0 - q)
+    x_tail = (1.0 + jnp.sqrt(1.0 + jnp.square(eps * c))) / eps
+    x = jnp.where(q > 0.99, x_tail, x)
+    return _f(loc) + _f(scale) * x
+
+
+@register("exponnorm")
+def exponnorm(q, K, loc=0.0, scale=1.0):
+    """Exponentially modified normal (EMG).
+
+    CDF = ndtr(x) - exp(1/(2K^2) - x/K) ndtr(x - 1/K); the product is
+    evaluated through the scaled normal CDF (the exponents cancel to
+    exp(-x^2/2) for x <= 1/K), so small K never overflows — same
+    technique as ``invgauss``.
+    """
+    q, K = _f(q), _f(K)
+    kinv = 1.0 / K
+
+    def _term(x):
+        y = x - kinv
+        scaled = jnp.exp(-0.5 * x * x) * special.ndtr_scaled_neg(
+            jnp.minimum(y, 0.0)
+        )
+        # For y > 0 the exponent 1/(2K^2) - x/K is provably negative.
+        direct = jnp.exp(0.5 * kinv * kinv - x * kinv) * special.ndtr_fast(
+            jnp.maximum(y, 0.0)
+        )
+        return jnp.where(y <= 0.0, scaled, direct)
+
+    def cdf(x):
+        return special.ndtr_fast(x) - _term(x)
+
+    def pdf(x):
+        return kinv * _term(x)
+
+    z = special.ndtri_fast(q)
+    # Exponential upper tail: 1 - F ~ exp(1/(2K^2) - x/K).
+    hi = 0.5 * kinv - K * jnp.log1p(-q) + 9.0
+    lo = z - 1.0
+    x0 = jnp.clip(z + K, lo, hi)
+    x = special.continuous_ppf_newton(cdf, pdf, q, x0, lo, hi)
+    return _f(loc) + _f(scale) * x
+
+
+# =====================================================================
 # Discrete distributions
 # =====================================================================
 

@@ -213,7 +213,16 @@ def ndtr_scaled_neg(x):
         return jnp.exp(0.5 * x * x + log_ndtr(x))
     z = jnp.abs(x) * jnp.float32(1.0 / _SQRT2)
     t = 1.0 / (1.0 + jnp.float32(0.3275911) * z)
-    return 0.5 * _as_tail_poly(t)
+    poly = 0.5 * _as_tail_poly(t)
+    # The A&S 7.1.26 polynomial is ABSOLUTE-accurate on erf, so its
+    # relative error on the scaled tail grows with |x| (~7% by |x|=20,
+    # which shifted exponnorm(K=0.05) quantiles by 4e-3).  Past |x| = 6
+    # the Mills-ratio asymptotic series is relative-accurate to ~2e-5.
+    x2 = jnp.clip(x * x, 1.0)
+    u = 1.0 / x2
+    series = 1.0 + u * (-1.0 + u * (3.0 + u * (-15.0 + 105.0 * u)))
+    mills = series / (jnp.sqrt(jnp.abs(x2)) * jnp.float32(2.5066282746310002))
+    return jnp.where(jnp.abs(x) > 6.0, mills, poly)
 
 
 def expm1_safe(x):
@@ -650,18 +659,38 @@ def continuous_ppf_newton(cdf, pdf, q, x0, lo, hi, iters=40):
     x = jnp.clip(jnp.broadcast_to(jnp.asarray(x0, q.dtype), q.shape), lo, hi)
     lo = jnp.broadcast_to(jnp.asarray(lo, q.dtype), q.shape)
     hi = jnp.broadcast_to(jnp.asarray(hi, q.dtype), q.shape)
+    best_x = x
+    best_f = jnp.full(q.shape, jnp.inf, q.dtype)
 
+    # The iteration returns the best-|f| iterate seen, NOT the final one.
+    # XLA may recompute cdf(x) - q per consumer with different fusion/FMA
+    # rounding near the root: the bracket comparisons can see exactly 0.0
+    # (brackets freeze) while the Newton step sees -3e-9 (x marches one
+    # ulp per iteration in a limit cycle), and when the iterate later
+    # touches a stale bracket edge it is bisected far from the root
+    # (measured: 0.014 absolute error on the cosine ppf's array path,
+    # with an optimization_barrier on f NOT preventing the divergence).
+    # Every iterate inside the cycle is within ulps of the root, so
+    # best-|f| tracking is immune to both the ejection and the freeze.
     def body(_, carry):
-        x, lo, hi = carry
+        x, lo, hi, best_x, best_f = carry
         f = cdf(x) - q
+        af = jnp.abs(f)
+        better = af < best_f
+        best_x = jnp.where(better, x, best_x)
+        best_f = jnp.minimum(af, best_f)
         lo = jnp.where(f < 0.0, x, lo)
         hi = jnp.where(f > 0.0, x, hi)
         newton = x - f / jnp.clip(pdf(x), 1e-30)
         bad = ~jnp.isfinite(newton) | (newton <= lo) | (newton >= hi)
-        return jnp.where(bad, 0.5 * (lo + hi), newton), lo, hi
+        x = jnp.where(bad, 0.5 * (lo + hi), newton)
+        return x, lo, hi, best_x, best_f
 
-    x, _, _ = jax.lax.fori_loop(0, iters, body, (x, lo, hi))
-    return x
+    x, _, _, best_x, best_f = jax.lax.fori_loop(
+        0, iters, body, (x, lo, hi, best_x, best_f)
+    )
+    final_f = jnp.abs(cdf(x) - q)
+    return jnp.where(final_f < best_f, x, best_x)
 
 
 def discrete_ppf_bisect(cdf, q, hi, max_iters=40):

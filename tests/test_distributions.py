@@ -61,6 +61,58 @@ FAMILIES = [
     ("f", (5.0, 9.0), {}),
     ("invgauss", (1.5,), {"scale": 2.0}),
     ("wald", (), {}),
+    # Round-3 closed-form batch (analytic inversions of the scipy CDFs).
+    ("alpha", (2.0,), {}),
+    ("anglit", (), {}),
+    ("bradford", (1.5,), {}),
+    ("burr", (2.5, 1.5), {}),
+    ("burr12", (2.0, 3.0), {}),
+    ("dgamma", (2.5,), {}),
+    ("dweibull", (1.8,), {}),
+    ("exponpow", (1.7,), {}),
+    ("exponweib", (2.0, 1.5), {}),
+    ("fatiguelife", (0.5,), {}),
+    ("genhalflogistic", (0.8,), {}),
+    ("genlogistic", (2.5,), {}),
+    ("gengamma", (3.0, 1.5), {}),
+    ("gengamma", (3.0, -1.5), {}),
+    ("gennorm", (1.5,), {}),
+    ("halfgennorm", (1.3,), {}),
+    ("gibrat", (), {}),
+    ("gompertz", (1.2,), {}),
+    ("halfcauchy", (), {}),
+    ("halflogistic", (), {}),
+    ("invweibull", (2.5,), {}),
+    ("johnsonsb", (1.0, 2.0), {}),
+    ("johnsonsu", (1.0, 2.0), {}),
+    ("kappa3", (2.0,), {}),
+    ("laplace_asymmetric", (1.5,), {}),
+    ("levy", (), {}),
+    ("levy_l", (), {}),
+    ("loggamma", (2.0,), {}),
+    ("loglaplace", (2.5,), {}),
+    ("lomax", (2.5,), {}),
+    ("mielke", (3.0, 2.0), {}),
+    ("moyal", (), {}),
+    ("pearson3", (0.8,), {}),
+    ("pearson3", (-0.8,), {}),
+    ("powerlognorm", (2.0, 0.8), {}),
+    ("powernorm", (2.5,), {}),
+    ("rdist", (3.0,), {}),
+    ("trapezoid", (0.2, 0.7), {}),
+    ("truncexpon", (3.0,), {}),
+    ("truncpareto", (2.0, 5.0), {}),
+    ("truncweibull_min", (1.5, 0.5, 3.0), {}),
+    ("tukeylambda", (0.5,), {}),
+    ("tukeylambda", (-0.2,), {}),
+    ("wrapcauchy", (0.5,), {}),
+    ("reciprocal", (0.01, 10.0), {}),
+    # Round-3 safeguarded-Newton batch (closed-form CDFs).
+    ("cosine", (), {}),
+    ("foldnorm", (1.8,), {}),
+    ("foldcauchy", (1.5,), {}),
+    ("exponnorm", (1.5,), {}),
+    ("exponnorm", (0.05,), {}),
 ]
 
 DISCRETE_FAMILIES = [

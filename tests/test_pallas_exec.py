@@ -72,8 +72,18 @@ class TestEligibility:
     def test_unsupported_family_rejected(self):
         # A continuous family with no native kernel (host-callback only):
         # no whitelist entry, no incomplete-function cap, no CDF table.
-        sink = Distribution("burr", c=2.0, d=1.5) + 0
+        sink = Distribution("skewnorm", a=2.0) + 0
         assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
+
+    def test_newton_family_rejected(self):
+        # Native XLA kernel exists (round-3 safeguarded Newton) but the
+        # body is excluded from the Mosaic whitelist on purpose.
+        sink = Distribution("exponnorm", K=1.5) + 0
+        assert not pallas_exec.supports(_plan(sink), frozenset({sink._id}))
+
+    def test_round3_closed_form_family_supported(self):
+        sink = Distribution("burr", c=2.0, d=1.5) + 0
+        assert pallas_exec.supports(_plan(sink), frozenset({sink._id}))
 
     def test_generic_discrete_table_family_supported(self):
         # hypergeom has no hand-written kernel but a small static CDF
