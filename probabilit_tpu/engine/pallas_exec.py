@@ -105,6 +105,13 @@ _SAFE_FAMILIES = {
     "truncweibull_min",
     "tukeylambda",
     "reciprocal",
+    # Second round-3 batch: tan (skewcauchy, like halfcauchy),
+    # exp/log/expm1 (kappa4), ndtri+log (crystalball) all lower;
+    # recipinvgauss/genexpon/kstwobign (Newton) and rel_breitwigner
+    # (complex arithmetic) stay on the XLA path.
+    "skewcauchy",
+    "kappa4",
+    "crystalball",
 }
 
 # Families solved by Newton on Mosaic-safe incomplete gamma/beta functions
@@ -129,6 +136,7 @@ _INCOMPLETE_FAMILY_CAPS = {
     "loggamma": 30.0,
     "gengamma": 30.0,
     "rdist": 60.0,  # betaincinv(c / 2, c / 2, .)
+    "argus": 60.0,  # gammaincinv(3/2, .) — trip count independent of chi
 }
 
 

@@ -796,6 +796,111 @@ def reciprocal(q, a, b, loc=0.0, scale=1.0):
     return loguniform(q, a, b, loc=loc, scale=scale)
 
 
+@register("skewcauchy")
+def skewcauchy(q, a, loc=0.0, scale=1.0):
+    # Two Cauchy half-bodies of widths (1 -+ a) glued at 0, where the
+    # CDF is F0 = (1 - a)/2.  Each half inverts through a tangent; past
+    # the half-body midpoint the complementary-angle cotangent form
+    # keeps the tails exact (tan near pi/2 loses all f32 resolution).
+    q, a = _f(q), _f(a)
+    wl, wu = 1.0 - a, 1.0 + a
+    f0 = 0.5 * wl
+    up_mid = wu * jnp.tan(jnp.pi * (q - f0) / wu)
+    up_tail = wu / jnp.tan(jnp.pi * (1.0 - q) / wu)
+    lo_mid = wl * jnp.tan(jnp.pi * (q - f0) / wl)
+    lo_tail = -wl / jnp.tan(jnp.pi * q / wl)
+    upper = jnp.where(q > f0 + 0.5 * wu * 0.5, up_tail, up_mid)
+    lower = jnp.where(q < 0.5 * f0, lo_tail, lo_mid)
+    return _f(loc) + _f(scale) * jnp.where(q < f0, lower, upper)
+
+
+@register("kappa4")
+def kappa4(q, h, k, loc=0.0, scale=1.0):
+    # CDF = (1 - h (1 - k x)^(1/k))^(1/h); the h=0 / k=0 limits are the
+    # expm1 limits of one unified form: with t = (1 - q^h)/h
+    # (-> -log q as h -> 0), x = (1 - t^k)/k (-> -log t as k -> 0).
+    # scipy switches on EXACT zeros (kappa4_gen._ppf); mirrored here —
+    # near-zero nonzero h/k stay accurate through expm1.
+    q, h, k = _f(q), _f(h), _f(k)
+    logq = jnp.log(q)
+    hs = jnp.where(h == 0.0, 1.0, h)
+    t = jnp.where(h == 0.0, -logq, -special.expm1_safe(hs * logq) / hs)
+    logt = jnp.log(t)
+    ks = jnp.where(k == 0.0, 1.0, k)
+    x = jnp.where(k == 0.0, -logt, -special.expm1_safe(ks * logt) / ks)
+    return _f(loc) + _f(scale) * x
+
+
+@register("crystalball")
+def crystalball(q, beta, m, loc=0.0, scale=1.0):
+    """Gaussian core with a power-law left tail grafted at -beta.
+
+    Tail mass C = m exp(-beta^2/2) / (beta (m - 1)), core mass
+    D = sqrt(2 pi) ndtr(beta), N = 1/(C + D).  Below q = N C the
+    power branch inverts in log space (never overflows); above it the
+    Gaussian branch reduces IDENTICALLY to
+    x = -ndtri((1 - q) / (N sqrt(2 pi))) — the Phi(-beta) terms cancel,
+    so the upper tail stays relative-accurate through the wide kernel.
+    """
+    q, beta, m = _f(q), _f(beta), _f(m)
+    sqrt2pi = jnp.asarray(2.5066282746310002, q.dtype)
+    b2h = 0.5 * beta * beta
+    C = m / (beta * (m - 1.0)) * jnp.exp(-b2h)
+    D = sqrt2pi * special.ndtr_fast(beta)
+    logN = -jnp.log(C + D)
+    pbeta = jnp.exp(logN) * C
+    # Power branch: q = N (m/beta)^m e^{-b2h} (m/beta - beta - x)^{1-m}/(m-1).
+    logmb = jnp.log(m / beta)
+    L = (jnp.log(q) + jnp.log(m - 1.0) - logN - m * logmb + b2h) / (1.0 - m)
+    x_pow = m / beta - beta - jnp.exp(L)
+    x_gauss = -special.ndtri_fast_wide(
+        jnp.clip((1.0 - q) * (C + D) / sqrt2pi, 2.0**-126, 1.0)
+    )
+    x = jnp.where(q < pbeta, x_pow, x_gauss)
+    return _f(loc) + _f(scale) * x
+
+
+@register("argus")
+def argus(q, chi, loc=0.0, scale=1.0):
+    # SF = P(3/2, chi^2 (1-x^2)/2) / P(3/2, chi^2/2) with P the
+    # regularized lower incomplete gamma (substitute u = chi^2(1-x^2)/2
+    # in the pdf: x sqrt(1-x^2) e^{-u} dx -> sqrt(u) e^{-u} du).
+    q, chi = _f(q), _f(chi)
+    half_chi2 = 0.5 * chi * chi
+    p_chi = special.gammainc_kernel(1.5, half_chi2)
+    u = special.gammaincinv(1.5, (1.0 - q) * p_chi)
+    x = jnp.sqrt(jnp.clip(1.0 - u / half_chi2, 0.0))
+    # x -> 0: u -> chi^2/2 and the difference cancels to f32 noise
+    # (50% relative at q=1e-6).  There F(x) = k [y/2 + (a-1/2) y^2/4
+    # + (a^2/2 - a/2 - 1/8) y^3/6] in y = x^2 with a = chi^2/2 and
+    # k = chi^3 e^{-a} / (sqrt(2 pi) Psi(chi)), Psi(chi) = P(3/2, a)/2;
+    # two Newton steps on the cubic invert it to full f32 accuracy.
+    sqrt2pi = jnp.asarray(2.5066282746310002, q.dtype)
+    a = half_chi2
+    k = chi**3 * jnp.exp(-a) / (sqrt2pi * 0.5 * p_chi)
+    c2, c3 = 0.25 * (a - 0.5), (0.5 * a * a - 0.5 * a - 0.125) / 6.0
+    target = q / k
+    y = 2.0 * target
+    for _ in range(2):
+        g = y * (0.5 + y * (c2 + y * c3))
+        gp = 0.5 + y * (2.0 * c2 + y * 3.0 * c3)
+        y = jnp.clip(y - (g - target) / gp, 0.0)
+    # Valid while the cubic truncation (next term ~ (a y)^4) is below
+    # f32 eps relative; switch where the gamma path's cancellation noise
+    # (~1e-7 a / x^2 relative) exceeds it.
+    use_series = x * x < 0.05 / jnp.maximum(a, 1.0)
+    x = jnp.where(use_series, jnp.sqrt(jnp.clip(y, 0.0)), x)
+    return _f(loc) + _f(scale) * x
+
+
+@register("recipinvgauss")
+def recipinvgauss(q, mu, loc=0.0, scale=1.0):
+    # If X ~ invgauss(mu) then 1/X has exactly the recipinvgauss(mu)
+    # density (transform the Shuster form): ppf(q) = 1 / ppf_IG(1 - q),
+    # with (1 - q) Sterbenz-exact in f32.
+    return _f(loc) + _f(scale) / invgauss(1.0 - _f(q), mu)
+
+
 # =====================================================================
 # Continuous, safeguarded-Newton on a closed-form CDF
 # =====================================================================
@@ -901,6 +1006,127 @@ def exponnorm(q, K, loc=0.0, scale=1.0):
     lo = z - 1.0
     x0 = jnp.clip(z + K, lo, hi)
     x = special.continuous_ppf_newton(cdf, pdf, q, x0, lo, hi)
+    return _f(loc) + _f(scale) * x
+
+
+@register("genexpon")
+def genexpon(q, a, b, c, loc=0.0, scale=1.0):
+    # CDF = 1 - exp(E) with E = -(a+b) x + (b/c)(1 - e^{-cx}).  scipy
+    # inverts through Lambert W; a safeguarded Newton on the closed
+    # form needs no new special function and the bounds
+    # -(a+b) x <= E <= -a x + b/c bracket the root exactly.
+    q, a, b, c = _f(q), _f(a), _f(b), _f(c)
+    nlog1mq = -jnp.log1p(-q)
+
+    def _E(x):
+        return -(a + b) * x - (b / c) * special.expm1_safe(-c * x)
+
+    def cdf(x):
+        return -special.expm1_safe(_E(x))
+
+    def pdf(x):
+        return (a - b * special.expm1_safe(-c * x)) * jnp.exp(_E(x))
+
+    lo = nlog1mq / (a + b)
+    hi = (nlog1mq + b / c) / a
+    x = special.continuous_ppf_newton(cdf, pdf, q, lo, lo, hi)
+    return _f(loc) + _f(scale) * x
+
+
+@register("kstwobign")
+def kstwobign(q, loc=0.0, scale=1.0):
+    """Kolmogorov limit distribution of sqrt(n) D_n.
+
+    Body/upper tail: SF = 2 sum_k (-1)^{k-1} e^{-2 k^2 x^2} (5 terms
+    resolve below f32 eps for x >= 0.75).  Lower tail: the Jacobi theta
+    transform CDF = sqrt(2 pi)/x sum_{j odd} e^{-j^2 pi^2 / (8 x^2)}
+    converges just as fast for x < 0.75; both are exact at the switch.
+    """
+    q = _f(q)
+    sqrt2pi = jnp.asarray(2.5066282746310002, q.dtype)
+
+    def _big(x):
+        x2 = x * x
+        s_cdf = jnp.zeros_like(x)
+        s_pdf = jnp.zeros_like(x)
+        for k in range(1, 6):
+            sign = 1.0 if k % 2 == 1 else -1.0
+            e = jnp.exp(-2.0 * k * k * x2)
+            s_cdf = s_cdf + sign * e
+            s_pdf = s_pdf + sign * (k * k) * e
+        return 1.0 - 2.0 * s_cdf, 8.0 * x * s_pdf
+
+    def _small(x):
+        xs = jnp.clip(x, 1e-3)
+        s_cdf = jnp.zeros_like(x)
+        s_pdf = jnp.zeros_like(x)
+        for j in (1, 3, 5):
+            cj = j * j * jnp.pi * jnp.pi / 8.0
+            e = jnp.exp(-cj / (xs * xs))
+            s_cdf = s_cdf + e
+            s_pdf = s_pdf + e * (2.0 * cj / xs**4 - 1.0 / (xs * xs))
+        return sqrt2pi * s_cdf / xs, sqrt2pi * s_pdf
+
+    def cdf(x):
+        big_c, _ = _big(x)
+        small_c, _ = _small(x)
+        return jnp.where(x < 0.75, small_c, big_c)
+
+    def pdf(x):
+        _, big_p = _big(x)
+        _, small_p = _small(x)
+        return jnp.where(x < 0.75, small_p, big_p)
+
+    # One-term SF inverse seeds the body and upper tail exactly.
+    x0 = jnp.clip(jnp.sqrt(-0.5 * jnp.log(0.5 * (1.0 - q))), 0.3, 3.8)
+    x = special.continuous_ppf_newton(cdf, pdf, q, x0, 0.03, 4.0)
+    return _f(loc) + _f(scale) * x
+
+
+@register("rel_breitwigner")
+def rel_breitwigner(q, rho, loc=0.0, scale=1.0):
+    # pdf = C / (((x - rho)(x + rho)/rho)^2 + 1) on x >= 0; the CDF is
+    # the imaginary part of a complex arctan (partial fractions over
+    # the roots x^2 = rho^2 +- i rho).  Newton on that pair; the
+    # complex math stays in the XLA path (not megakernel-eligible).
+    q, rho = _f(q), _f(rho)
+    inv_r2 = 1.0 / (rho * rho)
+    s = jnp.sqrt(1.0 + inv_r2)
+    C = jnp.sqrt(2.0 * (1.0 + inv_r2) / (1.0 + s)) * 2.0 / jnp.pi
+    cdim = jnp.complex64 if q.dtype == jnp.float32 else jnp.complex128
+    w = jnp.sqrt(jnp.asarray(-1.0, cdim) + 1j / rho.astype(cdim))
+    root = jnp.sqrt(-rho.astype(cdim) * (rho.astype(cdim) + 1j))
+    amp = jnp.sqrt(2.0 / (1.0 + s)) / jnp.pi
+
+    def cdf(x):
+        val = 2.0 * amp * jnp.imag(w * jnp.arctan(x.astype(cdim) / root))
+        return jnp.clip(val, 0.0, 1.0)
+
+    def pdf(x):
+        t = (x - rho) * (x + rho) / rho
+        return C / (t * t + 1.0)
+
+    # x^-4 tail: SF ~ C rho^2 / (3 x^3) bounds the upper bracket.
+    hi = jnp.power(
+        C * rho * rho / (3.0 * jnp.clip(1.0 - q, 1e-12)), 1.0 / 3.0
+    ) + 3.0 * (rho + 1.0)
+    x0 = jnp.clip(jnp.broadcast_to(rho, jnp.broadcast_shapes(q.shape, rho.shape)), 0.0, hi)
+    x = special.continuous_ppf_newton(cdf, pdf, q, x0, 0.0, hi)
+    # Upper tail: the f32 CDF saturates (resolution ~1e-7 near 1, 13%
+    # quantile error at q = 1-1e-5).  arctan(z) -> pi/2 - arctan(1/z)
+    # turns the complement into SF = 2 amp Im(w arctan(root/x)) with no
+    # cancellation; Newton in SF space via the same safeguarded helper
+    # (cdf := -sf is increasing, target -s, s = 1-q Sterbenz-exact).
+    s = 1.0 - q
+
+    def neg_sf(x):
+        z = root / jnp.clip(x, 1e-3).astype(cdim)
+        return -2.0 * amp * jnp.imag(w * jnp.arctan(z))
+
+    x_tail = special.continuous_ppf_newton(
+        neg_sf, pdf, -s, jnp.clip(hi - 3.0 * (rho + 1.0), rho, hi), rho, hi
+    )
+    x = jnp.where(q > 0.99, x_tail, x)
     return _f(loc) + _f(scale) * x
 
 

@@ -113,6 +113,26 @@ FAMILIES = [
     ("foldcauchy", (1.5,), {}),
     ("exponnorm", (1.5,), {}),
     ("exponnorm", (0.05,), {}),
+    # Round-3 second batch: remaining closed forms + Newton trios.
+    ("skewcauchy", (0.5,), {}),
+    ("skewcauchy", (-0.7,), {}),
+    ("kappa4", (1.0, 2.0), {}),
+    ("kappa4", (0.0, 0.5), {}),
+    ("kappa4", (2.0, 0.0), {}),
+    ("kappa4", (0.0, 0.0), {}),
+    ("kappa4", (-0.5, -0.3), {}),
+    ("crystalball", (1.5, 3.0), {}),
+    ("crystalball", (0.5, 2.0), {}),
+    ("argus", (2.0,), {}),
+    ("argus", (0.5,), {}),
+    ("argus", (5.0,), {}),
+    ("recipinvgauss", (0.8,), {}),
+    ("recipinvgauss", (3.0,), {}),
+    ("genexpon", (1.5, 2.0, 1.0), {}),
+    ("genexpon", (0.5, 0.3, 2.5), {}),
+    ("kstwobign", (), {}),
+    ("rel_breitwigner", (2.0,), {}),
+    ("rel_breitwigner", (36.5,), {}),
 ]
 
 DISCRETE_FAMILIES = [
