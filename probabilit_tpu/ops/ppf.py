@@ -1191,15 +1191,16 @@ def _generic_discrete_table(name, args, kwargs):
     """(f64 CDF table, support start) for no-kernel static discrete families.
 
     Works for every ``scipy.stats`` discrete distribution WITHOUT a
-    registered native kernel, given static scalar parameters and a
-    finite lower support bound: the table spans the support up to the
-    1 - eps quantile, where eps is one ulp below the clamp the engine's
-    uniforms can actually reach (2^-25 in float32 mode, 2^-54 in
-    float64 — an f64 run whose tail needs more than the cap falls back
-    to the exact host callback rather than silently truncating).
-    Returns None when inapplicable (continuous family, a family with
-    its own kernel, traced parameters, unbounded-below support, table
-    too big).
+    registered native kernel, given static scalar parameters: the table
+    spans the eps ... 1 - eps quantile range, where eps is one ulp
+    below the clamp the engine's uniforms can actually reach (2^-25 in
+    float32 mode, 2^-54 in float64 — an f64 run whose tails need more
+    than the cap falls back to the exact host callback rather than
+    silently truncating).  Unbounded-below supports (skellam, dlaplace)
+    start the table at the eps quantile — everything lower is
+    unreachable under the clamped uniforms.  Returns None when
+    inapplicable (continuous family, a family with its own kernel,
+    traced parameters, table too big).
     """
     import scipy.stats as sps
 
@@ -1217,7 +1218,9 @@ def _generic_discrete_table(name, args, kwargs):
         frozen = dist(*args, **kwargs)
         lo, hi_support = frozen.support()
         if not np.isfinite(lo):
-            return None
+            lo = frozen.ppf(eps)
+            if not np.isfinite(lo):
+                return None
         hi = frozen.ppf(1.0 - eps)
         if not np.isfinite(hi):
             hi = hi_support
@@ -1242,7 +1245,12 @@ def static_cdf_table(distr, *args, **kwargs):
     non-scalar shapes.
     """
     params = list(args) + list(kwargs.values())
-    if not _is_static(*params) or any(np.ndim(p) != 0 for p in params):
+    if not _is_static(*params):
+        return None
+    if any(np.ndim(p) != 0 for p in params) and distr != "poisson_binom":
+        # Array params mean a BATCH of distributions (one table each
+        # would be wrong) — except poisson_binom, whose success-
+        # probability vector parametrizes a single scalar-valued law.
         return None
     builder = _STATIC_TABLE_BUILDERS.get(distr)
     if builder is not None:

@@ -153,6 +153,20 @@ DISCRETE_FAMILIES = [
     ("zipf", (3.5,), {}),
     ("logser", (0.6,), {}),
     ("boltzmann", (0.5, 10), {}),
+    # Unbounded-below supports: the generic table now starts at the eps
+    # quantile (everything lower is unreachable under clamped uniforms).
+    ("skellam", (3.0, 2.0), {}),
+    ("dlaplace", (0.8,), {}),
+    # Remaining scipy discrete coverage through the same table path.
+    ("betabinom", (20, 2.0, 3.0), {}),
+    ("betanbinom", (10, 3.0, 4.0), {}),  # heavy tail blows the cap -> callback
+    ("planck", (0.5,), {}),
+    ("yulesimon", (3.0,), {}),
+    ("nhypergeom", (20, 7, 5), {}),
+    ("zipfian", (1.5, 30), {}),
+    ("nchypergeom_fisher", (20, 10, 7, 2.0), {}),
+    ("nchypergeom_wallenius", (20, 10, 7, 2.0), {}),
+    ("poisson_binom", (np.array([0.2, 0.5, 0.7, 0.9]),), {}),
 ]
 
 
