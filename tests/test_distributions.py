@@ -239,6 +239,86 @@ class TestPpfKernelAccuracy:
             np.testing.assert_allclose(ours, expected, rtol=1e-3)
 
 
+PCHIP_FAMILIES = [
+    # (name, args, scaled tolerance).  5e-3 entries are at the noise
+    # floor of scipy's OWN numeric ppf (levy_stable's inverter returns
+    # +-0.0066 for four consecutive q near the mode; ours interpolates
+    # smoothly through it) or have kinked quantile curves (ksone).
+    ("rice", (2.0,), 2e-4),
+    ("skewnorm", (3.0,), 2e-4),
+    ("skewnorm", (-5.0,), 2e-4),
+    ("nct", (8.0, 1.5), 2e-4),
+    ("ncx2", (5.0, 2.0), 2e-4),
+    ("ncf", (5.0, 9.0, 2.0), 2e-4),
+    ("vonmises", (1.5,), 2e-4),
+    ("vonmises_line", (1.5,), 2e-4),
+    ("jf_skew_t", (2.0, 5.0), 2e-4),
+    ("irwinhall", (8,), 2e-4),
+    ("ksone", (50,), 5e-3),
+    ("kstwo", (50,), 2e-4),
+    ("landau", (), 2e-4),
+    ("gausshyper", (2.0, 3.0, 1.0, 0.5), 2e-4),
+    ("geninvgauss", (2.0, 1.5), 2e-4),
+    ("genhyperbolic", (2.0, 2.5, 0.5), 2e-4),
+    ("dpareto_lognorm", (3.0, 1.0, 0.5, 0.8), 2e-4),
+    ("levy_stable", (1.5, 0.5), 5e-3),
+    ("studentized_range", (3.0, 10.0), 5e-3),
+]
+
+
+class TestGenericContinuousTable:
+    """The static-parameter PCHIP quantile-table tier (ops/ppf.py):
+    every remaining scipy.stats continuous family on-device, replacing
+    the per-call host callback the reference pays for these
+    (reference: ``modeling.py:795-812`` delegates straight to scipy).
+    """
+
+    @pytest.mark.parametrize("name,args,tol", PCHIP_FAMILIES)
+    def test_matches_scipy(self, name, args, tol):
+        # Coarse reference grid for the families whose scipy ppf costs
+        # ~0.1s per point (the table build already paid that once).
+        n = 99 if name in ("studentized_range", "levy_stable") else 999
+        q = np.linspace(0.001, 0.999, n)
+        assert ppf_mod.static_quantile_table(name, *args) is not None
+        ours = np.asarray(ppf_mod.call(name, q.astype(np.float32), *args))
+        expected = getattr(scipy.stats, name)(*args).ppf(q)
+        scale = (
+            np.percentile(expected, 75) - np.percentile(expected, 25)
+        ) / 1.349
+        scaled = np.abs(ours - expected) / np.maximum(np.abs(expected), scale)
+        assert scaled.max() < tol, f"{name}: max scaled err {scaled.max():.2e}"
+
+    def test_chunked_build_survives_tail_failures(self):
+        # norminvgauss's vectorized ppf RAISES at extreme-tail grid
+        # points (k1e overflow); the chunked builder retries per point
+        # and trims the non-finite edges instead of giving up.
+        table = ppf_mod.static_quantile_table("norminvgauss", 2.0, 0.5)
+        assert table is not None
+        q = np.linspace(0.001, 0.999, 299)
+        ours = np.asarray(ppf_mod.call("norminvgauss", q.astype(np.float32), 2.0, 0.5))
+        expected = scipy.stats.norminvgauss(2.0, 0.5).ppf(q)
+        np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)
+
+    def test_gating(self):
+        # Native-kernel families never take the table path.
+        assert ppf_mod.static_quantile_table("norm") is None
+        assert ppf_mod.static_quantile_table("gamma", 2.0) is None
+        # Discrete families belong to the CDF-table path.
+        assert ppf_mod.static_quantile_table("poisson", 3.0) is None
+        # Traced parameters fall through to the host callback.
+        import jax.numpy as jnp
+
+        assert ppf_mod.static_quantile_table("rice", jnp.float32(2.0)) is None
+        # Unknown names are left for the callback's early raise.
+        assert ppf_mod.static_quantile_table("not_a_family", 1.0) is None
+
+    def test_build_is_cached(self):
+        t1 = ppf_mod.static_quantile_table("rice", 2.0)
+        t2 = ppf_mod.static_quantile_table("rice", 2.0)
+        assert t1 is t2
+        assert ppf_mod.static_quantile_table("rice", 2.5) is not t1
+
+
 class TestFactories:
     def test_uniform(self):
         s = np.asarray(Uniform(2, 5).sample(50_000, random_state=0))
