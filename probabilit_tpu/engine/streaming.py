@@ -50,10 +50,11 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
     eligible (fastest path, hardware PRNG stream); "xla" forces the
     general path (threefry stream, matches ``sample()``'s values).
 
-    ``method="sobol"/"halton"`` streams one long QMC sequence: block ``b``
-    generates points ``[b*block_size, (b+1)*block_size)`` via the
-    generators' index addressability, so the concatenated stream equals a
-    single-shot ``sample(method=...)`` of the same total size exactly.
+    ``method="sobol"/"halton"/"lhs"/"antithetic"`` streams one long
+    point sequence: block ``b`` generates points ``[b*block_size,
+    (b+1)*block_size)`` via the generators' index addressability, so the
+    concatenated stream equals a single-shot ``sample(method=...)`` of
+    the same total size exactly.
     (One carve-out: XLA's incomplete-beta primitive iterates with a
     batch-GLOBAL convergence test, so beta-class families with endpoint
     pdf singularities — a or b < 1 — can drift ~2e-6 between batch
@@ -84,14 +85,15 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
                 "generates its own hardware-PRNG stream)."
             )
         name = method.lower().strip()
-        if name not in ("sobol", "halton", "lhs"):
+        if name not in ("sobol", "halton", "lhs", "antithetic"):
             raise ValueError(
-                "Streamed QMC requires an index-addressable method "
-                f"('sobol', 'halton' or 'lhs'), got {method!r}."
+                "Streamed sampling requires an index-addressable method "
+                f"('sobol', 'halton', 'lhs' or 'antithetic'), got {method!r}."
             )
         # Point indices are 32-bit: Sobol direction numbers span 2^32
         # points (uint32 index math), Halton's digit loop is int32 (2^31),
-        # LHS strata come from a uint32 Feistel permutation (2^32).  Past
+        # LHS strata come from a uint32 Feistel permutation (2^32), and
+        # antithetic pairs are threefry-keyed by a uint32 index.  Past
         # the cap the stream would silently wrap and repeat points.
         cap = 2**31 if name == "halton" else 2**32
         if total_size is not None and total_size > cap:
@@ -166,10 +168,10 @@ def sample_streaming(
     """Sample ``size`` draws of ``sink`` in device-sized blocks.
 
     Returns a host ndarray of length ``size``; device memory is bounded by
-    one block regardless of ``size``.  ``method="sobol"/"halton"`` streams
-    one long QMC sequence (equal to a single-shot run of the same size —
-    bitwise, except beta-class marginals with a or b < 1; see
-    ``_block_program``).
+    one block regardless of ``size``.  ``method="sobol"/"halton"/"lhs"/
+    "antithetic"`` streams one long point sequence (equal to a
+    single-shot run of the same size — bitwise, except beta-class
+    marginals with a or b < 1; see ``_block_program``).
     """
     if size < 1:
         raise ValueError(f"size must be >= 1, got {size}.")
@@ -214,8 +216,10 @@ def estimate(
     Numerically stable parallel-merge of per-block moments (Chan et al.);
     runs entirely on device, transferring only a handful of scalars per
     block.  Supports arbitrary ``size`` (e.g. 1e11) with O(block) memory.
-    ``method="sobol"/"halton"`` folds one long QMC sequence instead of the
-    PRNG stream (QMC error decay at sizes beyond HBM).
+    ``method="sobol"/"halton"`` folds one long QMC sequence instead of
+    the PRNG stream (QMC error decay at sizes beyond HBM);
+    ``method="antithetic"`` folds pair-reflected uniforms (first-order
+    variance reduction for monotone statistics).
 
     ``quantiles`` (e.g. ``(0.5, 0.95, 0.99)`` for a VaR profile) adds
     streamed quantile estimates: each block is split into 2^17-sample

@@ -278,7 +278,10 @@ class Node(abc.ABC):
         """Sample this node; populates ``.samples_`` on ancestors.
 
         Same signature and semantics as reference ``modeling.py:431-493``:
-        ``method`` in {None, "lhs", "halton", "sobol"}, ``correlator`` a name
+        ``method`` in {None, "lhs", "halton", "sobol", "antithetic"} (the
+        last is this framework's own variance-reduction extension —
+        adjacent rows pair (u, 1-u), see ``ops/qmc.antithetic``),
+        ``correlator`` a name
         or Correlator class, ``gc_strategy`` None (keep everything) or a list
         of nodes to keep in addition to the sink.  The extra keyword
         ``executor="pallas"`` opts into the single-megakernel fast path

@@ -302,6 +302,19 @@ class TestStreamedQMC:
         )
         np.testing.assert_array_equal(single, streamed)
 
+    def test_streamed_antithetic_equals_single_shot(self):
+        # Pair-index addressability: blocks whose boundaries split an
+        # antithetic pair still reproduce the single-shot rows bitwise.
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        expr = Distribution("norm", loc=1.5) * Distribution("uniform")
+        single = np.asarray(expr.sample(2048, random_state=9, method="antithetic"))
+        streamed = streaming.sample_streaming(
+            expr, 2048, block_size=300, random_state=9, method="antithetic"
+        )
+        np.testing.assert_array_equal(single, streamed)
+
     def test_streamed_incomplete_families_equal_single_shot(self):
         # Newton-on-incomplete-function ppfs freeze converged lanes
         # per-element (absorbing mask), so trip counts are intrinsic to
