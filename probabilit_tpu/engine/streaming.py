@@ -210,6 +210,7 @@ def estimate(
     executor="auto",
     method=None,
     quantiles=None,
+    replicates=None,
 ):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
 
@@ -244,8 +245,21 @@ def estimate(
     process, each holding its plan's node graph and device executable;
     the oldest entry is evicted past that.
 
-    Returns a dict with n, mean, var, std, min, max (+ one ``q<level>``
-    entry per requested quantile).
+    Returns a dict with n, mean, var, std, sem, min, max (+ one
+    ``q<level>`` entry per requested quantile).  ``sem`` is the standard
+    error of the mean: with the default ``replicates=None`` it is
+    ``std/sqrt(n)`` — exact for iid draws (``method=None``), a
+    conservative overestimate for ``method="antithetic"`` (pair members
+    are negatively correlated), and NOT meaningful for the QMC methods
+    (their points are deliberately dependent; the iid formula ignores
+    the faster convergence).  For a valid QMC/antithetic error bar pass
+    ``replicates=R`` (R >= 2, dividing ``size``): the run splits into R
+    independently randomised streams — fresh Owen scrambles / rotations
+    / threefry keys per replicate, the standard randomised-QMC error
+    estimate — and ``sem`` becomes the empirical
+    ``std(replicate means)/sqrt(R)``, unbiased for every method.  All R
+    streams reuse the same compiled program (the block program is
+    size-agnostic), so replication costs no extra compiles.
     """
     quantiles = tuple(float(q) for q in quantiles) if quantiles else ()
     for q in quantiles:
@@ -256,6 +270,79 @@ def estimate(
         # final masked block and fabricate statistics of unrequested
         # samples under n=0.
         raise ValueError(f"size must be >= 1, got {size}.")
+    key = resolve_key(random_state)
+    if replicates is not None:
+        reps = int(replicates)
+        if reps < 2:
+            raise ValueError(
+                f"replicates must be >= 2 (got {reps}): a single stream "
+                "has no between-replicate variance to estimate sem from."
+            )
+        if size % reps:
+            raise ValueError(
+                f"size ({size}) must be divisible by replicates ({reps}) "
+                "so every randomisation carries equal weight."
+            )
+        sub = size // reps
+        carries = [
+            jax.device_get(
+                _estimate_carry(
+                    sink,
+                    sub,
+                    block_size,
+                    jax.random.fold_in(key, r),
+                    executor,
+                    method,
+                    quantiles,
+                )
+            )
+            for r in range(reps)
+        ]
+        merged, rep_means = _merge_carries(carries)
+        stats = _finalize_estimate(merged, size, quantiles)
+        rep = np.asarray(rep_means, np.float64)
+        stats["sem"] = float(rep.std(ddof=1) / np.sqrt(reps))
+        stats["replicates"] = reps
+        return stats
+    carry = _estimate_carry(
+        sink, size, block_size, key, executor, method, quantiles
+    )
+    return _finalize_estimate(carry, size, quantiles)
+
+
+def _merge_carries(carries):
+    """Chan-merge replicate moment carries host-side (float64).
+
+    Returns the pooled carry plus the per-replicate means (the
+    randomised-QMC error estimator needs them, not just the pool).
+    """
+    total, mean, m2 = 0.0, 0.0, 0.0
+    vmin, vmax, finite = float("inf"), float("-inf"), True
+    qsum = None
+    rep_means = []
+    for t_, m_, m2_, lo_, hi_, f_, q_ in carries:
+        t, m = float(t_), float(m_)
+        rep_means.append(m)
+        nn = total + t
+        delta = m - mean
+        mean += delta * t / nn
+        m2 += float(m2_) + delta * delta * total * t / nn
+        total = nn
+        vmin = min(vmin, float(lo_))
+        vmax = max(vmax, float(hi_))
+        finite = finite and bool(f_)
+        q = np.asarray(q_, np.float64)
+        qsum = q if qsum is None else qsum + q
+    return (total, mean, m2, vmin, vmax, finite, qsum), rep_means
+
+
+def _estimate_carry(sink, size, block_size, key, executor, method, quantiles):
+    """One randomised stream's raw moment carry (device values).
+
+    Everything cacheable lives here: the jitted whole-run program is
+    keyed on block structure — not ``size`` or ``key`` — so replicate
+    loops and size sweeps hit one compiled program.
+    """
     plan, run = _block_program(sink, block_size, executor, method, total_size=size)
     if plan.finalizers.get(sink._id) is not None:
         # e.g. a string-valued DiscreteDistribution: its device output is
@@ -267,7 +354,6 @@ def estimate(
             "non-numeric values (e.g. a string-valued "
             "DiscreteDistribution). Use sample_streaming() instead."
         )
-    key = resolve_key(random_state)
     n_blocks = -(-size // block_size)
     last_count = size - (n_blocks - 1) * block_size
 
@@ -300,9 +386,7 @@ def estimate(
     )
     cached = _ESTIMATE_CACHE.get(cache_key)
     if cached is not None:
-        return _finalize_estimate(
-            cached(key, n_blocks, last_count), size, quantiles
-        )
+        return cached(key, n_blocks, last_count)
 
     cols = 1 << 17
     # Row-batched quantile extraction needs every level to sit at least
@@ -487,9 +571,7 @@ def estimate(
     if len(_ESTIMATE_CACHE) > 32:
         _ESTIMATE_CACHE.pop(next(iter(_ESTIMATE_CACHE)))
     _ESTIMATE_CACHE[cache_key] = all_blocks
-    return _finalize_estimate(
-        all_blocks(key, n_blocks, last_count), size, quantiles
-    )
+    return all_blocks(key, n_blocks, last_count)
 
 
 def _finalize_estimate(carry, size, quantiles):
@@ -509,6 +591,9 @@ def _finalize_estimate(carry, size, quantiles):
         "mean": mean,
         "var": var,
         "std": var**0.5,
+        # iid standard error of the mean; the replicates path overwrites
+        # this with the (method-valid) between-replicate estimate.
+        "sem": (var / total) ** 0.5 if total else float("nan"),
         "min": vmin,
         "max": vmax,
     }

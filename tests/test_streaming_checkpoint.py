@@ -529,6 +529,81 @@ class TestEstimateSizeAgnostic:
         assert np.isclose(st["q0.25"], 0.25, atol=0.08)
 
 
+class TestEstimateErrorBars:
+    def test_sem_matches_iid_formula(self):
+        model = Distribution("norm", loc=3.0) + Distribution("uniform")
+        st = streaming.estimate(model, 8192, block_size=1024, random_state=0)
+        assert st["sem"] == pytest.approx(st["std"] / np.sqrt(st["n"]), rel=1e-12)
+
+    def test_replicates_share_one_program(self):
+        # All R randomised streams and the pooled result reuse the same
+        # compiled block program (it is size- and key-agnostic).
+        model = Distribution("norm", loc=1.0)
+        streaming.estimate(
+            model, 1024, block_size=256, random_state=0, replicates=2
+        )
+        count = streaming._TRACE_COUNT
+        st = streaming.estimate(
+            model, 4096, block_size=256, random_state=1, replicates=8
+        )
+        assert streaming._TRACE_COUNT == count
+        assert st["replicates"] == 8 and st["n"] == 4096
+        assert np.isclose(st["mean"], 1.0, atol=5 * st["sem"] + 1e-3)
+
+    def test_rqmc_sem_beats_iid_sem(self):
+        # Randomised-QMC error estimation: 8 independently scrambled
+        # Sobol streams of a smooth model must show an error bar far
+        # below the iid formula at the same total size — the whole point
+        # of a valid QMC sem (the iid formula ignores QMC convergence).
+        model = Distribution("norm", loc=3.0) + Distribution("uniform")
+        iid = streaming.estimate(model, 65536, block_size=8192, random_state=0)
+        rq = streaming.estimate(
+            model,
+            65536,
+            block_size=8192,
+            random_state=0,
+            method="sobol",
+            replicates=8,
+        )
+        assert rq["sem"] < 0.2 * iid["sem"]
+        # The pooled mean should agree with the truth within its own bar.
+        assert abs(rq["mean"] - 3.5) < 6 * rq["sem"] + 1e-4
+
+    def test_antithetic_replicates_collapse_sem(self):
+        # Odd-symmetric pipeline: every antithetic pair averages to the
+        # true mean, so between-replicate variance is ~0.
+        model = Distribution("norm") + Distribution("uniform")
+        iid = streaming.estimate(model, 16384, block_size=2048, random_state=3)
+        anti = streaming.estimate(
+            model,
+            16384,
+            block_size=2048,
+            random_state=3,
+            method="antithetic",
+            replicates=4,
+        )
+        assert anti["sem"] < 0.05 * iid["sem"]
+
+    def test_replicate_validation(self):
+        model = Distribution("uniform")
+        with pytest.raises(ValueError, match="divisible"):
+            streaming.estimate(model, 100, block_size=64, replicates=3)
+        with pytest.raises(ValueError, match="replicates must be >= 2"):
+            streaming.estimate(model, 100, block_size=64, replicates=1)
+
+    def test_replicates_pool_matches_single_stream_scale(self):
+        # Pooled var/std across replicates is a consistent estimate of
+        # the population variance (not of the sem): compare to a plain
+        # single-stream run of the same size.
+        model = Distribution("norm", loc=2.0, scale=3.0)
+        pooled = streaming.estimate(
+            model, 8192, block_size=1024, random_state=5, replicates=4
+        )
+        single = streaming.estimate(model, 8192, block_size=1024, random_state=5)
+        assert np.isclose(pooled["std"], single["std"], rtol=0.1)
+        assert np.isclose(pooled["std"], 3.0, rtol=0.1)
+
+
 class TestStreamedQuantileTails:
     def test_extreme_tail_level_not_row_saturated(self):
         # Levels within 1/2^17 of an endpoint bypass the row-batched
