@@ -9,6 +9,7 @@ from probabilit_tpu.ops.correlation import (  # noqa: F401
     Correlator,
     CorrelatorError,
     ImanConover,
+    StudentTCopula,
     decorrelate,
 )
 from probabilit_tpu.ops.ncm import nearest_correlation_matrix  # noqa: F401
@@ -23,6 +24,7 @@ __all__ = [
     "CorrelatorError",
     "Cholesky",
     "ImanConover",
+    "StudentTCopula",
     "PermutationCorrelator",
     "CorrelationMatrix",
     "SwapIndexGenerator",

@@ -35,6 +35,10 @@ from probabilit_tpu.utils import build_corrmat
 CORRELATOR_MAP = {
     "imanconover": _correlation.ImanConover,
     "cholesky": _correlation.Cholesky,
+    # Extension beyond the reference map (modeling.py:505-507): the
+    # t-copula correlator at its default df; parameterized use passes an
+    # instance, e.g. sample(correlator=StudentTCopula(df=3)).
+    "tcopula": _correlation.StudentTCopula,
 }
 
 _NCM_CACHE = {}
@@ -216,9 +220,29 @@ def get_plan(sink):
 
 
 def resolve_correlator(correlator):
+    """Name -> class from the map; classes and INSTANCES pass through.
+
+    Instances carry configuration (``StudentTCopula(df=3)``,
+    ``ImanConover(ties="ordinal")``); ``correlator_token`` folds that
+    configuration into program-cache keys.
+    """
     if isinstance(correlator, str):
         return CORRELATOR_MAP[correlator.lower()]
     return correlator
+
+
+def correlator_token(correlator_cls):
+    """Hashable cache identity of a resolved correlator (class or instance)."""
+    if isinstance(correlator_cls, _correlation.Correlator):
+        return correlator_cls._cache_token()
+    return getattr(correlator_cls, "__qualname__", str(correlator_cls))
+
+
+def instantiate_correlator(correlator_cls):
+    """A usable instance from a resolved correlator (class or instance)."""
+    if isinstance(correlator_cls, _correlation.Correlator):
+        return correlator_cls
+    return correlator_cls()
 
 
 def _active_mesh_key():
@@ -306,7 +330,25 @@ def build_body(plan, correlator_cls, keep_ids, check_finite=True, generated_ok=F
         # Variables stack on the leading axis ((K, N), lane-aligned) so the
         # Iman-Conover sort pipeline runs without transposes.
         if corr_matrix is not None:
-            instance = correlator_cls().set_target(corr_matrix)
+            instance = instantiate_correlator(correlator_cls).set_target(corr_matrix)
+            # Mixed-score copulas (StudentTCopula) draw a per-observation
+            # mixing variable: from the run's own key when the engine
+            # generates the samples, else seeded by the first correlated
+            # column's leading quantile bits — the same
+            # randomness-from-quantiles contract the reference uses for
+            # multivariate rvs fallbacks (modeling.py:808-812).
+            w_key = None
+            if not getattr(type(instance), "gaussian_scores", True):
+                if gen_key is not None:
+                    w_key = jax.random.fold_in(gen_key, 0x7C09)
+                else:
+                    u00 = quantiles[0, col_of[corr_vars[0]._id]]
+                    bits = jax.lax.bitcast_convert_type(
+                        u00.astype(jnp.float32), jnp.uint32
+                    )
+                    w_key = jax.random.fold_in(
+                        jax.random.PRNGKey(getattr(instance, "seed", 0)), bits
+                    )
             if fast:
                 from probabilit_tpu.ops import special as _special
                 from probabilit_tpu.ops.qmc import clamp_open_unit
@@ -334,13 +376,27 @@ def build_body(plan, correlator_cls, keep_ids, check_finite=True, generated_ok=F
                 y = instance._recolor_scores(z)
                 from probabilit_tpu.ops import ppf as _ppf
 
+                gaussian = getattr(type(instance), "gaussian_scores", True)
+                if not gaussian:
+                    # Mixed-score copula: one shared mixing draw scales
+                    # every score row, then the copula's own CDF maps
+                    # scores to correlated uniforms.  score_emit's
+                    # closed-form ppf(Phi(y)) shortcuts assume Gaussian
+                    # scores, so they are skipped wholesale.
+                    u_rows = clamp_open_unit(instance._copula_uniforms(y, w_key))
                 for i, var in enumerate(corr_vars):
-                    # Score-linear families (norm/lognorm) evaluate
-                    # ppf(Phi(y)) in closed form from y itself — exact
-                    # where the polynomial roundtrip drifts in the tails.
-                    val_i = _ppf.score_emit(var, y[i], ctx)
+                    val_i = None
+                    if gaussian:
+                        # Score-linear families (norm/lognorm) evaluate
+                        # ppf(Phi(y)) in closed form from y itself — exact
+                        # where the polynomial roundtrip drifts in the tails.
+                        val_i = _ppf.score_emit(var, y[i], ctx)
                     if val_i is None:
-                        u_i = clamp_open_unit(_special.ndtr_fast(y[i]))
+                        u_i = (
+                            clamp_open_unit(_special.ndtr_fast(y[i]))
+                            if gaussian
+                            else u_rows[i]
+                        )
                         saved = ctx._columns[var._id]
                         ctx._columns[var._id] = u_i
                         val_i = var._emit(ctx)
@@ -350,7 +406,7 @@ def build_body(plan, correlator_cls, keep_ids, check_finite=True, generated_ok=F
                 XT = jnp.stack([ctx.value(v) for v in corr_vars], axis=0)
                 XT = XT.astype(config.float_dtype())
                 if hasattr(instance, "_apply_rows"):
-                    X_corr_T = instance._apply_rows(XT)
+                    X_corr_T = instance._apply_rows(XT, w_key=w_key)
                 else:
                     X_corr_T = instance._apply(XT.T).T
                 for i, var in enumerate(corr_vars):
@@ -398,7 +454,7 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
     correlator_cls = resolve_correlator(correlator)
     key = (
         plan.signature(),
-        getattr(correlator_cls, "__qualname__", str(correlator_cls)),
+        correlator_token(correlator_cls),
         tuple(sorted(keep_ids)),
         bool(check_finite),
         jnp.dtype(config.float_dtype()).name,

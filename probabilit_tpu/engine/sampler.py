@@ -97,13 +97,14 @@ def sample(
                 "(correlated graphs: at most "
                 f"{pallas_exec._MAX_CORR_K} correlated variables)."
             )
-        if (
-            plan.corr_matrix is not None
-            and _compile.resolve_correlator(correlator)
-            is not _compile.CORRELATOR_MAP["imanconover"]
+        resolved = _compile.resolve_correlator(correlator)
+        ic_cls = _compile.CORRELATOR_MAP["imanconover"]
+        if plan.corr_matrix is not None and not (
+            resolved is ic_cls or type(resolved) is ic_cls
         ):
             # The megakernel's correlation induction IS (sort-free)
-            # Iman-Conover; other correlators have different semantics.
+            # Iman-Conover; other correlators — including the
+            # StudentTCopula subclass — have different semantics.
             raise ValueError(
                 "executor='pallas' supports correlator='imanconover' only."
             )

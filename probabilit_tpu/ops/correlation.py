@@ -32,6 +32,7 @@ __all__ = [
     "Correlator",
     "Cholesky",
     "ImanConover",
+    "StudentTCopula",
     "decorrelate",
     "rankdata",
 ]
@@ -168,6 +169,15 @@ class Correlator(abc.ABC):
     def _apply(self, X):
         """Jit-safe core transform: (N, K) array -> (N, K) array."""
 
+    def _cache_token(self):
+        """Hashable identity for compiled-program caches.
+
+        Parameterized correlators (e.g. ``StudentTCopula``) must include
+        every value that changes the traced program, else two configs
+        would silently share one compiled sampler.
+        """
+        return type(self).__qualname__
+
     def __call__(self, X):
         self._validate_X(X)
         return self._apply(jnp.asarray(X))
@@ -264,6 +274,27 @@ class ImanConover(Correlator):
                 raise ValueError(msg)
         return self._apply(jnp.asarray(X))
 
+    # True on the pure Gaussian-copula transform: recolored scores map to
+    # uniforms via the normal CDF, so the engine may use closed-form
+    # score-linear shortcuts (ppf.score_emit).  Mixed-score subclasses
+    # (StudentTCopula) set False and route through _copula_uniforms.
+    gaussian_scores = True
+
+    def _mix_scores(self, y, w_key=None):
+        """Hook between recoloring and rank placement (identity here).
+
+        Elliptical-copula subclasses scale the recolored Gaussian scores
+        by a per-observation mixing variable; the base class IS the
+        Gaussian copula, so the scores pass through unchanged.
+        """
+        return y
+
+    def _copula_uniforms(self, y, w_key=None):
+        """Map recolored scores to correlated uniform quantiles."""
+        from probabilit_tpu.ops import special as _special
+
+        return _special.ndtr_fast(y)
+
     def _apply(self, X):
         """Standard (N, K) layout entry; work happens in ``_apply_rows``."""
         X = jnp.asarray(X)
@@ -305,7 +336,7 @@ class ImanConover(Correlator):
         var = jnp.mean(jnp.square(scores_sorted - mean), axis=1, keepdims=True)
         return scores, mean, var
 
-    def _apply_rows(self, XT):
+    def _apply_rows(self, XT, w_key=None):
         """Iman-Conover on a (K, N) matrix — exactly four sorts, no gathers.
 
         TPU scatter/gather over 1e7-element permutations costs 2-4x a sort
@@ -330,10 +361,10 @@ class ImanConover(Correlator):
 
         mesh = _mesh.current_mesh()
         if mesh is not None and mesh.size > 1:
-            return self._apply_rows_sharded(jnp.asarray(XT), mesh)
-        return self._transform_rows(jnp.asarray(XT), jnp.asarray(self.P))
+            return self._apply_rows_sharded(jnp.asarray(XT), mesh, w_key=w_key)
+        return self._transform_rows(jnp.asarray(XT), jnp.asarray(self.P), w_key=w_key)
 
-    def _apply_rows_sharded(self, XT, mesh):
+    def _apply_rows_sharded(self, XT, mesh, w_key=None):
         """Column-sharded transform: pad rows to the mesh size and go.
 
         Rows are padded with independent hash-based pseudo-uniform rows and
@@ -376,10 +407,12 @@ class ImanConover(Correlator):
         XT = jax.lax.with_sharding_constraint(XT, sharding)
         # One unchunked call per sort (row slicing would reshard): each
         # device sorts only its own rows.
-        out = self._transform_rows(XT, jnp.asarray(P_pad), chunk_elems=1 << 62)
+        out = self._transform_rows(
+            XT, jnp.asarray(P_pad), chunk_elems=1 << 62, w_key=w_key
+        )
         return out[:K]
 
-    def _transform_rows(self, XT, target_P, chunk_elems=None):
+    def _transform_rows(self, XT, target_P, chunk_elems=None, w_key=None):
         from probabilit_tpu.ops.sort import (
             _DEFAULT_CHUNK_ELEMS,
             apply_inverse_permutation_rows,
@@ -424,6 +457,10 @@ class ImanConover(Correlator):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc_type,
             ).astype(dtype)
+
+        # Elliptical-mixing hook: identity for the Gaussian copula, a
+        # per-observation chi(df)/sqrt(df) division for StudentTCopula.
+        correlated = self._mix_scores(correlated, w_key)
 
         # STEP 4: two more sorts place sorted originals at score ranks.
         _, order2 = rowsort_with_order(correlated, chunk_elems)
@@ -502,10 +539,78 @@ class ImanConover(Correlator):
 
         z = jnp.asarray(z)
         dtype = z.dtype
-        correlated = self._recolor_scores(z)
+        correlated = self._mix_scores(self._recolor_scores(z))
 
         _, order2 = rowsort_with_order(correlated)
         return apply_inverse_permutation_rows(order2, jnp.asarray(x_sorted, dtype))
+
+
+class StudentTCopula(ImanConover):
+    """Marginal-preserving dependence induction through a Student-t copula.
+
+    A capability beyond the reference: Iman-Conover — like EVERY
+    Gaussian-copula method — has zero tail dependence, so joint extremes
+    of correlated risks are asymptotically independent no matter the
+    correlation (the classic critique of Gaussian dependence in risk
+    aggregation).  The t-copula with ``df`` degrees of freedom keeps the
+    same elliptical shape matrix but gives symmetric tail dependence
+    ``lambda = 2 * t_{df+1}(-sqrt((df+1)(1-rho)/(1+rho)))``, decaying to
+    the Gaussian's 0 as ``df -> inf``.
+
+    Pipeline = Iman-Conover's four sorts + one matmul, plus one extra
+    elementwise step: the recolored Gaussian scores ``y`` are divided by
+    a per-OBSERVATION mixing scale ``sqrt(W/df)``, ``W ~ chi2(df)``
+    shared across all K variables (that sharing is what couples the
+    tails).  Rank placement then restores the exact original marginals,
+    so like Iman-Conover this changes only the dependence structure.
+
+    ``df``    tail-heaviness of the dependence (NOT of the marginals).
+    ``seed``  keys the mixing draws when the correlator is applied to a
+              plain array (``StudentTCopula(df)(X)``); inside the
+              sampling engine the mixing stream derives from the run's
+              own randomness instead (``engine/compile.py``).
+
+    The target matrix is the copula's SHAPE matrix.  Kendall's tau
+    obeys the same ``tau = (2/pi) * arcsin(rho)`` law as the Gaussian
+    copula (true for all elliptical copulas), so rank agreement with
+    ``ImanConover`` at equal targets is testable; Pearson correlations
+    of transformed marginals drift slightly with small ``df``.
+    """
+
+    gaussian_scores = False
+
+    def __init__(self, df=4.0, ties="average", seed=0):
+        super().__init__(ties=ties)
+        df = float(df)
+        if not df > 0.0:
+            raise ValueError(f"df must be positive, got {df}.")
+        self.df = df
+        self.seed = int(seed)
+
+    def _cache_token(self):
+        return (type(self).__qualname__, self.df, self.ties, self.seed)
+
+    def _mix_scale(self, n, dtype, w_key=None):
+        """(n,) mixing scales sqrt(W/df), W ~ chi2(df) via gammaincinv."""
+        from probabilit_tpu.ops import special as _special
+        from probabilit_tpu.ops.qmc import clamp_open_unit
+
+        if w_key is None:
+            w_key = jax.random.PRNGKey(self.seed)
+        u = clamp_open_unit(jax.random.uniform(w_key, (n,), dtype=dtype))
+        half_df = jnp.asarray(0.5 * self.df, dtype)
+        w = 2.0 * _special.gammaincinv(half_df, u)
+        return jnp.sqrt(w / jnp.asarray(self.df, dtype))
+
+    def _mix_scores(self, y, w_key=None):
+        y = jnp.asarray(y)
+        return y / self._mix_scale(y.shape[1], y.dtype, w_key)[None, :]
+
+    def _copula_uniforms(self, y, w_key=None):
+        from probabilit_tpu.ops import special as _special
+
+        t = self._mix_scores(y, w_key)
+        return _special.t_cdf(t, jnp.asarray(self.df, t.dtype))
 
 
 def decorrelate(X, remove_variance=True):

@@ -31,6 +31,7 @@ __all__ = [
     "ndtr_neg_fast",
     "erfinv_f32",
     "expm1_safe",
+    "t_cdf",
     "gammaincinv",
     "gammainccinv",
     "betaincinv",
@@ -223,6 +224,24 @@ def ndtr_scaled_neg(x):
     series = 1.0 + u * (-1.0 + u * (3.0 + u * (-15.0 + 105.0 * u)))
     mills = series / (jnp.sqrt(jnp.abs(x2)) * jnp.float32(2.5066282746310002))
     return jnp.where(jnp.abs(x) > 6.0, mills, poly)
+
+
+def t_cdf(x, df):
+    """Student-t CDF via the regularized incomplete beta function.
+
+    ``P(T <= x) = 1 - I_z(df/2, 1/2) / 2`` for ``x >= 0`` with
+    ``z = df / (df + x^2)``, mirrored below zero.  The tail is the
+    directly computed quantity, so BOTH tails keep relative accuracy —
+    the property the t-copula transform needs at extreme scores.
+    Exact inverse pair of the ``t`` ppf kernel (ops/ppf.py).
+    """
+    x = jnp.asarray(x)
+    dtype = jnp.result_type(x, jnp.float32)
+    x = x.astype(dtype)
+    df = jnp.asarray(df, dtype)
+    z = df / (df + x * x)
+    tail = 0.5 * _betainc_impl()(0.5 * df, jnp.asarray(0.5, dtype), z)
+    return jnp.where(x >= 0, 1.0 - tail, tail)
 
 
 def expm1_safe(x):

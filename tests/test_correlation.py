@@ -363,3 +363,157 @@ class TestTieHandling:
         assert set(np.unique(sa)) <= {0.0, 1.0}
         achieved = np.corrcoef(sa, sb)[0, 1]
         assert abs(achieved - 0.5) < 0.12
+
+
+class TestStudentTCopula:
+    """t-copula dependence induction (framework extension; no reference
+    counterpart — Iman-Conover is Gaussian-copula and has zero tail
+    dependence)."""
+
+    def _joint_tail(self, a, b, q=0.99):
+        ta, tb = np.quantile(a, q), np.quantile(b, q)
+        return float(np.mean((a > ta) & (b > tb)) / (1 - q))
+
+    def test_validation(self):
+        from probabilit_tpu.correlation import StudentTCopula
+
+        with pytest.raises(ValueError, match="df must be positive"):
+            StudentTCopula(df=0.0)
+        with pytest.raises(ValueError, match="ties"):
+            StudentTCopula(df=2.0, ties="bogus")
+
+    def test_exact_transform_preserves_marginals(self, rng):
+        from probabilit_tpu.correlation import StudentTCopula
+
+        X = np.column_stack(
+            [rng.normal(size=3000), rng.exponential(size=3000), rng.uniform(size=3000)]
+        ).astype(np.float32)
+        C = np.array([[1, 0.7, 0.3], [0.7, 1, 0.2], [0.3, 0.2, 1.0]])
+        Y = np.asarray(StudentTCopula(df=3.0, seed=1).set_target(C)(X))
+        for k in range(3):
+            np.testing.assert_array_equal(np.sort(Y[:, k]), np.sort(X[:, k]))
+
+    def test_kendall_tau_matches_elliptical_law(self, rng):
+        # tau = (2/pi) arcsin(rho) holds for EVERY elliptical copula, so
+        # the t-copula must land on the same tau as the Gaussian target.
+        from scipy import stats as sps
+
+        from probabilit_tpu.correlation import StudentTCopula
+
+        X = rng.normal(size=(20000, 2)).astype(np.float32)
+        C = np.array([[1, 0.7], [0.7, 1.0]])
+        Y = np.asarray(StudentTCopula(df=3.0, seed=2).set_target(C)(X))
+        tau = sps.kendalltau(Y[:, 0], Y[:, 1]).statistic
+        assert abs(tau - 2 / np.pi * np.arcsin(0.7)) < 0.03
+
+    def test_tail_dependence_beats_gaussian(self, rng):
+        # df=2, rho=0.3: t-copula joint 99% exceedance ~0.31 (its tail
+        # dependence lambda), Gaussian ~0.06 and decaying to zero.
+        from probabilit_tpu.correlation import StudentTCopula
+
+        X = rng.normal(size=(200000, 2)).astype(np.float32)
+        C = np.array([[1, 0.3], [0.3, 1.0]])
+        Yt = np.asarray(StudentTCopula(df=2.0, seed=1).set_target(C)(X))
+        Yg = np.asarray(ImanConover().set_target(C)(X))
+        jt = self._joint_tail(Yt[:, 0], Yt[:, 1])
+        jg = self._joint_tail(Yg[:, 0], Yg[:, 1])
+        assert jt > 3.0 * jg
+        assert 0.15 < jt < 0.5
+
+    def test_engine_generated_path(self):
+        # correlate() + sample(correlator=StudentTCopula(...)) through the
+        # in-program RNG fast path: exact iid marginals, elliptical tau,
+        # strong joint tails.
+        from scipy import stats as sps
+
+        from probabilit_tpu.correlation import StudentTCopula
+        from probabilit_tpu.modeling import Distribution
+
+        a = Distribution("norm")
+        b = Distribution("expon")
+        C = np.array([[1, 0.6], [0.6, 1.0]])
+        model = (a + b).correlate(a, b, corr_mat=C.copy())
+        model.sample(200000, random_state=0, correlator=StudentTCopula(df=3))
+        sa, sb = np.asarray(a.samples_), np.asarray(b.samples_)
+        assert sps.kstest(sa[:5000], "norm").pvalue > 0.01
+        assert sps.kstest(sb[:5000], "expon").pvalue > 0.01
+        tau = sps.kendalltau(sa[:20000], sb[:20000]).statistic
+        assert abs(tau - 2 / np.pi * np.arcsin(0.6)) < 0.03
+        model.sample(200000, random_state=0, correlator="imanconover")
+        ga, gb = np.asarray(a.samples_), np.asarray(b.samples_)
+        assert self._joint_tail(sa, sb) > 1.7 * self._joint_tail(ga, gb)
+
+    def test_engine_quantile_path(self):
+        # method="sobol" (no in-program key): the mixing stream derives
+        # from the leading quantile bits, reference-rvs style.
+        from scipy import stats as sps
+
+        from probabilit_tpu.correlation import StudentTCopula
+        from probabilit_tpu.modeling import Distribution
+
+        a = Distribution("norm")
+        b = Distribution("uniform")
+        C = np.array([[1, 0.5], [0.5, 1.0]])
+        model = (a * b).correlate(a, b, corr_mat=C.copy())
+        model.sample(65536, random_state=3, method="sobol", correlator=StudentTCopula(df=4))
+        sa, sb = np.asarray(a.samples_), np.asarray(b.samples_)
+        tau = sps.kendalltau(sa[:20000], sb[:20000]).statistic
+        assert abs(tau - 2 / np.pi * np.arcsin(0.5)) < 0.03
+
+    def test_correlator_name_and_cache_tokens(self):
+        # "tcopula" resolves; different df instances must not share a
+        # compiled program (distinct cache tokens).
+        from probabilit_tpu.correlation import StudentTCopula
+        from probabilit_tpu.engine import compile as _compile
+
+        assert _compile.resolve_correlator("tcopula") is StudentTCopula
+        t3 = StudentTCopula(df=3)._cache_token()
+        t5 = StudentTCopula(df=5)._cache_token()
+        assert t3 != t5
+        assert _compile.correlator_token(StudentTCopula(df=3)) == t3
+
+    def test_seed_controls_exact_path_mixing(self, rng):
+        from probabilit_tpu.correlation import StudentTCopula
+
+        X = rng.normal(size=(1000, 2)).astype(np.float32)
+        C = np.array([[1, 0.4], [0.4, 1.0]])
+        y1 = np.asarray(StudentTCopula(df=3, seed=1).set_target(C)(X))
+        y2 = np.asarray(StudentTCopula(df=3, seed=2).set_target(C)(X))
+        y1b = np.asarray(StudentTCopula(df=3, seed=1).set_target(C)(X))
+        assert np.array_equal(y1, y1b)
+        assert not np.array_equal(y1, y2)
+
+    def test_mesh_agrees_with_single_device(self):
+        from probabilit_tpu.correlation import StudentTCopula
+        from probabilit_tpu.modeling import Distribution
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        a = Distribution("norm")
+        b = Distribution("norm", loc=2)
+        C = np.array([[1, 0.5], [0.5, 1.0]])
+        model = (a + b).correlate(a, b, corr_mat=C.copy())
+        base = np.asarray(
+            model.sample(8192, random_state=0, correlator=StudentTCopula(df=4))
+        )
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(
+                model.sample(8192, random_state=0, correlator=StudentTCopula(df=4))
+            )
+        np.testing.assert_allclose(base, sharded, rtol=1e-3, atol=1e-3)
+
+    def test_pallas_executor_rejects_tcopula(self):
+        from probabilit_tpu.correlation import StudentTCopula
+        from probabilit_tpu.modeling import Distribution
+
+        a = Distribution("norm")
+        b = Distribution("norm")
+        C = np.array([[1, 0.5], [0.5, 1.0]])
+        model = (a + b).correlate(a, b, corr_mat=C.copy())
+        with pytest.raises(ValueError, match="imanconover"):
+            model.sample(
+                1024,
+                random_state=0,
+                executor="pallas",
+                gc_strategy=[],
+                correlator=StudentTCopula(df=4),
+            )
