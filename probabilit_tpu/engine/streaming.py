@@ -43,7 +43,14 @@ _ESTIMATE_CACHE = {}
 _TRACE_COUNT = 0
 
 
-def _block_program(sink, block_size, executor="auto", method=None, total_size=None):
+def _block_program(
+    sink,
+    block_size,
+    executor="auto",
+    method=None,
+    total_size=None,
+    correlator="imanconover",
+):
     """(plan, run) where ``run(b, key) -> sink block array`` for block ``b``.
 
     ``executor="auto"`` picks the Pallas megakernel when the graph is
@@ -102,7 +109,7 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
                 f"points, got {total_size}. Use the PRNG stream "
                 "(method=None) beyond that."
             )
-        program = _compile.get_program(plan, "imanconover", keep, check_finite=False)
+        program = _compile.get_program(plan, correlator, keep, check_finite=False)
         dtype = config.float_dtype()
         # LHS stratifies over the WHOLE run: block b draws rows
         # [b*block, b*block + block) of the total_size-point global
@@ -120,7 +127,14 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
 
         return plan, run
 
-    if executor in ("auto", "pallas"):
+    resolved = _compile.resolve_correlator(correlator)
+    ic_cls = _compile.CORRELATOR_MAP["imanconover"]
+    exact_ic = resolved is ic_cls or type(resolved) is ic_cls
+    if executor == "pallas" and plan.corr_matrix is not None and not exact_ic:
+        raise ValueError(
+            "executor='pallas' supports correlator='imanconover' only."
+        )
+    if executor in ("auto", "pallas") and (plan.corr_matrix is None or exact_ic):
         from probabilit_tpu.engine import pallas_exec
         from probabilit_tpu.engine.sampler import _get_pallas_fn
 
@@ -152,7 +166,7 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
             return plan, run
 
     program = _compile.get_program(
-        plan, "imanconover", keep, check_finite=False, rng_inline_n=block_size
+        plan, correlator, keep, check_finite=False, rng_inline_n=block_size
     )
 
     def run(b, key):
@@ -163,7 +177,13 @@ def _block_program(sink, block_size, executor="auto", method=None, total_size=No
 
 
 def sample_streaming(
-    sink, size, block_size=16_777_216, random_state=None, executor="auto", method=None
+    sink,
+    size,
+    block_size=16_777_216,
+    random_state=None,
+    executor="auto",
+    method=None,
+    correlator="imanconover",
 ):
     """Sample ``size`` draws of ``sink`` in device-sized blocks.
 
@@ -175,7 +195,9 @@ def sample_streaming(
     """
     if size < 1:
         raise ValueError(f"size must be >= 1, got {size}.")
-    plan, run = _block_program(sink, block_size, executor, method, total_size=size)
+    plan, run = _block_program(
+        sink, block_size, executor, method, total_size=size, correlator=correlator
+    )
     key = resolve_key(random_state)
 
     n_blocks = -(-size // block_size)
@@ -211,6 +233,7 @@ def estimate(
     method=None,
     quantiles=None,
     replicates=None,
+    correlator="imanconover",
 ):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
 
@@ -294,6 +317,7 @@ def estimate(
                     executor,
                     method,
                     quantiles,
+                    correlator,
                 )
             )
             for r in range(reps)
@@ -305,7 +329,7 @@ def estimate(
         stats["replicates"] = reps
         return stats
     carry = _estimate_carry(
-        sink, size, block_size, key, executor, method, quantiles
+        sink, size, block_size, key, executor, method, quantiles, correlator
     )
     return _finalize_estimate(carry, size, quantiles)
 
@@ -336,14 +360,18 @@ def _merge_carries(carries):
     return (total, mean, m2, vmin, vmax, finite, qsum), rep_means
 
 
-def _estimate_carry(sink, size, block_size, key, executor, method, quantiles):
+def _estimate_carry(
+    sink, size, block_size, key, executor, method, quantiles, correlator="imanconover"
+):
     """One randomised stream's raw moment carry (device values).
 
     Everything cacheable lives here: the jitted whole-run program is
     keyed on block structure — not ``size`` or ``key`` — so replicate
     loops and size sweeps hit one compiled program.
     """
-    plan, run = _block_program(sink, block_size, executor, method, total_size=size)
+    plan, run = _block_program(
+        sink, block_size, executor, method, total_size=size, correlator=correlator
+    )
     if plan.finalizers.get(sink._id) is not None:
         # e.g. a string-valued DiscreteDistribution: its device output is
         # an index array, and mean/var/quantiles of indices are not
@@ -381,6 +409,7 @@ def _estimate_carry(sink, size, block_size, key, executor, method, quantiles):
         executor,
         method,
         lhs_total,
+        _compile.correlator_token(_compile.resolve_correlator(correlator)),
         jnp.dtype(_config.float_dtype()).name,
         _compile._active_mesh_key(),
     )

@@ -666,3 +666,60 @@ class TestShardedQMCGeneration:
         with use_mesh(make_mesh()):
             sharded = np.asarray(expr.sample(4096, random_state=2, method="sobol"))
         np.testing.assert_array_equal(base, sharded)
+
+
+class TestStreamingCorrelatorParam:
+    """correlator= pass-through on the streaming entry points (extension:
+    the reference cannot stream correlated models at all)."""
+
+    def _model(self):
+        import numpy as np
+
+        from probabilit_tpu.modeling import Distribution
+
+        a = Distribution("norm")
+        b = Distribution("expon")
+        C = np.array([[1, 0.6], [0.6, 1.0]])
+        return (a + b).correlate(a, b, corr_mat=C.copy())
+
+    def test_tcopula_estimate_fattens_the_sum_tail(self):
+        from probabilit_tpu.correlation import StudentTCopula
+
+        model = self._model()
+        kw = dict(block_size=32768, random_state=0, quantiles=(0.99,), executor="xla")
+        et = streaming.estimate(
+            model, 262144, correlator=StudentTCopula(df=3), **kw
+        )
+        eg = streaming.estimate(model, 262144, **kw)
+        # Same marginals, same mean; the t-copula couples the tails so
+        # the sum's p99 must exceed the Gaussian copula's.
+        assert np.isclose(et["mean"], 1.0, atol=0.02)
+        assert np.isclose(eg["mean"], 1.0, atol=0.02)
+        assert et["q0.99"] > eg["q0.99"] + 0.05
+
+    def test_tcopula_sample_streaming_runs(self):
+        from probabilit_tpu.correlation import StudentTCopula
+
+        model = self._model()
+        s = streaming.sample_streaming(
+            model,
+            20000,
+            block_size=8192,
+            random_state=0,
+            executor="xla",
+            correlator=StudentTCopula(df=4),
+        )
+        assert s.shape == (20000,) and np.isfinite(s).all()
+
+    def test_streamed_pallas_rejects_tcopula(self):
+        from probabilit_tpu.correlation import StudentTCopula
+
+        model = self._model()
+        with pytest.raises(ValueError, match="imanconover"):
+            streaming.sample_streaming(
+                model,
+                8192,
+                block_size=4096,
+                executor="pallas",
+                correlator=StudentTCopula(df=3),
+            )
