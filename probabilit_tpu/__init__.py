@@ -17,8 +17,14 @@ from probabilit_tpu.models.distributions import (
     Distribution,
     EmpiricalDistribution,
     MultivariateDistribution,
+    QuantileTransform,
 )
-from probabilit_tpu.models.factories import PERT
+from probabilit_tpu.models.factories import (
+    PERT,
+    ClaytonCopula,
+    FrankCopula,
+    GumbelCopula,
+)
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
 
@@ -37,4 +43,8 @@ __all__ = [
     "plot",
     "sensitivity",
     "sobol_indices",
+    "QuantileTransform",
+    "ClaytonCopula",
+    "GumbelCopula",
+    "FrankCopula",
 ]

@@ -6,6 +6,9 @@ Named factories with friendly parametrizations (reference
 
 from probabilit_tpu.models.factories import (  # noqa: F401
     PERT,
+    ClaytonCopula,
+    FrankCopula,
+    GumbelCopula,
     Lognormal,
     Normal,
     TruncatedNormal,
@@ -20,4 +23,14 @@ from probabilit_tpu.models.factories import (  # noqa: F401
 from probabilit_tpu.models.distributions import Distribution  # noqa: F401
 from probabilit_tpu.models.graph import Exp, Log, Sign  # noqa: F401
 
-__all__ = ["Uniform", "Normal", "TruncatedNormal", "Lognormal", "PERT", "Triangular"]
+__all__ = [
+    "Uniform",
+    "Normal",
+    "TruncatedNormal",
+    "Lognormal",
+    "PERT",
+    "Triangular",
+    "ClaytonCopula",
+    "GumbelCopula",
+    "FrankCopula",
+]

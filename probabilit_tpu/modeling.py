@@ -10,12 +10,14 @@ from probabilit_tpu.models.graph import *  # noqa: F401,F403
 from probabilit_tpu.models.graph import __all__ as _graph_all
 from probabilit_tpu.models.distributions import (  # noqa: F401
     AbstractDistribution,
+    CopulaDistribution,
     CumulativeDistribution,
     Distribution,
     DiscreteDistribution,
     EmpiricalDistribution,
     MarginalDistribution,
     MultivariateDistribution,
+    QuantileTransform,
 )
 
 # The reference's modeling.py imports these into its own namespace
@@ -34,6 +36,8 @@ __all__ = list(_graph_all) + [
     "DiscreteDistribution",
     "MarginalDistribution",
     "MultivariateDistribution",
+    "CopulaDistribution",
+    "QuantileTransform",
     "GarbageCollector",
     "Cholesky",
     "ImanConover",

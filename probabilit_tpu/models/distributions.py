@@ -26,6 +26,8 @@ __all__ = [
     "DiscreteDistribution",
     "MarginalDistribution",
     "MultivariateDistribution",
+    "CopulaDistribution",
+    "QuantileTransform",
 ]
 
 
@@ -312,6 +314,65 @@ class DiscreteDistribution(AbstractDistribution):
         return lambda idx: values[np.asarray(idx)]
 
 
+class CopulaDistribution(AbstractDistribution):
+    """(n, d) draws with uniform marginals and an Archimedean copula's
+    dependence (framework extension; the reference's only dependence
+    tools are correlation matrices, ``correlation.py:161-425``).
+
+    Unpack through :class:`MarginalDistribution` slices — use the
+    ``ClaytonCopula`` / ``GumbelCopula`` / ``FrankCopula`` factories
+    (``models/factories.py``), then shape each uniform marginal with
+    ``QuantileTransform``.
+
+    Randomness follows the multivariate q[0]-seed contract
+    (``modeling.py:808-812``): the node consumes one quantile column and
+    keys its device sampler from the leading quantile bits, so draws are
+    reproducible per random_state and stream/shard like any other node.
+
+    >>> CopulaDistribution("clayton", theta=2.0, d=3)
+    CopulaDistribution("clayton", theta=2, d=3)
+    """
+
+    is_leaf = True
+
+    def __init__(self, family, theta, d):
+        from probabilit_tpu.ops import copulas
+
+        theta, d = copulas.validate(family, theta, d)
+        self.family = str(family)
+        self.theta = theta
+        self.d = d
+        super().__init__()
+
+    def __repr__(self):
+        return (
+            f'{type(self).__name__}("{self.family}", '
+            f"theta={self.theta:g}, d={self.d})"
+        )
+
+    def get_parents(self):
+        return iter(())
+
+    def _rewire(self, update):
+        pass
+
+    def _static_signature(self):
+        return ("CopulaDistribution", self.family, self.theta, self.d)
+
+    def _mv_dim(self):
+        return self.d
+
+    def _emit(self, ctx):
+        from probabilit_tpu.ops import copulas
+        from probabilit_tpu.ops import multivariate as mv
+
+        q = ctx.column(self)
+        key = mv._key_from_q(q)
+        return copulas.sample(
+            self.family, key, (ctx.n, self.d), self.theta, config.float_dtype()
+        )
+
+
 class MarginalDistribution(Transform):
     """A 'slice' of a multivariate distribution (``modeling.py:1215-1243``).
 
@@ -342,6 +403,87 @@ class MarginalDistribution(Transform):
     def _emit(self, ctx):
         value = ctx.value(self.distr)
         return jnp.atleast_2d(value)[:, self.d]
+
+
+class QuantileTransform(Transform):
+    """Push a (0,1)-valued node through a named family's inverse CDF.
+
+    Framework extension (no reference counterpart): turns any node whose
+    values live in the open unit interval — a copula marginal, a
+    user-computed probability, a rank statistic — into draws from a
+    named scipy.stats family via the native device ppf kernels
+    (``ops/ppf.py``).  This is the piece that makes Archimedean copula
+    modeling compositional:
+
+    >>> u1, u2 = ClaytonCopula(theta=2.0)  # doctest: +SKIP
+    >>> x = QuantileTransform(u1, "lognorm", s=0.5)  # doctest: +SKIP
+
+    Parameters may be numbers or other nodes, like ``Distribution``.
+    Values are clamped to the open unit interval before inversion (the
+    same guard every sampling path applies, ``ops/qmc.clamp_open_unit``);
+    values OUTSIDE [0, 1] are a modeling error and produce the same
+    non-finite-sample failure any invalid transform does.
+
+    >>> from probabilit_tpu.modeling import Distribution
+    >>> QuantileTransform(Distribution("uniform"), "norm", loc=1)
+    QuantileTransform(Distribution("uniform"), "norm", loc=1)
+    """
+
+    def __init__(self, node, distr, *args, **kwargs):
+        if not isinstance(node, Node):
+            raise TypeError(
+                f"QuantileTransform needs a graph node, got {node!r}."
+            )
+        self.node = node
+        self.distr = str(distr)
+        self.args = args
+        self.kwargs = kwargs
+        super().__init__()
+
+    def __repr__(self):
+        from probabilit_tpu.models.graph import Transform as _T
+
+        if _T._repr_capped():
+            return f'{type(self).__name__}(..., "{self.distr}")'
+        with _T._repr_frame():
+            parts = [repr(self.node), f'"{self.distr}"']
+            parts += [repr(a) for a in self.args]
+            parts += [f"{k}={v!r}" for k, v in self.kwargs.items()]
+        return f"{type(self).__name__}({', '.join(parts)})"
+
+    def get_parents(self):
+        yield self.node
+        for arg in self.args + tuple(self.kwargs.values()):
+            if isinstance(arg, Node):
+                yield arg
+
+    def _rewire(self, update):
+        self.node = update(self.node)
+        self.args = tuple(update(a) for a in self.args)
+        self.kwargs = {k: update(v) for k, v in self.kwargs.items()}
+
+    def _static_signature(self):
+        sig_args = tuple(
+            "<node>" if isinstance(a, Node) else repr(a) for a in self.args
+        )
+        sig_kwargs = tuple(
+            (k, "<node>" if isinstance(v, Node) else repr(v))
+            for k, v in sorted(self.kwargs.items())
+        )
+        return ("QuantileTransform", self.distr, sig_args, sig_kwargs)
+
+    def _emit(self, ctx):
+        from probabilit_tpu.ops.qmc import clamp_open_unit
+
+        def unpack(arg):
+            return ctx.value(arg) if isinstance(arg, Node) else arg
+
+        u = clamp_open_unit(
+            jnp.asarray(ctx.value(self.node), config.float_dtype())
+        )
+        args = tuple(unpack(a) for a in self.args)
+        kwargs = {k: unpack(v) for k, v in self.kwargs.items()}
+        return ppf.call(self.distr, u, *args, **kwargs)
 
 
 def MultivariateDistribution(distr, *args, **kwargs):

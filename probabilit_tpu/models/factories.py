@@ -23,6 +23,9 @@ __all__ = [
     "Lognormal",
     "PERT",
     "Triangular",
+    "ClaytonCopula",
+    "GumbelCopula",
+    "FrankCopula",
 ]
 
 
@@ -178,3 +181,52 @@ def Triangular(low, mode, high, low_perc=0.1, high_perc=0.9):
             low=low, mode=mode, high=high, low_perc=low_perc, high_perc=high_perc
         )
     return Distribution("triang", loc=loc, scale=scale, c=c)
+
+
+def _copula(family, theta, d):
+    from probabilit_tpu.models.distributions import (
+        CopulaDistribution,
+        MarginalDistribution,
+    )
+
+    node = CopulaDistribution(family, theta=theta, d=d)
+    return tuple(MarginalDistribution(node, d=i) for i in range(d))
+
+
+def ClaytonCopula(theta, d=2):
+    """``d`` dependent Uniform(0,1) nodes with Clayton-copula dependence.
+
+    LOWER-tail dependent (joint crashes cluster): ``lambda_L =
+    2^(-1/theta)``; Kendall's ``tau = theta / (theta + 2)``.  Shape the
+    marginals with ``QuantileTransform``.  Framework extension — see
+    ``ops/copulas.py``.
+
+    >>> u1, u2 = ClaytonCopula(theta=2.0)
+    >>> u1
+    MarginalDistribution(CopulaDistribution("clayton", theta=2, d=2), d=0)
+    """
+    return _copula("clayton", theta, d)
+
+
+def GumbelCopula(theta, d=2):
+    """``d`` dependent Uniform(0,1) nodes with Gumbel-copula dependence.
+
+    UPPER-tail dependent (joint booms/extremes cluster): ``lambda_U =
+    2 - 2^(1/theta)``; Kendall's ``tau = 1 - 1/theta``; ``theta=1`` is
+    independence.
+
+    >>> u1, u2, u3 = GumbelCopula(theta=1.5, d=3)
+    """
+    return _copula("gumbel", theta, d)
+
+
+def FrankCopula(theta, d=2):
+    """``d`` dependent Uniform(0,1) nodes with Frank-copula dependence.
+
+    Tail-free, radially symmetric dependence; ``tau = 1 - (4/theta) *
+    (1 - D_1(theta))`` (Debye).  ``theta > 0`` (the frailty sampler's
+    completely-monotone range).
+
+    >>> u1, u2 = FrankCopula(theta=5.0)
+    """
+    return _copula("frank", theta, d)

@@ -1,0 +1,136 @@
+"""Archimedean copula samplers (Clayton, Gumbel, Frank) — XLA-native.
+
+A dependence-modeling capability beyond the reference (whose only
+dependence tools are correlation-matrix correlators,
+``correlation.py:161-425``): Archimedean copulas express asymmetric and
+tail-heavy dependence that no correlation matrix can, with one scalar
+``theta`` for any dimension.
+
+All three families sample by the Marshall-Olkin (frailty) construction
+
+    U_k = psi(E_k / V),   E_k ~ iid Exp(1),   V ~ F (the LT-inverse law),
+
+which is embarrassingly parallel across samples AND dimensions: one
+mixing draw ``V`` per observation, one exponential per coordinate, one
+elementwise ``psi`` — no rejection loops over the sample axis, no
+sorts, so a copula draw costs about as much as its uniforms.  Per
+family (Hofert 2008 gives this catalogue):
+
+* Clayton  psi(t) = (1+t)^(-1/theta),        V ~ Gamma(1/theta),
+  lower-tail dependence  lambda_L = 2^(-1/theta),  tau = theta/(theta+2)
+* Gumbel   psi(t) = exp(-t^(1/theta)),       V ~ positive stable(1/theta)
+  via the Chambers-Mallows-Stuck closed form,
+  upper-tail dependence  lambda_U = 2 - 2^(1/theta),  tau = 1 - 1/theta
+* Frank    psi(t) = -log1p(-p e^(-t))/theta, V ~ Logarithmic(p) via
+  Kemp's LK algorithm (branch-free ``where`` form),  p = 1 - e^(-theta),
+  no tail dependence, tau = 1 - 4/theta (1 - D_1(theta))
+
+Every draw is a pure function of the PRNG key, so copula nodes stream
+and shard exactly like other distribution nodes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["sample", "validate", "FAMILIES"]
+
+FAMILIES = ("clayton", "gumbel", "frank")
+
+
+def validate(family, theta, d):
+    """Raise ValueError unless (family, theta, d) is a supported combo."""
+    if family not in FAMILIES:
+        raise ValueError(
+            f"Unknown copula family {family!r}; expected one of {FAMILIES}."
+        )
+    theta = float(theta)
+    d = int(d)
+    if d < 2:
+        raise ValueError(f"A copula needs d >= 2 dimensions, got {d}.")
+    if family == "clayton" and not theta > 0:
+        raise ValueError(f"Clayton requires theta > 0, got {theta}.")
+    if family == "gumbel" and not theta >= 1:
+        raise ValueError(f"Gumbel requires theta >= 1, got {theta}.")
+    if family == "frank" and not theta > 0:
+        # theta < 0 gives negative dependence only in d=2 and needs the
+        # conditional-inversion sampler; the frailty form requires a
+        # completely monotone generator, i.e. theta > 0.
+        raise ValueError(f"Frank (frailty form) requires theta > 0, got {theta}.")
+    return theta, d
+
+
+def _open_unit(u, dtype):
+    tiny = 2.0**-24 if jnp.dtype(dtype) == jnp.float32 else 2.0**-53
+    return jnp.clip(u, tiny, 1.0 - tiny)
+
+
+def _exp1(key, shape, dtype):
+    """iid Exp(1) draws, strictly positive."""
+    return -jnp.log(_open_unit(jax.random.uniform(key, shape, dtype=dtype), dtype))
+
+
+def _positive_stable(key, shape, alpha, dtype):
+    """One-sided stable S(alpha) with Laplace transform exp(-s^alpha).
+
+    Chambers-Mallows-Stuck closed form (the Gumbel frailty; degenerate
+    at alpha=1, which callers exclude since theta=1 is independence):
+
+        S = (sin(alpha u) / (sin u)^(1/alpha))
+            * (sin((1-alpha) u) / w)^((1-alpha)/alpha)
+
+    with u ~ U(0, pi), w ~ Exp(1).
+    """
+    ku, kw = jax.random.split(key)
+    u = _open_unit(jax.random.uniform(ku, shape, dtype=dtype), dtype) * np.pi
+    w = _exp1(kw, shape, dtype)
+    a = jnp.asarray(alpha, dtype)
+    return (jnp.sin(a * u) / jnp.sin(u) ** (1.0 / a)) * (
+        jnp.sin((1.0 - a) * u) / w
+    ) ** ((1.0 - a) / a)
+
+
+def _log_series(key, shape, p, dtype):
+    """Logarithmic(p) integer draws (as floats >= 1), Kemp's LK algorithm.
+
+    pmf(k) proportional to p^k / k.  Branch-free ``where`` realisation of
+    the classic accept branches; exact, no loops.
+    """
+    k1, k2 = jax.random.split(key)
+    u1 = _open_unit(jax.random.uniform(k1, shape, dtype=dtype), dtype)
+    u2 = _open_unit(jax.random.uniform(k2, shape, dtype=dtype), dtype)
+    # q = 1 - (1-p)^(u1), computed via log1p for p near 1 (large theta).
+    log1mp = jnp.log1p(jnp.asarray(-p, dtype))
+    q = -jnp.expm1(u1 * log1mp)
+    q = _open_unit(q, dtype)
+    heavy = jnp.floor(1.0 + jnp.log(u2) / jnp.log(q))
+    v = jnp.where(u2 < q * q, heavy, jnp.where(u2 > q, 1.0, 2.0))
+    return jnp.maximum(v, 1.0)
+
+
+def sample(family, key, shape, theta, dtype):
+    """(n, d) copula draws: uniform marginals, ``family`` dependence."""
+    n, d = shape
+    theta, d = validate(family, theta, d)
+    kv, ke = jax.random.split(key)
+    E = _exp1(ke, (n, d), dtype)
+    if family == "clayton":
+        # V ~ Gamma(1/theta); psi(t) = (1+t)^(-1/theta) via exp/log1p so
+        # theta near 0 (weak dependence) stays accurate.
+        V = jax.random.gamma(kv, 1.0 / theta, (n, 1), dtype)
+        V = jnp.maximum(V, jnp.finfo(dtype).tiny)
+        u = jnp.exp(-jnp.log1p(E / V) / theta)
+    elif family == "gumbel":
+        if theta == 1.0:
+            # Independence: the stable form is degenerate at alpha=1.
+            u = jnp.exp(-E)
+        else:
+            V = _positive_stable(kv, (n, 1), 1.0 / theta, dtype)
+            u = jnp.exp(-((E / V) ** (1.0 / theta)))
+    else:  # frank
+        p = -np.expm1(-theta)  # 1 - e^(-theta), exact for small theta
+        V = _log_series(kv, (n, 1), p, dtype)
+        u = -jnp.log1p(-p * jnp.exp(-E / V)) / theta
+    return _open_unit(u, dtype)

@@ -1,0 +1,219 @@
+"""Archimedean copula suite: samplers, graph nodes, QuantileTransform.
+
+Framework extension beyond the reference (whose only dependence tools
+are correlation-matrix correlators): validates each family against its
+closed-form Kendall tau and tail-dependence coefficients, then the full
+compositional workflow (copula -> QuantileTransform -> arithmetic) at
+the graph level.
+"""
+
+import jax
+import numpy as np
+import pytest
+from scipy import stats
+
+from probabilit_tpu.ops import copulas
+
+
+class TestCopulaKernels:
+    @pytest.mark.parametrize(
+        "family,theta,tau_true",
+        [
+            ("clayton", 2.0, 0.5),
+            ("clayton", 0.5, 0.2),
+            ("gumbel", 2.0, 0.5),
+            ("gumbel", 1.5, 1 - 1 / 1.5),
+            ("gumbel", 1.0, 0.0),
+        ],
+    )
+    def test_kendall_tau_closed_forms(self, family, theta, tau_true):
+        key = jax.random.PRNGKey(hash((family, theta)) % (2**31))
+        U = np.asarray(copulas.sample(family, key, (15000, 2), theta, np.float32))
+        tau = stats.kendalltau(U[:, 0], U[:, 1]).statistic
+        assert abs(tau - tau_true) < 0.03
+
+    def test_frank_tau_debye(self):
+        from scipy.integrate import quad
+
+        theta = 5.0
+        d1 = quad(lambda t: t / np.expm1(t), 0, theta)[0] / theta
+        tau_true = 1 - 4 / theta * (1 - d1)
+        U = np.asarray(
+            copulas.sample("frank", jax.random.PRNGKey(3), (15000, 2), theta, np.float32)
+        )
+        tau = stats.kendalltau(U[:, 0], U[:, 1]).statistic
+        assert abs(tau - tau_true) < 0.03
+
+    @pytest.mark.parametrize("family,theta", [("clayton", 2.0), ("gumbel", 2.0), ("frank", 5.0)])
+    def test_marginals_uniform(self, family, theta):
+        U = np.asarray(
+            copulas.sample(family, jax.random.PRNGKey(1), (20000, 3), theta, np.float32)
+        )
+        assert U.min() > 0.0 and U.max() < 1.0
+        for j in range(3):
+            assert stats.kstest(U[:8000, j], "uniform").pvalue > 0.005, (family, j)
+
+    def test_clayton_lower_tail_dependence(self):
+        # lambda_L = 2^(-1/theta); the upper tail is asymptotically free.
+        U = np.asarray(
+            copulas.sample("clayton", jax.random.PRNGKey(2), (200000, 2), 2.0, np.float32)
+        )
+        lo = np.mean((U[:, 0] < 0.01) & (U[:, 1] < 0.01)) / 0.01
+        hi = np.mean((U[:, 0] > 0.99) & (U[:, 1] > 0.99)) / 0.01
+        assert lo > 3 * hi
+        assert abs(lo - 2 ** (-1 / 2.0)) < 0.15
+
+    def test_gumbel_upper_tail_dependence(self):
+        # lambda_U = 2 - 2^(1/theta); mirror image of Clayton.
+        U = np.asarray(
+            copulas.sample("gumbel", jax.random.PRNGKey(2), (200000, 2), 2.0, np.float32)
+        )
+        lo = np.mean((U[:, 0] < 0.01) & (U[:, 1] < 0.01)) / 0.01
+        hi = np.mean((U[:, 0] > 0.99) & (U[:, 1] > 0.99)) / 0.01
+        assert hi > 3 * lo
+        assert abs(hi - (2 - 2**0.5)) < 0.15
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="Unknown copula family"):
+            copulas.validate("gaussian", 1.0, 2)
+        with pytest.raises(ValueError, match="d >= 2"):
+            copulas.validate("clayton", 1.0, 1)
+        with pytest.raises(ValueError, match="theta > 0"):
+            copulas.validate("clayton", 0.0, 2)
+        with pytest.raises(ValueError, match="theta >= 1"):
+            copulas.validate("gumbel", 0.5, 2)
+        with pytest.raises(ValueError, match="theta > 0"):
+            copulas.validate("frank", -1.0, 2)
+
+    def test_log_series_pmf(self):
+        # Kemp LK sampler against the Logarithmic(p) pmf p^k / (-k ln(1-p)).
+        p = 0.8
+        v = np.asarray(
+            copulas._log_series(jax.random.PRNGKey(0), (100000,), p, np.float32)
+        )
+        assert v.min() >= 1.0
+        norm = -np.log1p(-p)
+        for k in (1, 2, 3, 4):
+            expected = p**k / (k * norm)
+            observed = np.mean(v == k)
+            assert abs(observed - expected) < 0.006, k
+
+
+class TestCopulaGraph:
+    def test_factories_unpack_marginal_nodes(self):
+        from probabilit_tpu import ClaytonCopula
+        from probabilit_tpu.models.distributions import (
+            CopulaDistribution,
+            MarginalDistribution,
+        )
+
+        u1, u2, u3 = ClaytonCopula(theta=1.0, d=3)
+        assert all(isinstance(u, MarginalDistribution) for u in (u1, u2, u3))
+        assert isinstance(u1.distr, CopulaDistribution)
+        assert u1.distr is u2.distr  # one shared copula parent
+
+    def test_end_to_end_marginals_and_tau(self):
+        from probabilit_tpu import ClaytonCopula, QuantileTransform
+
+        u1, u2 = ClaytonCopula(theta=2.0)
+        x1 = QuantileTransform(u1, "lognorm", s=0.5)
+        x2 = QuantileTransform(u2, "expon", scale=2.0)
+        (x1 + x2).sample(60000, random_state=0)
+        s1, s2 = np.asarray(x1.samples_), np.asarray(x2.samples_)
+        assert stats.kstest(s1[:8000], "lognorm", args=(0.5,)).pvalue > 0.01
+        assert stats.kstest(s2[:8000], "expon", args=(0, 2.0)).pvalue > 0.01
+        tau = stats.kendalltau(s1[:15000], s2[:15000]).statistic
+        # Kendall tau is rank-based: invariant under the monotone
+        # QuantileTransform, so the copula's tau = theta/(theta+2) holds.
+        assert abs(tau - 0.5) < 0.03
+
+    def test_reproducible_and_copyable(self):
+        from probabilit_tpu import GumbelCopula, QuantileTransform
+
+        a, b = GumbelCopula(theta=1.8)
+        m = QuantileTransform(a, "norm") + QuantileTransform(b, "norm")
+        r1 = np.asarray(m.sample(4096, random_state=7))
+        r2 = np.asarray(m.sample(4096, random_state=7))
+        np.testing.assert_array_equal(r1, r2)
+        r3 = np.asarray(m.copy().sample(4096, random_state=7))
+        np.testing.assert_array_equal(r1, r3)
+
+    def test_positive_dependence_raises_sum_variance(self):
+        from probabilit_tpu import GumbelCopula, QuantileTransform
+
+        parts = [
+            QuantileTransform(u, "norm") for u in GumbelCopula(theta=1.8, d=3)
+        ]
+        s = np.asarray((parts[0] + parts[1] + parts[2]).sample(30000, random_state=1))
+        assert s.var() > 4.0  # independent would be 3.0
+
+    def test_mesh_bitwise_invariance(self):
+        from probabilit_tpu import ClaytonCopula, QuantileTransform
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        u1, u2 = ClaytonCopula(theta=2.0)
+        model = QuantileTransform(u1, "norm") + QuantileTransform(u2, "expon")
+        base = np.asarray(model.sample(4096, random_state=3))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(model.sample(4096, random_state=3))
+        np.testing.assert_array_equal(base, sharded)
+
+    def test_streaming_estimate(self):
+        from probabilit_tpu import FrankCopula, QuantileTransform
+        from probabilit_tpu.engine import streaming
+
+        u1, u2 = FrankCopula(theta=5.0)
+        model = QuantileTransform(u1, "norm") * QuantileTransform(u2, "norm")
+        est = streaming.estimate(model, 131072, block_size=16384, random_state=1)
+        # E[Z1 Z2] > 0 under positive dependence (0 if independent).
+        assert est["mean"] > 0.3
+
+    def test_pallas_gate_graceful(self):
+        from probabilit_tpu import ClaytonCopula, QuantileTransform
+        from probabilit_tpu.engine import compile as _compile
+        from probabilit_tpu.engine import pallas_exec
+
+        u1, u2 = ClaytonCopula(theta=2.0)
+        model = QuantileTransform(u1, "norm") + QuantileTransform(u2, "norm")
+        plan = _compile.get_plan(model)
+        assert pallas_exec.supports(plan, frozenset({model._id})) is False
+
+
+class TestQuantileTransform:
+    def test_requires_node(self):
+        from probabilit_tpu import QuantileTransform
+
+        with pytest.raises(TypeError, match="graph node"):
+            QuantileTransform(0.5, "norm")
+
+    def test_uniform_roundtrip_matches_distribution(self):
+        # QuantileTransform(uniform, family) is distributionally the
+        # family itself; with the SAME node values it must equal the ppf.
+        from probabilit_tpu import Distribution, QuantileTransform
+
+        u = Distribution("uniform")
+        x = QuantileTransform(u, "gamma", 2.0, scale=3.0)
+        x.sample(4096, random_state=5)
+        uu = np.asarray(u.samples_)
+        xx = np.asarray(x.samples_)
+        ref = stats.gamma.ppf(uu.astype(np.float64), 2.0, scale=3.0)
+        np.testing.assert_allclose(xx, ref, rtol=5e-4, atol=5e-6)
+
+    def test_node_parameters(self):
+        # Family parameters can be nodes (composite), like Distribution.
+        from probabilit_tpu import Distribution, QuantileTransform
+
+        loc = Distribution("norm", loc=10.0, scale=0.001)
+        u = Distribution("uniform")
+        x = QuantileTransform(u, "norm", loc=loc, scale=1.0)
+        s = np.asarray(x.sample(8192, random_state=0))
+        assert abs(s.mean() - 10.0) < 0.05
+
+    def test_out_of_unit_values_clamped_at_boundary(self):
+        # Values are clamped into the open unit interval; a constant 1.0
+        # maps to the largest finite draw rather than +inf.
+        from probabilit_tpu import Constant, QuantileTransform
+
+        x = QuantileTransform(Constant(1.0), "norm")
+        s = np.asarray(x.sample(8, random_state=0))
+        assert np.isfinite(s).all() and (s > 5).all()
