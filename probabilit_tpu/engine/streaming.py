@@ -50,8 +50,13 @@ def _block_program(
     method=None,
     total_size=None,
     correlator="imanconover",
+    extra=None,
 ):
-    """(plan, run) where ``run(b, key) -> sink block array`` for block ``b``.
+    """(plan, run): ``run(b, key) -> (sink block, extra block or None)``.
+
+    ``extra`` (a node in the sink's graph) is materialised alongside the
+    sink from the SAME draws — the control-variates path needs the joint
+    stream, not two independent runs.
 
     ``executor="auto"`` picks the Pallas megakernel when the graph is
     eligible (fastest path, hardware PRNG stream); "xla" forces the
@@ -79,6 +84,19 @@ def _block_program(
             "(per-block recoloring) or a single-shot sample()."
         )
     keep = frozenset({sink._id})
+    if extra is not None:
+        if not any(node is extra for node in plan.topo):
+            raise ValueError(
+                "The control node must be part of the estimated graph "
+                "(an ancestor of the sink, sharing its draws)."
+            )
+        keep = keep | {extra._id}
+
+    def _pair(outputs):
+        return (
+            outputs[sink._id],
+            None if extra is None else outputs[extra._id],
+        )
 
     if method is not None:
         from probabilit_tpu import config
@@ -123,7 +141,7 @@ def _block_program(
                 name, key, block_size, plan.d, dtype, offset=offset, total=total
             )
             outputs, _ = program(q)
-            return outputs[plan.sink._id]
+            return _pair(outputs)
 
         return plan, run
 
@@ -161,7 +179,7 @@ def _block_program(
                     jnp.int32,
                 )
                 outputs, _ = fn(words)  # per-block finiteness checked host-side
-                return outputs[plan.sink._id]
+                return _pair(outputs)
 
             return plan, run
 
@@ -171,7 +189,7 @@ def _block_program(
 
     def run(b, key):
         outputs, _ = program(jax.random.fold_in(key, b))
-        return outputs[plan.sink._id]
+        return _pair(outputs)
 
     return plan, run
 
@@ -203,7 +221,7 @@ def sample_streaming(
     n_blocks = -(-size // block_size)
     out = None
     for b in range(n_blocks):
-        block = np.asarray(run(b, key))
+        block = np.asarray(run(b, key)[0])
         if out is None:
             out = np.empty((size,), dtype=block.dtype)
         lo = b * block_size
@@ -234,8 +252,22 @@ def estimate(
     quantiles=None,
     replicates=None,
     correlator="imanconover",
+    control=None,
 ):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
+
+    ``control=(node, known_mean)`` applies a regression control variate:
+    ``node`` (any node of the same graph, sharing the sink's draws) is
+    accumulated jointly with the sink and the mean estimate becomes
+    ``mean(x) - beta * (mean(y) - known_mean)`` with the empirically
+    optimal ``beta = Cov(x,y)/Var(y)`` — the mean's variance shrinks by
+    ``1 - rho^2`` at no extra sampling cost (one more kept output in
+    the same compiled program).  ``sem`` is scaled accordingly and the
+    diagnostics ``control_beta``/``control_rho``/``control_mean`` are
+    reported; ``var``/``std``/``min``/``max``/quantiles stay properties
+    of the OUTPUT distribution, not of the estimator.  Composes with
+    ``replicates``: each replicate adjusts with its own beta and ``sem``
+    comes from the spread of the adjusted means.
 
     Numerically stable parallel-merge of per-block moments (Chan et al.);
     runs entirely on device, transferring only a handful of scalars per
@@ -293,6 +325,22 @@ def estimate(
         # final masked block and fabricate statistics of unrequested
         # samples under n=0.
         raise ValueError(f"size must be >= 1, got {size}.")
+    control_node, control_mu = None, None
+    if control is not None:
+        from probabilit_tpu.models.graph import Node
+
+        try:
+            control_node, control_mu = control
+        except (TypeError, ValueError):
+            raise ValueError(
+                "control must be a (node, known_mean) pair, e.g. "
+                "control=(cheap_part, analytic_mean)."
+            ) from None
+        if not isinstance(control_node, Node):
+            raise ValueError(
+                f"control[0] must be a graph node, got {control_node!r}."
+            )
+        control_mu = float(control_mu)
     key = resolve_key(random_state)
     if replicates is not None:
         reps = int(replicates)
@@ -318,50 +366,87 @@ def estimate(
                     method,
                     quantiles,
                     correlator,
+                    control_node,
                 )
             )
             for r in range(reps)
         ]
-        merged, rep_means = _merge_carries(carries)
-        stats = _finalize_estimate(merged, size, quantiles)
+        merged, rep_means = _merge_carries(carries, control_mu)
+        stats = _finalize_estimate(merged, size, quantiles, control_mu)
         rep = np.asarray(rep_means, np.float64)
         stats["sem"] = float(rep.std(ddof=1) / np.sqrt(reps))
+        if control_mu is not None:
+            # The between-replicate spread of the ADJUSTED means already
+            # prices the control; report their average as the estimate
+            # (equal-weight replicates, per-replicate betas).
+            stats["mean"] = float(rep.mean())
         stats["replicates"] = reps
         return stats
     carry = _estimate_carry(
-        sink, size, block_size, key, executor, method, quantiles, correlator
+        sink,
+        size,
+        block_size,
+        key,
+        executor,
+        method,
+        quantiles,
+        correlator,
+        control_node,
     )
-    return _finalize_estimate(carry, size, quantiles)
+    return _finalize_estimate(carry, size, quantiles, control_mu)
 
 
-def _merge_carries(carries):
+def _merge_carries(carries, control_mu=None):
     """Chan-merge replicate moment carries host-side (float64).
 
     Returns the pooled carry plus the per-replicate means (the
     randomised-QMC error estimator needs them, not just the pool).
+    With a control variate, the per-replicate means are the
+    CONTROL-ADJUSTED means (each replicate uses its own empirical beta),
+    so the between-replicate sem prices the adjusted estimator.
     """
     total, mean, m2 = 0.0, 0.0, 0.0
+    my, m2y, cxy = 0.0, 0.0, 0.0
     vmin, vmax, finite = float("inf"), float("-inf"), True
     qsum = None
     rep_means = []
-    for t_, m_, m2_, lo_, hi_, f_, q_ in carries:
+    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_ in carries:
         t, m = float(t_), float(m_)
-        rep_means.append(m)
+        if control_mu is None:
+            rep_means.append(m)
+        else:
+            adj, _, _, _ = _control_adjust(
+                m, float(m2_), float(my_), float(m2y_), float(cxy_), control_mu
+            )
+            rep_means.append(adj)
         nn = total + t
         delta = m - mean
+        delta_y = float(my_) - my
+        w = total * t / nn
         mean += delta * t / nn
-        m2 += float(m2_) + delta * delta * total * t / nn
+        m2 += float(m2_) + delta * delta * w
+        my += delta_y * t / nn
+        m2y += float(m2y_) + delta_y * delta_y * w
+        cxy += float(cxy_) + delta * delta_y * w
         total = nn
         vmin = min(vmin, float(lo_))
         vmax = max(vmax, float(hi_))
         finite = finite and bool(f_)
         q = np.asarray(q_, np.float64)
         qsum = q if qsum is None else qsum + q
-    return (total, mean, m2, vmin, vmax, finite, qsum), rep_means
+    return (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy), rep_means
 
 
 def _estimate_carry(
-    sink, size, block_size, key, executor, method, quantiles, correlator="imanconover"
+    sink,
+    size,
+    block_size,
+    key,
+    executor,
+    method,
+    quantiles,
+    correlator="imanconover",
+    control_node=None,
 ):
     """One randomised stream's raw moment carry (device values).
 
@@ -370,7 +455,13 @@ def _estimate_carry(
     loops and size sweeps hit one compiled program.
     """
     plan, run = _block_program(
-        sink, block_size, executor, method, total_size=size, correlator=correlator
+        sink,
+        block_size,
+        executor,
+        method,
+        total_size=size,
+        correlator=correlator,
+        extra=control_node,
     )
     if plan.finalizers.get(sink._id) is not None:
         # e.g. a string-valued DiscreteDistribution: its device output is
@@ -410,6 +501,7 @@ def _estimate_carry(
         method,
         lhs_total,
         _compile.correlator_token(_compile.resolve_correlator(correlator)),
+        None if control_node is None else control_node._id,
         jnp.dtype(_config.float_dtype()).name,
         _compile._active_mesh_key(),
     )
@@ -542,18 +634,62 @@ def _estimate_carry(
                 out.append((a + frac * (b - a)) * cntf)
             return jnp.stack(out)
 
-        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum):
-            n_prev, mean, m2, vmin, vmax, finite, qsum = carry
+        zero = jnp.float32(0.0)
+
+        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl):
+            n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy = carry
+            bmy, bm2y, bcxy = bctl
             delta = bm - mean
+            delta_y = bmy - my
             nn = n_prev + bn
+            w = n_prev * bn / nn
             mean = mean + delta * bn / nn
-            m2 = m2 + bm2 + delta * delta * n_prev * bn / nn
+            m2 = m2 + bm2 + delta * delta * w
+            # Bivariate Chan merge: the cross co-moment picks up the same
+            # between-part correction with delta_x * delta_y.
+            my = my + delta_y * bn / nn
+            m2y = m2y + bm2y + delta_y * delta_y * w
+            cxy = cxy + bcxy + delta * delta_y * w
             vmin = jnp.minimum(vmin, bmin)
             vmax = jnp.maximum(vmax, bmax)
-            return nn, mean, m2, vmin, vmax, finite & bfinite, qsum + bqsum
+            return (
+                nn,
+                mean,
+                m2,
+                vmin,
+                vmax,
+                finite & bfinite,
+                qsum + bqsum,
+                my,
+                m2y,
+                cxy,
+            )
+
+        def ctl_full(x, y, bm):
+            if y is None:
+                return (zero, zero, zero)
+            y = y.astype(jnp.float32)
+            bmy = jnp.mean(y)
+            return (
+                bmy,
+                jnp.sum(jnp.square(y - bmy)),
+                jnp.sum((x - bm) * (y - bmy)),
+            )
+
+        def ctl_partial(x, y, mask, cntf, bm):
+            if y is None:
+                return (zero, zero, zero)
+            y = y.astype(jnp.float32)
+            bmy = jnp.sum(jnp.where(mask, y, 0.0)) / cntf
+            return (
+                bmy,
+                jnp.sum(jnp.where(mask, jnp.square(y - bmy), 0.0)),
+                jnp.sum(jnp.where(mask, (x - bm) * (y - bmy), 0.0)),
+            )
 
         def body(b, carry):
-            x = run(b, key).astype(jnp.float32)
+            x, y = run(b, key)
+            x = x.astype(jnp.float32)
             bn = jnp.float32(block_size)
             bm = jnp.mean(x)
             bm2 = jnp.sum(jnp.square(x - bm))
@@ -566,22 +702,27 @@ def _estimate_carry(
                 jnp.max(x),
                 jnp.all(jnp.isfinite(x)),
                 qsum_full(x),
+                ctl_full(x, y, bm),
             )
 
         init = (
-            jnp.float32(0.0),
-            jnp.float32(0.0),
-            jnp.float32(0.0),
+            zero,
+            zero,
+            zero,
             jnp.float32(jnp.inf),
             jnp.float32(-jnp.inf),
             jnp.bool_(True),
             jnp.zeros((len(quantiles),), jnp.float32),
+            zero,
+            zero,
+            zero,
         )
         nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
         carry = jax.lax.fori_loop(0, nb1, body, init)
 
         cnt = jnp.asarray(last_count, jnp.int32)
-        x = run(nb1, key).astype(jnp.float32)
+        x, y = run(nb1, key)
+        x = x.astype(jnp.float32)
         mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
         cntf = cnt.astype(jnp.float32)
         bm = jnp.sum(jnp.where(mask, x, 0.0)) / cntf
@@ -595,6 +736,7 @@ def _estimate_carry(
             jnp.max(jnp.where(mask, x, jnp.float32(-jnp.inf))),
             jnp.all(jnp.where(mask, jnp.isfinite(x), True)),
             qsum_partial(x, mask, cnt),
+            ctl_partial(x, y, mask, cntf, bm),
         )
 
     if len(_ESTIMATE_CACHE) > 32:
@@ -603,8 +745,35 @@ def _estimate_carry(
     return all_blocks(key, n_blocks, last_count)
 
 
-def _finalize_estimate(carry, size, quantiles):
-    total_, mean_, m2_, vmin_, vmax_, finite_, qsum_ = jax.device_get(carry)
+def _control_adjust(mx, m2x, my, m2y, cxy, mu):
+    """(adjusted mean, variance-reduction factor 1-rho^2, beta, rho).
+
+    Classic regression control variate: ``mean - beta * (my - mu)`` with
+    the empirically optimal ``beta = Cov(x,y)/Var(y)``; the mean's
+    variance shrinks by ``1 - rho^2``.
+    """
+    if m2y <= 0.0:
+        return mx, 1.0, 0.0, 0.0
+    beta = cxy / m2y
+    rho2 = (cxy * cxy) / (m2x * m2y) if m2x > 0.0 else 0.0
+    rho2 = min(rho2, 1.0)
+    rho = (rho2**0.5) if cxy >= 0 else -(rho2**0.5)
+    return mx - beta * (my - mu), 1.0 - rho2, beta, rho
+
+
+def _finalize_estimate(carry, size, quantiles, control_mu=None):
+    (
+        total_,
+        mean_,
+        m2_,
+        vmin_,
+        vmax_,
+        finite_,
+        qsum_,
+        my_,
+        m2y_,
+        cxy_,
+    ) = jax.device_get(carry)
     total, mean, m2, vmin, vmax = (
         float(total_),
         float(mean_),
@@ -626,6 +795,18 @@ def _finalize_estimate(carry, size, quantiles):
         "min": vmin,
         "max": vmax,
     }
+    if control_mu is not None:
+        adj, factor, beta, rho = _control_adjust(
+            mean, m2, float(my_), float(m2y_), float(cxy_), control_mu
+        )
+        # var/std/min/max/quantiles remain properties of the OUTPUT
+        # distribution; the control variate improves only the estimator
+        # of the mean.
+        stats["mean"] = adj
+        stats["sem"] = stats["sem"] * factor**0.5
+        stats["control_beta"] = beta
+        stats["control_rho"] = rho
+        stats["control_mean"] = float(my_)
     for level, qs in zip(quantiles, np.asarray(qsum_, np.float64)):
         stats[f"q{level:g}"] = float(qs / total)
     return stats

@@ -723,3 +723,85 @@ class TestStreamingCorrelatorParam:
                 executor="pallas",
                 correlator=StudentTCopula(df=3),
             )
+
+
+class TestControlVariates:
+    def _model(self):
+        from probabilit_tpu.models.graph import Exp
+
+        z = Distribution("norm")
+        noise = Distribution("norm", loc=0, scale=2.0)
+        return Exp(0.3 * z) + noise, noise, float(np.exp(0.3**2 / 2))
+
+    def test_sem_reduction_and_unbiasedness(self):
+        model, noise, true_mean = self._model()
+        plain = streaming.estimate(model, 65536, block_size=8192, random_state=0)
+        cv = streaming.estimate(
+            model, 65536, block_size=8192, random_state=0, control=(noise, 0.0)
+        )
+        # The noise term dominates the variance (rho ~ 0.99): controlling
+        # on it must shrink the error bar several-fold and leave the
+        # estimate consistent with the truth at its own scale.
+        assert cv["sem"] < 0.3 * plain["sem"]
+        assert abs(cv["mean"] - true_mean) < 5 * cv["sem"] + 1e-3
+        assert cv["control_beta"] == pytest.approx(1.0, abs=0.05)
+        assert abs(cv["control_rho"]) > 0.9
+        # var/std/min/max stay distribution properties, not estimator ones.
+        assert cv["std"] == pytest.approx(plain["std"], abs=1e-9)
+        assert cv["min"] == plain["min"] and cv["max"] == plain["max"]
+
+    def test_composes_with_replicates(self):
+        model, noise, true_mean = self._model()
+        cvr = streaming.estimate(
+            model,
+            65536,
+            block_size=8192,
+            random_state=0,
+            control=(noise, 0.0),
+            replicates=4,
+        )
+        assert cvr["replicates"] == 4
+        assert abs(cvr["mean"] - true_mean) < 6 * cvr["sem"] + 2e-3
+        # The replicate sem prices the ADJUSTED estimator: far below the
+        # raw model noise sigma/sqrt(n) ~ 0.0079.
+        assert cvr["sem"] < 0.004
+
+    def test_quantiles_unaffected_by_control(self):
+        model, noise, _ = self._model()
+        q = (0.5, 0.9)
+        a = streaming.estimate(
+            model, 32768, block_size=8192, random_state=1, quantiles=q
+        )
+        b = streaming.estimate(
+            model,
+            32768,
+            block_size=8192,
+            random_state=1,
+            quantiles=q,
+            control=(noise, 0.0),
+        )
+        assert a["q0.5"] == b["q0.5"] and a["q0.9"] == b["q0.9"]
+
+    def test_validation(self):
+        model, noise, _ = self._model()
+        with pytest.raises(ValueError, match="part of the estimated graph"):
+            streaming.estimate(
+                model, 100, block_size=64, control=(Distribution("norm"), 0.0)
+            )
+        with pytest.raises(ValueError, match="pair"):
+            streaming.estimate(model, 100, block_size=64, control=noise)
+        with pytest.raises(ValueError, match="graph node"):
+            streaming.estimate(model, 100, block_size=64, control=(3.0, 0.0))
+
+    def test_uncorrelated_control_is_harmless(self):
+        # A control with ~zero correlation must not corrupt the estimate:
+        # beta ~ 0 and the mean stays the plain-MC value.
+        a = Distribution("norm", loc=5.0)
+        b = Distribution("uniform")
+        model = a + 0.0 * b
+        plain = streaming.estimate(model, 32768, block_size=8192, random_state=2)
+        cv = streaming.estimate(
+            model, 32768, block_size=8192, random_state=2, control=(b, 0.5)
+        )
+        assert abs(cv["control_beta"]) < 0.1
+        assert cv["mean"] == pytest.approx(plain["mean"], abs=0.01)
