@@ -308,6 +308,69 @@ def bench_correlated_50(n=100_000_000, repeats=2):
     return results
 
 
+def bench_dependence(n=100_000_000):
+    """Round-3 dependence extensions at 1e8 draws (XLA path).
+
+    (1) the 50-node correlated DAG with the StudentTCopula correlator:
+    the Gaussian recoloring plus one chi2 ppf (safeguarded-Newton
+    gammaincinv) and a t CDF over the correlated rows; (2) a
+    Clayton-copula loss pair via frailty sampling + QuantileTransform.
+    """
+    import jax.numpy as jnp
+
+    from probabilit_tpu import ClaytonCopula, QuantileTransform
+    from probabilit_tpu.correlation import StudentTCopula
+    from probabilit_tpu.models import benchmarks
+
+    out = {}
+
+    from probabilit_tpu.engine import streaming
+
+    sink = benchmarks.mixed_correlated_50()
+
+    # Streamed: the K=10 correlated single-shot at 1e8 sits right at the
+    # 16 GB HBM edge (10 correlated columns must coexist with the t CDF
+    # loop state; measured 16.02 of 15.75 GB), so the supported shape for
+    # big t-copula runs is the block stream — any size, O(block) memory.
+    def run_t(seed):
+        return streaming.estimate(
+            sink,
+            n,
+            block_size=1 << 24,
+            random_state=seed,
+            executor="xla",
+            correlator=StudentTCopula(df=4),
+        )["mean"]
+
+    t0 = time.perf_counter()
+    run_t(0)
+    log(f"tcopula-50 [streamed] compile+first: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    run_t(1)
+    dt = time.perf_counter() - t0
+    log(f"tcopula-50 [streamed] run: {dt * 1e3:.0f} ms -> {n / dt / 1e9:.3f} G/s")
+    out["tcopula_50node_1e8_streamed_ms"] = dt * 1e3
+
+    u1, u2 = ClaytonCopula(theta=2.0)
+    loss = QuantileTransform(u1, "lognorm", s=0.25) + QuantileTransform(
+        u2, "expon", scale=0.5
+    )
+
+    def run_c(seed):
+        s = loss.sample(n, random_state=seed, gc_strategy=[])
+        return float(jnp.mean(s))
+
+    t0 = time.perf_counter()
+    run_c(0)
+    log(f"clayton-pair compile+first: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    run_c(1)
+    dt = time.perf_counter() - t0
+    log(f"clayton-pair run: {dt * 1e3:.0f} ms -> {n / dt / 1e9:.3f} G/s")
+    out["clayton_pair_1e8_ms"] = dt * 1e3
+    return out
+
+
 def bench_streaming_1e9():
     """Full 1e9-draw estimation with a streamed p95 (single dispatch).
 
@@ -441,6 +504,8 @@ def main():
     _release_device_memory()
     corr50 = bench_correlated_50()
     _release_device_memory()
+    dependence = bench_dependence()
+    _release_device_memory()
     table_ns = bench_large_table()
     _release_device_memory()
     sobol_ms = bench_sobol_indices()
@@ -465,6 +530,7 @@ def main():
                     "streaming_size_sweep_3e8_s": sweep_s,
                     "large_table_471knot_ns_per_sample": table_ns,
                     "sobol_indices_20node_10x1m_ms": sobol_ms,
+                    **dependence,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
                     "target_imanconover_ms": 100.0,

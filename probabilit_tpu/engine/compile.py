@@ -378,9 +378,10 @@ def build_body(plan, correlator_cls, keep_ids, check_finite=True, generated_ok=F
 
                 gaussian = getattr(type(instance), "gaussian_scores", True)
                 if not gaussian:
-                    # Mixed-score copula: one shared mixing draw scales
-                    # every score row, then the copula's own CDF maps
-                    # scores to correlated uniforms.  score_emit's
+                    # Mixed-score copula: one shared mixing draw, then
+                    # ONE lax.map body converts score rows to uniforms
+                    # (see ops/correlation._copula_uniforms for the
+                    # compile-time and HBM rationale).  score_emit's
                     # closed-form ppf(Phi(y)) shortcuts assume Gaussian
                     # scores, so they are skipped wholesale.
                     u_rows = clamp_open_unit(instance._copula_uniforms(y, w_key))

@@ -282,7 +282,9 @@ class Node(abc.ABC):
         last is this framework's own variance-reduction extension —
         adjacent rows pair (u, 1-u), see ``ops/qmc.antithetic``),
         ``correlator`` a name
-        or Correlator class, ``gc_strategy`` None (keep everything) or a list
+        ("imanconover"/"cholesky"/"tcopula"), a Correlator class, or a
+        configured instance (e.g. ``StudentTCopula(df=3)``),
+        ``gc_strategy`` None (keep everything) or a list
         of nodes to keep in addition to the sink.  The extra keyword
         ``executor="pallas"`` opts into the single-megakernel fast path
         (see ``engine/pallas_exec.py``).

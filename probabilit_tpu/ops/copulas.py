@@ -118,8 +118,17 @@ def sample(family, key, shape, theta, dtype):
     E = _exp1(ke, (n, d), dtype)
     if family == "clayton":
         # V ~ Gamma(1/theta); psi(t) = (1+t)^(-1/theta) via exp/log1p so
-        # theta near 0 (weak dependence) stays accurate.
-        V = jax.random.gamma(kv, 1.0 / theta, (n, 1), dtype)
+        # theta near 0 (weak dependence) stays accurate.  Half-integer
+        # shapes (theta = 2/k) take the exact loop-free chi-square
+        # decomposition — jax.random.gamma's rejection while_loop runs
+        # HBM-bound at large n (measured 1.34 s at 1e8 on v5e).
+        alpha = 1.0 / theta
+        if (2.0 * alpha).is_integer() and 1.0 <= 2.0 * alpha <= 128.0:
+            from probabilit_tpu.ops.special import chi2_draws
+
+            V = 0.5 * chi2_draws(kv, 2.0 * alpha, n, dtype)[:, None]
+        else:
+            V = jax.random.gamma(kv, alpha, (n, 1), dtype)
         V = jnp.maximum(V, jnp.finfo(dtype).tiny)
         u = jnp.exp(-jnp.log1p(E / V) / theta)
     elif family == "gumbel":

@@ -290,10 +290,36 @@ class ImanConover(Correlator):
         return y
 
     def _copula_uniforms(self, y, w_key=None):
-        """Map recolored scores to correlated uniform quantiles."""
+        """(K, N) recolored scores -> correlated uniform quantiles.
+
+        One ``lax.map`` over score rows: the row body (a ~40-term
+        unrolled continued fraction for StudentTCopula) is emitted ONCE
+        and iterated, not cloned per row — K inlined clones multiplied
+        the t-copula program's remote compile time several-fold, and
+        row-at-a-time evaluation also bounds live loop state to one
+        row's worth (the all-at-once (K, N) t CDF ran a v5e out of HBM
+        at K=10, N=1e8).
+        """
+        y = jnp.asarray(y)
+        mix = self._mix_state(y.shape[-1], y.dtype, w_key)
+        return jax.lax.map(lambda row: self._copula_uniform_row(row, mix), y)
+
+    def _mix_state(self, n, dtype, w_key=None):
+        """Shared per-observation state for row-wise uniform conversion.
+
+        None here (the Gaussian copula needs no mixing); StudentTCopula
+        returns its (n,) chi(df)/sqrt(df) scale ONCE so the engine can
+        convert score rows one at a time — a (K, n) all-at-once t CDF
+        at n=1e8 held K times the continued-fraction loop state and ran
+        out of HBM.
+        """
+        return None
+
+    def _copula_uniform_row(self, y_row, mix):
+        """One score row -> correlated uniforms, given ``_mix_state``."""
         from probabilit_tpu.ops import special as _special
 
-        return _special.ndtr_fast(y)
+        return _special.ndtr_fast(y_row)
 
     def _apply(self, X):
         """Standard (N, K) layout entry; work happens in ``_apply_rows``."""
@@ -575,6 +601,14 @@ class StudentTCopula(ImanConover):
     copula (true for all elliptical copulas), so rank agreement with
     ``ImanConover`` at equal targets is testable; Pearson correlations
     of transformed marginals drift slightly with small ``df``.
+
+    Memory shape note: a single-shot engine run holds all K correlated
+    columns plus the t-CDF conversion live at once, which exhausts a
+    16 GB chip near ``n * K ~ 1e9`` (measured: K=10 at n=1e8 does not
+    fit).  Big t-copula runs go through the streaming entry points
+    (``estimate``/``sample_streaming`` with ``correlator=...``) — any
+    size, O(block) memory, measured 1e8 draws of a 50-node/K=10 DAG in
+    ~1.5 s on v5e.
     """
 
     gaussian_scores = False
@@ -591,25 +625,25 @@ class StudentTCopula(ImanConover):
         return (type(self).__qualname__, self.df, self.ties, self.seed)
 
     def _mix_scale(self, n, dtype, w_key=None):
-        """(n,) mixing scales sqrt(W/df), W ~ chi2(df) via gammaincinv."""
-        from probabilit_tpu.ops import special as _special
-        from probabilit_tpu.ops.qmc import clamp_open_unit
+        """(n,) mixing scales sqrt(W/df), W ~ chi2(df) (``chi2_draws``)."""
+        from probabilit_tpu.ops.special import chi2_draws
 
         if w_key is None:
             w_key = jax.random.PRNGKey(self.seed)
-        u = clamp_open_unit(jax.random.uniform(w_key, (n,), dtype=dtype))
-        half_df = jnp.asarray(0.5 * self.df, dtype)
-        w = 2.0 * _special.gammaincinv(half_df, u)
+        w = chi2_draws(w_key, self.df, n, dtype)
         return jnp.sqrt(w / jnp.asarray(self.df, dtype))
 
     def _mix_scores(self, y, w_key=None):
         y = jnp.asarray(y)
         return y / self._mix_scale(y.shape[1], y.dtype, w_key)[None, :]
 
-    def _copula_uniforms(self, y, w_key=None):
+    def _mix_state(self, n, dtype, w_key=None):
+        return self._mix_scale(n, dtype, w_key)
+
+    def _copula_uniform_row(self, y_row, mix):
         from probabilit_tpu.ops import special as _special
 
-        t = self._mix_scores(y, w_key)
+        t = jnp.asarray(y_row) / mix
         return _special.t_cdf(t, jnp.asarray(self.df, t.dtype))
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "erfinv_f32",
     "expm1_safe",
     "t_cdf",
+    "chi2_draws",
     "gammaincinv",
     "gammainccinv",
     "betaincinv",
@@ -240,8 +241,48 @@ def t_cdf(x, df):
     x = x.astype(dtype)
     df = jnp.asarray(df, dtype)
     z = df / (df + x * x)
-    tail = 0.5 * _betainc_impl()(0.5 * df, jnp.asarray(0.5, dtype), z)
+    # float32 uses the in-house Lentz continued fraction: identical
+    # accuracy to jax.scipy.betainc at these (a, 1/2) shapes (measured
+    # equal to 1e-7) but a fraction of its loop-carry footprint — the
+    # t-copula path evaluates this over 1e8-element score rows, where
+    # jax.scipy's carries ran a v5e out of HBM.  float64 keeps
+    # jax.scipy's implementation (1e-14 vs the kernel's f32-tuned trips).
+    if dtype == jnp.float32:
+        tail = 0.5 * betainc_kernel(
+            0.5 * df, jnp.asarray(0.5, dtype), z, fused=not _IN_KERNEL
+        )
+    else:
+        tail = 0.5 * _betainc_impl()(0.5 * df, jnp.asarray(0.5, dtype), z)
     return jnp.where(x >= 0, 1.0 - tail, tail)
+
+
+def chi2_draws(key, df, n, dtype):
+    """(n,) chi-square(df) draws (t-copula / gamma-frailty mixing).
+
+    Integer df uses the exact loop-free decomposition
+    ``chi2(2k + r) = -2 log(U_1 ... U_k) + r Z^2`` — one fused
+    elementwise pass over k uniforms (+ one normal when df is odd).
+    The alternative, the safeguarded-Newton ``gammaincinv`` ppf, is
+    exact for any df but its while_loop round-trips every carry through
+    HBM per Newton step: measured 8.6 s at 1e8 draws on v5e vs ~0.1 s
+    for the decomposition.  Fractional df keeps the exact ppf route.
+    """
+    from probabilit_tpu.ops.qmc import clamp_open_unit
+
+    fdf = float(df)
+    if fdf.is_integer() and 1.0 <= fdf <= 128.0:
+        k, r = divmod(int(fdf), 2)
+        ku, kz = jax.random.split(key)
+        w = jnp.zeros((n,), dtype)
+        if k:
+            u = clamp_open_unit(jax.random.uniform(ku, (k, n), dtype=dtype))
+            w = -2.0 * jnp.sum(jnp.log(u), axis=0)
+        if r:
+            z = jax.random.normal(kz, (n,), dtype)
+            w = w + z * z
+        return jnp.maximum(w, jnp.finfo(dtype).tiny)
+    u = clamp_open_unit(jax.random.uniform(key, (n,), dtype=dtype))
+    return 2.0 * gammaincinv(jnp.asarray(0.5 * fdf, dtype), u)
 
 
 def expm1_safe(x):
@@ -431,12 +472,50 @@ def _betacf(a, b, x, iters=40):
     return h
 
 
-def betainc_kernel(a, b, x):
+def _betacf_fused(a, b, x, iters=40):
+    """``_betacf`` with the Lentz recurrence unrolled into one fusion.
+
+    A ``fori_loop`` body cannot fuse across iterations: every trip
+    round-trips its (c, d, h) carries through HBM, so at 1e8 elements
+    the 40-trip loop moves ~200 GB and runs bandwidth-bound (measured
+    370 ms for a t CDF).  Unrolled, XLA emits ONE elementwise kernel —
+    read x once, write h once — and the same math runs compute-bound.
+    Host-side (traced XLA) use only; Mosaic keeps the rolled loop
+    (long unrolled Mosaic bodies degrade ~36x, BASELINE.md).
+    """
+    tiny = jnp.asarray(1e-30, x.dtype)
+    qab = a + b
+    qap = a + 1.0
+    qam = a - 1.0
+    c = jnp.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+    h = d
+    for m1 in range(iters):
+        m = float(m1 + 1)
+        two_m = 2.0 * m
+        aa = m * (b - m) * x / ((qam + two_m) * (a + two_m))
+        d = 1.0 + aa * d
+        d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = jnp.where(jnp.abs(c) < tiny, tiny, c)
+        h = h * d * c
+        aa = -(a + m) * (qab + m) * x / ((a + two_m) * (qap + two_m))
+        d = 1.0 + aa * d
+        d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = jnp.where(jnp.abs(c) < tiny, tiny, c)
+        h = h * d * c
+    return h
+
+
+def betainc_kernel(a, b, x, fused=False):
     """Regularized incomplete beta I_x(a, b), Mosaic-safe.
 
     Standard symmetry split at x = (a+1)/(a+b+2); both continued
     fractions evaluated and selected elementwise.  Sized for a, b in
-    (0, ~30].
+    (0, ~30].  ``fused=True`` unrolls the Lentz recurrence into one
+    elementwise fusion (host-side XLA only — see ``_betacf_fused``).
     """
     dtype = jnp.result_type(a, b, x, jnp.float32)
     a = jnp.asarray(a, dtype)
@@ -452,8 +531,9 @@ def betainc_kernel(a, b, x):
         + b * jnp.log1p(-xc)
     )
     bt = jnp.exp(log_bt)
-    direct = bt * _betacf(a, b, xc) / a
-    flipped = 1.0 - bt * _betacf(b, a, 1.0 - xc) / b
+    cf = _betacf_fused if fused else _betacf
+    direct = bt * cf(a, b, xc) / a
+    flipped = 1.0 - bt * cf(b, a, 1.0 - xc) / b
     p = jnp.where(xc < (a + 1.0) / (a + b + 2.0), direct, flipped)
     p = jnp.where(x <= 0.0, 0.0, p)
     p = jnp.where(x >= 1.0, 1.0, p)
