@@ -376,13 +376,25 @@ class SobolIndices:
     (may fall slightly outside [0, 1] at small sizes).
     """
 
-    def __init__(self, variables, first_order, total_order, mean, variance, size):
+    def __init__(
+        self,
+        variables,
+        first_order,
+        total_order,
+        mean,
+        variance,
+        size,
+        second_order=None,
+    ):
         self.variables = list(variables)
         self.first_order = dict(zip(variables, first_order))
         self.total_order = dict(zip(variables, total_order))
         self.mean = mean
         self.variance = variance
         self.size = size
+        # Pure pairwise interactions S_ij, keyed by BOTH (a, b) and
+        # (b, a); None unless requested (second_order=True).
+        self.second_order = second_order
 
     def __getitem__(self, node):
         return (self.first_order[node], self.total_order[node])
@@ -393,7 +405,17 @@ class SobolIndices:
             f"ST={self.total_order[node]:.4f}"
             for node in self.variables
         )
-        return f"SobolIndices(variance={self.variance:.6g}, {rows})"
+        extra = ""
+        if self.second_order:
+            seen, parts = set(), []
+            for (a, b), v in self.second_order.items():
+                key = frozenset((id(a), id(b)))
+                if key in seen:
+                    continue
+                seen.add(key)
+                parts.append(f"S({a!r},{b!r})={v:.4f}")
+            extra = ", " + ", ".join(parts)
+        return f"SobolIndices(variance={self.variance:.6g}, {rows}{extra})"
 
 
 def sobol_indices(
@@ -402,6 +424,7 @@ def sobol_indices(
     size=8192,
     random_state=None,
     method="sobol",
+    second_order=False,
 ):
     """Variance-based global sensitivity of ``sink`` to its variables.
 
@@ -437,6 +460,15 @@ def sobol_indices(
         Base-matrix generator.  QMC (default) pairs A and B as the first
         and second halves of one 2d-dimensional low-discrepancy sequence;
         ``None`` uses independent PRNG uniforms.
+    second_order : bool
+        Also estimate the pure pairwise interactions ``S_ij`` (Saltelli
+        2002 closed-pair design: k(k-1)/2 extra frozen matrices join the
+        SAME batched program, so total evaluations become
+        ``(2 + k + k(k-1)/2) * size``).  ``result.second_order[(a, b)]``
+        is the variance fraction of the i-j interaction ALONE
+        (``S_ij^closed - S_i - S_j``); as a difference of three Monte
+        Carlo estimates it is noisier than S/ST — prefer QMC and
+        size >= 2^13 for interactions below ~0.05.
 
     >>> import probabilit_tpu as pt
     >>> a = pt.Distribution("norm", loc=0.0, scale=2.0)
@@ -486,14 +518,34 @@ def sobol_indices(
         raise ValueError(f"size={size} is too small to estimate variances.")
     method_name = None if method is None else str(method).lower().strip()
 
-    fn = _build_sobol_fn(plan, cols, size, method_name)
+    pair_positions = ()
+    if second_order:
+        k = len(cols)
+        if k < 2:
+            raise ValueError(
+                "second_order needs at least two variables to interact."
+            )
+        pair_positions = tuple(
+            (i, j) for i in range(k) for j in range(i + 1, k)
+        )
+
+    fn = _build_sobol_fn(plan, cols, size, method_name, pair_positions)
     key = resolve_key(random_state)
-    mean, variance, first, total = (np.asarray(v, np.float64) for v in fn(key))
+    mean, variance, first, total, closed = (
+        np.asarray(v, np.float64) for v in fn(key)
+    )
     if not np.isfinite(variance) or variance <= 0.0:
         raise FloatingPointError(
             f"Sink variance estimate is {variance}; Sobol' indices are "
             "undefined for a constant (or non-finite) quantity."
         )
+    second = None
+    if second_order:
+        second = {}
+        for (i, j), c in zip(pair_positions, closed):
+            s_ij = float(c - first[i] - first[j])
+            second[(variables[i], variables[j])] = s_ij
+            second[(variables[j], variables[i])] = s_ij
     return SobolIndices(
         variables,
         [float(s) for s in first],
@@ -501,11 +553,12 @@ def sobol_indices(
         float(mean),
         float(variance),
         size,
+        second_order=second,
     )
 
 
-def _build_sobol_fn(plan, cols, size, method_name):
-    """Jitted ``key -> (mean, var, S, ST)`` pick-freeze program."""
+def _build_sobol_fn(plan, cols, size, method_name, pair_positions=()):
+    """Jitted ``key -> (mean, var, S, ST, closed_pairs)`` pick-freeze program."""
     from probabilit_tpu.ops import qmc as _qmc
     from probabilit_tpu.parallel import mesh as _par_mesh
 
@@ -514,6 +567,7 @@ def _build_sobol_fn(plan, cols, size, method_name):
         cols,
         size,
         method_name,
+        pair_positions,
         jnp.dtype(config.float_dtype()).name,
         _compile._active_mesh_key(),
     )
@@ -550,22 +604,44 @@ def _build_sobol_fn(plan, cols, size, method_name):
         # (k, size, d): copy i replaces variable i's column with B's.
         hot = jnp.zeros((k, 1, d), dtype).at[jnp.arange(k), 0, col_idx].set(1.0)
         AB_i = A[None, :, :] * (1.0 - hot) + B[None, :, :] * hot
-        stacked = jnp.concatenate([A[None], B[None], AB_i], axis=0)
-        stacked = stacked.reshape((2 + k) * size, d)
+        parts = [A[None], B[None], AB_i]
+        n_pairs = len(pair_positions)
+        if n_pairs:
+            # Saltelli-2002 closed pairs: A with BOTH columns of the
+            # pair taken from B, appended to the same batched program.
+            rows = jnp.asarray(
+                [p for pair in pair_positions for p in pair], jnp.int32
+            )
+            pair_rows = jnp.repeat(jnp.arange(n_pairs, dtype=jnp.int32), 2)
+            hot2 = (
+                jnp.zeros((n_pairs, 1, d), dtype)
+                .at[pair_rows, 0, col_idx[rows]]
+                .set(1.0)
+            )
+            parts.append(A[None, :, :] * (1.0 - hot2) + B[None, :, :] * hot2)
+        stacked = jnp.concatenate(parts, axis=0)
+        stacked = stacked.reshape((2 + k + n_pairs) * size, d)
         if sharding is not None:
             stacked = jax.lax.with_sharding_constraint(stacked, sharding)
         outputs, _ = body(stacked)
         y = outputs[sink_id]
         if not jnp.issubdtype(y.dtype, jnp.inexact):
             y = y.astype(dtype)
-        y = y.reshape(2 + k, size)
-        fA, fB, fAB = y[0], y[1], y[2:]
+        y = y.reshape(2 + k + n_pairs, size)
+        fA, fB, fAB = y[0], y[1], y[2 : 2 + k]
         both = jnp.concatenate([fA, fB])
         mean = jnp.mean(both)
         variance = jnp.var(both, ddof=1)
         first = jnp.mean(fB[None, :] * (fAB - fA[None, :]), axis=1) / variance
         total = 0.5 * jnp.mean((fA[None, :] - fAB) ** 2, axis=1) / variance
-        return mean, variance, first, total
+        if n_pairs:
+            fABij = y[2 + k :]
+            closed = (
+                jnp.mean(fB[None, :] * (fABij - fA[None, :]), axis=1) / variance
+            )
+        else:
+            closed = jnp.zeros((0,), dtype)
+        return mean, variance, first, total, closed
 
     fn = jax.jit(run)
     if len(_SOBOL_CACHE) >= _CACHE_LIMIT:

@@ -191,6 +191,36 @@ class TestSobolIndices:
             assert res.total_order[x] == pytest.approx(tt, abs=0.01)
         assert res.variance == pytest.approx(13.844, rel=0.02)
 
+    def test_second_order_ishigami(self):
+        # The x1-x3 interaction carries ALL of Ishigami's non-additive
+        # variance: S_13 = 8 b^2 pi^8 / (225 V) = 0.2437; S_12 = S_23 = 0.
+        from probabilit_tpu.models.graph import Sin
+
+        pi = np.pi
+        x1, x2, x3 = (
+            pt.Distribution("uniform", loc=-pi, scale=2 * pi) for _ in range(3)
+        )
+        f = Sin(x1) + 7 * Sin(x2) ** 2 + 0.1 * x3**4 * Sin(x1)
+        res = pt.sobol_indices(f, size=16384, random_state=0, second_order=True)
+        assert res.second_order[(x1, x3)] == pytest.approx(0.2437, abs=0.05)
+        assert res.second_order[(x3, x1)] == res.second_order[(x1, x3)]
+        assert abs(res.second_order[(x1, x2)]) < 0.05
+        assert abs(res.second_order[(x2, x3)]) < 0.05
+
+    def test_second_order_additive_is_zero(self):
+        a = pt.Distribution("norm", scale=2.0)
+        b = pt.Distribution("norm")
+        res = pt.sobol_indices(a + b, size=8192, random_state=1, second_order=True)
+        assert abs(res.second_order[(a, b)]) < 0.03
+
+    def test_second_order_default_off_and_validation(self):
+        a = pt.Distribution("norm")
+        b = pt.Distribution("norm")
+        res = pt.sobol_indices(a + b, size=4096, random_state=2)
+        assert res.second_order is None
+        with pytest.raises(ValueError, match="at least two variables"):
+            pt.sobol_indices(a + 0 * b, wrt=[a], size=4096, second_order=True)
+
     def test_interaction_only_model(self):
         # f = a * b with zero-mean factors: all variance is interaction —
         # first-order ~ 0, totals ~ 1.
