@@ -27,6 +27,7 @@ from probabilit_tpu.models.factories import (
 )
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
+from probabilit_tpu.engine.streaming import estimate_many
 
 __version__ = "0.1.0"
 
@@ -43,6 +44,7 @@ __all__ = [
     "plot",
     "sensitivity",
     "sobol_indices",
+    "estimate_many",
     "QuantileTransform",
     "ClaytonCopula",
     "GumbelCopula",

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from probabilit_tpu.engine import compile as _compile
 from probabilit_tpu.engine.sampler import resolve_key
 
-__all__ = ["sample_streaming", "estimate"]
+__all__ = ["sample_streaming", "estimate", "estimate_many"]
 
 _ESTIMATE_CACHE = {}
 
@@ -52,11 +52,13 @@ def _block_program(
     correlator="imanconover",
     extra=None,
 ):
-    """(plan, run): ``run(b, key) -> (sink block, extra block or None)``.
+    """(plan, run): ``run(b, key) -> (sink block, extra block(s) or None)``.
 
-    ``extra`` (a node in the sink's graph) is materialised alongside the
-    sink from the SAME draws — the control-variates path needs the joint
-    stream, not two independent runs.
+    ``extra`` (a node — or tuple of nodes — in the sink's graph) is
+    materialised alongside the sink from the SAME draws: the
+    control-variates path needs the joint stream, and ``estimate_many``
+    needs every requested node per block; neither can come from two
+    independent runs.
 
     ``executor="auto"`` picks the Pallas megakernel when the graph is
     eligible (fastest path, hardware PRNG stream); "xla" forces the
@@ -84,19 +86,22 @@ def _block_program(
             "(per-block recoloring) or a single-shot sample()."
         )
     keep = frozenset({sink._id})
-    if extra is not None:
-        if not any(node is extra for node in plan.topo):
+    single_extra = extra is not None and not isinstance(extra, (tuple, list))
+    extras = () if extra is None else (extra,) if single_extra else tuple(extra)
+    for requested in extras:
+        if not any(node is requested for node in plan.topo):
             raise ValueError(
                 "The control node must be part of the estimated graph "
                 "(an ancestor of the sink, sharing its draws)."
             )
-        keep = keep | {extra._id}
+    keep = keep | {node._id for node in extras}
 
     def _pair(outputs):
-        return (
-            outputs[sink._id],
-            None if extra is None else outputs[extra._id],
-        )
+        if extra is None:
+            return (outputs[sink._id], None)
+        if single_extra:
+            return (outputs[sink._id], outputs[extras[0]._id])
+        return (outputs[sink._id], tuple(outputs[n._id] for n in extras))
 
     if method is not None:
         from probabilit_tpu import config
@@ -810,3 +815,183 @@ def _finalize_estimate(carry, size, quantiles, control_mu=None):
     for level, qs in zip(quantiles, np.asarray(qsum_, np.float64)):
         stats[f"q{level:g}"] = float(qs / total)
     return stats
+
+
+_MANY_CACHE = {}
+
+
+def estimate_many(
+    nodes,
+    size,
+    block_size=16_777_216,
+    random_state=None,
+    executor="auto",
+    method=None,
+    correlator="imanconover",
+):
+    """One-pass streamed moments for SEVERAL nodes of one model.
+
+    Returns ``{node: {n, mean, var, std, sem, min, max}}`` where every
+    node's statistics come from the SAME joint draws — a portfolio's
+    desks and its total, say, all consistent with each other.  Running
+    ``estimate()`` per node cannot do this (each sink gets its own
+    column layout and therefore its own randomness), and the reference
+    cannot do it at streaming sizes at all (it must materialise every
+    node's samples).  One compiled program, one pass over the draws,
+    O(block) memory; carries are (M,)-vector Chan merges, so cost is
+    independent of how many nodes are watched.
+
+    ``sem`` is the iid formula per node (see ``estimate``); quantiles,
+    replicates, and control variates remain single-sink features.
+    """
+    from probabilit_tpu import config as _config
+    from probabilit_tpu.models.graph import Node, NoOp
+
+    nodes = list(nodes)
+    if not nodes:
+        raise ValueError("estimate_many needs at least one node.")
+    seen = set()
+    for node in nodes:
+        if not isinstance(node, Node):
+            raise ValueError(f"estimate_many takes graph nodes, got {node!r}.")
+        if node._id in seen:
+            raise ValueError(f"{node!r} appears twice.")
+        seen.add(node._id)
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}.")
+    key = resolve_key(random_state)
+    n_blocks = -(-size // block_size)
+    last_count = size - (n_blocks - 1) * block_size
+    m = len(nodes)
+
+    lhs_total = (
+        size if method is not None and method.lower().strip() == "lhs" else None
+    )
+    from probabilit_tpu.models import graph as _graph
+
+    cache_key = (
+        tuple(node._id for node in nodes),
+        # Graph mutations (a later correlate(), say) must not hit a
+        # stale compiled program; the coarse global epoch is the same
+        # signal the per-sink Plan cache uses (models/graph.py).
+        _graph.Node._mutation_epoch,
+        block_size,
+        executor,
+        method,
+        lhs_total,
+        _compile.correlator_token(_compile.resolve_correlator(correlator)),
+        jnp.dtype(_config.float_dtype()).name,
+        _compile._active_mesh_key(),
+    )
+    cached = _MANY_CACHE.get(cache_key)
+    if cached is not None:
+        return _finalize_many(nodes, cached(key, n_blocks, last_count), size)
+
+    # A NoOp roots all requested nodes in ONE plan (the reference's own
+    # multi-variable trick, inspection.py:35-36); its output is None and
+    # ignored — the block runner returns the kept extras.
+    sink = NoOp(*nodes)
+    plan, run = _block_program(
+        sink,
+        block_size,
+        executor,
+        method,
+        total_size=size,
+        correlator=correlator,
+        extra=tuple(nodes),
+    )
+    for node in nodes:
+        if plan.finalizers.get(node._id) is not None:
+            raise ValueError(
+                f"{node!r} produces non-numeric values (host finalizer); "
+                "estimate_many needs numeric nodes. Use sample_streaming()."
+            )
+
+    @jax.jit
+    def all_blocks(key, n_blocks, last_count):
+        global _TRACE_COUNT
+        _TRACE_COUNT += 1
+
+        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite):
+            n_prev, mean, m2, vmin, vmax, finite = carry
+            delta = bm - mean
+            nn = n_prev + bn
+            w = n_prev * bn / nn
+            mean = mean + delta * bn / nn
+            m2 = m2 + bm2 + delta * delta * w
+            return (
+                nn,
+                mean,
+                m2,
+                jnp.minimum(vmin, bmin),
+                jnp.maximum(vmax, bmax),
+                finite & bfinite,
+            )
+
+        def body(b, carry):
+            _, ys = run(b, key)
+            y = jnp.stack([v.astype(jnp.float32) for v in ys])  # (M, block)
+            bm = jnp.mean(y, axis=1)
+            bm2 = jnp.sum(jnp.square(y - bm[:, None]), axis=1)
+            return merge(
+                carry,
+                jnp.float32(block_size),
+                bm,
+                bm2,
+                jnp.min(y, axis=1),
+                jnp.max(y, axis=1),
+                jnp.all(jnp.isfinite(y)),
+            )
+
+        init = (
+            jnp.float32(0.0),
+            jnp.zeros((m,), jnp.float32),
+            jnp.zeros((m,), jnp.float32),
+            jnp.full((m,), jnp.inf, jnp.float32),
+            jnp.full((m,), -jnp.inf, jnp.float32),
+            jnp.bool_(True),
+        )
+        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(0, nb1, body, init)
+
+        cnt = jnp.asarray(last_count, jnp.int32)
+        _, ys = run(nb1, key)
+        y = jnp.stack([v.astype(jnp.float32) for v in ys])
+        mask = (jnp.arange(block_size, dtype=jnp.int32) < cnt)[None, :]
+        cntf = cnt.astype(jnp.float32)
+        bm = jnp.sum(jnp.where(mask, y, 0.0), axis=1) / cntf
+        bm2 = jnp.sum(jnp.where(mask, jnp.square(y - bm[:, None]), 0.0), axis=1)
+        return merge(
+            carry,
+            cntf,
+            bm,
+            bm2,
+            jnp.min(jnp.where(mask, y, jnp.float32(jnp.inf)), axis=1),
+            jnp.max(jnp.where(mask, y, jnp.float32(-jnp.inf)), axis=1),
+            jnp.all(jnp.where(mask, jnp.isfinite(y), True)),
+        )
+
+    if len(_MANY_CACHE) > 32:
+        _MANY_CACHE.pop(next(iter(_MANY_CACHE)))
+    _MANY_CACHE[cache_key] = all_blocks
+    return _finalize_many(nodes, all_blocks(key, n_blocks, last_count), size)
+
+
+def _finalize_many(nodes, carry, size):
+    total_, mean_, m2_, vmin_, vmax_, finite_ = jax.device_get(carry)
+    if not bool(finite_):
+        raise ValueError("Sampling produced non-finite values.")
+    total = float(total_)
+    out = {}
+    for i, node in enumerate(nodes):
+        var = float(m2_[i]) / total if total else float("nan")
+        out[node] = {
+            "n": size,
+            "mean": float(mean_[i]),
+            "var": var,
+            "std": var**0.5,
+            "sem": (var / total) ** 0.5 if total else float("nan"),
+            "min": float(vmin_[i]),
+            "max": float(vmax_[i]),
+        }
+    return out

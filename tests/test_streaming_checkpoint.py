@@ -805,3 +805,74 @@ class TestControlVariates:
         )
         assert abs(cv["control_beta"]) < 0.1
         assert cv["mean"] == pytest.approx(plain["mean"], abs=0.01)
+
+
+class TestEstimateMany:
+    def test_joint_consistency_and_moments(self):
+        eq = Distribution("lognorm", s=0.25)
+        bo = Distribution("norm", loc=1.02, scale=0.05)
+        total = 0.6 * eq + 0.4 * bo
+        res = streaming.estimate_many(
+            [eq, bo, total], 100_000, block_size=16384, random_state=0
+        )
+        assert np.isclose(res[eq]["mean"], np.exp(0.25**2 / 2), atol=3e-3)
+        assert np.isclose(res[bo]["mean"], 1.02, atol=1e-3)
+        assert np.isclose(res[bo]["std"], 0.05, atol=2e-3)
+        # SAME joint draws: the linear identity holds to float rounding,
+        # which per-node estimate() calls cannot achieve (each sink gets
+        # its own column layout and randomness).
+        lin = 0.6 * res[eq]["mean"] + 0.4 * res[bo]["mean"]
+        assert abs(res[total]["mean"] - lin) < 1e-5
+        for stats in res.values():
+            assert stats["sem"] == pytest.approx(
+                stats["std"] / np.sqrt(stats["n"]), rel=1e-9
+            )
+
+    def test_program_cached_across_calls_and_sizes(self):
+        a = Distribution("norm")
+        b = a * 2
+        streaming.estimate_many([a, b], 1000, block_size=256, random_state=0)
+        count = streaming._TRACE_COUNT
+        res = streaming.estimate_many([a, b], 3000, block_size=256, random_state=1)
+        assert streaming._TRACE_COUNT == count
+        assert res[a]["n"] == 3000
+
+    def test_correlated_model(self):
+        a, b = Distribution("norm"), Distribution("norm")
+        s = a + b
+        s.correlate(a, b, corr_mat=np.array([[1, 0.6], [0.6, 1.0]]))
+        res = streaming.estimate_many(
+            [a, b, s], 200_000, block_size=32768, random_state=2, executor="xla"
+        )
+        assert np.isclose(res[s]["var"], 3.2, atol=0.05)
+        assert np.isclose(res[a]["std"], 1.0, atol=0.02)
+
+    def test_qmc_method(self):
+        a = Distribution("uniform")
+        b = Distribution("norm", loc=3)
+        res = streaming.estimate_many(
+            [a, b], 32768, block_size=8192, random_state=0, method="sobol"
+        )
+        assert np.isclose(res[a]["mean"], 0.5, atol=1e-3)
+        assert np.isclose(res[b]["mean"], 3.0, atol=1e-2)
+
+    def test_validation(self):
+        a = Distribution("norm")
+        with pytest.raises(ValueError, match="at least one"):
+            streaming.estimate_many([], 100)
+        with pytest.raises(ValueError, match="appears twice"):
+            streaming.estimate_many([a, a], 100)
+        with pytest.raises(ValueError, match="graph nodes"):
+            streaming.estimate_many([3.0], 100)
+        from probabilit_tpu.modeling import DiscreteDistribution
+
+        sd = DiscreteDistribution(["a", "b"])
+        with pytest.raises(ValueError, match="non-numeric"):
+            streaming.estimate_many([sd], 100, block_size=64)
+
+    def test_nonfinite_guard(self):
+        from probabilit_tpu.models.graph import Log
+
+        bad = Log(Distribution("norm", loc=-100.0))
+        with pytest.raises(ValueError, match="non-finite"):
+            streaming.estimate_many([bad], 10_000, block_size=4096, random_state=0)
