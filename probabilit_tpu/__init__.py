@@ -28,6 +28,7 @@ from probabilit_tpu.models.factories import (
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
 from probabilit_tpu.engine.streaming import estimate_many
+from probabilit_tpu.models.processes import BrownianMotion, GeometricBrownianMotion
 
 __version__ = "0.1.0"
 
@@ -49,4 +50,6 @@ __all__ = [
     "ClaytonCopula",
     "GumbelCopula",
     "FrankCopula",
+    "BrownianMotion",
+    "GeometricBrownianMotion",
 ]

@@ -140,6 +140,16 @@ class Plan:
             for variable in variables:
                 if variable not in isn_set:
                     raise ValueError(f"Cannot correlate variable: {variable}")
+                if getattr(variable, "_vector_valued", False):
+                    # Copula/path nodes produce (n, d)/(n, steps) arrays;
+                    # the correlator stacks 1-D sample vectors.  Without
+                    # this guard the shape mismatch surfaces as a cryptic
+                    # trace error deep in the correlator.
+                    raise ValueError(
+                        f"Cannot correlate vector-valued node {variable!r}; "
+                        "correlate scalar marginals/functionals of it "
+                        "instead."
+                    )
 
         import itertools
 

@@ -24,6 +24,12 @@ from probabilit_tpu.models.distributions import (  # noqa: F401
 # (modeling.py:261-263), so user code legitimately does
 # ``from probabilit.modeling import ImanConover`` etc.; mirror that.
 from probabilit_tpu.garbage_collector import GarbageCollector  # noqa: F401
+from probabilit_tpu.models.processes import (  # noqa: F401
+    BrownianMotion,
+    GeometricBrownianMotion,
+    PathDistribution,
+    PathFunctional,
+)
 from probabilit_tpu.ops.correlation import Cholesky, ImanConover  # noqa: F401
 from probabilit_tpu.ops.ncm import nearest_correlation_matrix  # noqa: F401
 from probabilit_tpu.utils.helpers import build_corrmat, zip_args  # noqa: F401
@@ -38,6 +44,10 @@ __all__ = list(_graph_all) + [
     "MultivariateDistribution",
     "CopulaDistribution",
     "QuantileTransform",
+    "BrownianMotion",
+    "GeometricBrownianMotion",
+    "PathDistribution",
+    "PathFunctional",
     "GarbageCollector",
     "Cholesky",
     "ImanConover",

@@ -334,6 +334,9 @@ class CopulaDistribution(AbstractDistribution):
     """
 
     is_leaf = True
+    # (n, d)-valued: cannot join a correlate() declaration directly
+    # (engine/compile._analyze_correlations guards on this).
+    _vector_valued = True
 
     def __init__(self, family, theta, d):
         from probabilit_tpu.ops import copulas

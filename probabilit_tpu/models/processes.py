@@ -1,0 +1,271 @@
+"""Stochastic-process nodes: Brownian and geometric-Brownian paths.
+
+Framework extension (the reference models scalar draws only): a path
+node samples an ``(n, steps)`` matrix of discretised process paths —
+cumulative sums of exact Gaussian increments, so every time slice has
+the process's EXACT finite-dimensional distribution (no Euler error for
+these two families) — and path functionals (terminal value, running
+max/min, time average, a time slice) project it back to the scalar
+world where the rest of the modeling language operates.
+
+TPU shape: increments are one ``(n, steps)`` normal draw and the path
+is one associative-scan ``cumsum`` along the time axis; functionals are
+axis reductions.  Everything fuses into the compiled sampling program,
+streams (choose ``block_size`` so ``block * steps * 4`` bytes fits
+comfortably — 2^20 rows x 252 steps is ~1 GB), and shards over a mesh
+like any other node.  Randomness follows the multivariate q[0]-seed
+contract (reference ``modeling.py:808-812``): a path node consumes one
+quantile column and keys its increments from the leading bits.
+
+>>> gbm = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, T=1.0)
+>>> gbm.terminal()
+PathFunctional(GBMPath(s0=100, mu=0.05, sigma=0.2, T=1, steps=252), 'terminal')
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from probabilit_tpu import config
+from probabilit_tpu.models.distributions import AbstractDistribution
+from probabilit_tpu.models.graph import Transform
+
+__all__ = [
+    "BrownianMotion",
+    "GeometricBrownianMotion",
+    "PathDistribution",
+    "PathFunctional",
+]
+
+
+class PathDistribution(AbstractDistribution):
+    """Base path node: ``(n, steps)`` sample paths on a uniform grid.
+
+    Time grid is ``dt, 2*dt, ..., T`` with ``dt = T / steps`` (the start
+    point is the deterministic ``x0``/``s0`` and is not stored).
+    """
+
+    is_leaf = True
+    _vector_valued = True
+
+    def __init__(self, steps, T):
+        steps = int(steps)
+        if steps < 1:
+            raise ValueError(f"steps must be >= 1, got {steps}.")
+        T = float(T)
+        if not T > 0:
+            raise ValueError(f"T must be positive, got {T}.")
+        self.steps = steps
+        self.T = T
+        super().__init__()
+
+    def get_parents(self):
+        return iter(())
+
+    def _rewire(self, update):
+        # Called on the COPY during Node.copy(): drop the (shared, shallow
+        # copied) functional memo — its nodes are parented to the ORIGINAL
+        # path; fresh calls on the copy must build against the copy.
+        self.__dict__.pop("_functional_cache", None)
+
+    def _mv_dim(self):
+        return self.steps
+
+    def _increments(self, key, n, dtype):
+        raise NotImplementedError
+
+    def _emit(self, ctx):
+        from probabilit_tpu.ops import multivariate as mv
+
+        q = ctx.column(self)
+        key = mv._key_from_q(q)
+        dtype = config.float_dtype()
+        return self._path_from_increments(
+            self._increments(key, ctx.n, dtype)
+        )
+
+    # ------------------------------------------------------------------
+    # Functional shortcuts — each returns a scalar-valued graph node.
+    # Memoised per (op, index): repeated ``path.terminal()`` calls give
+    # the SAME node, so ``path.terminal().samples_`` after sampling any
+    # expression built from it behaves the way users expect.
+    # ------------------------------------------------------------------
+    def _functional(self, op, index=None):
+        cache = self.__dict__.setdefault("_functional_cache", {})
+        key = (op, index)
+        if key not in cache:
+            cache[key] = PathFunctional(self, op, index=index)
+        return cache[key]
+
+    def terminal(self):
+        """Value at time T."""
+        return self._functional("terminal")
+
+    def maximum(self):
+        """Running maximum over the grid (discrete-time supremum)."""
+        return self._functional("max")
+
+    def minimum(self):
+        """Running minimum over the grid."""
+        return self._functional("min")
+
+    def average(self):
+        """Time average over the grid (Asian-option payoff ingredient)."""
+        return self._functional("mean")
+
+    def at(self, step):
+        """Value at grid point ``step`` (time ``(step + 1) * T / steps``)."""
+        step = int(step)
+        if not 0 <= step < self.steps:
+            raise ValueError(
+                f"step must be in [0, {self.steps}), got {step}."
+            )
+        return self._functional("at", index=step)
+
+
+class BrownianPath(PathDistribution):
+    """Arithmetic Brownian motion ``x0 + drift*t + diffusion*W_t``.
+
+    Every grid slice is EXACT: increments are iid
+    ``N(drift*dt, diffusion^2*dt)`` and the path is their cumulative
+    sum, so ``at(k) ~ N(x0 + drift*(k+1)dt, diffusion^2*(k+1)dt)``
+    without discretisation error.
+    """
+
+    def __init__(self, x0=0.0, drift=0.0, diffusion=1.0, T=1.0, steps=252):
+        diffusion = float(diffusion)
+        if not diffusion > 0:
+            raise ValueError(f"diffusion must be positive, got {diffusion}.")
+        self.x0 = float(x0)
+        self.drift = float(drift)
+        self.diffusion = diffusion
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"BrownianPath(x0={self.x0:g}, drift={self.drift:g}, "
+            f"diffusion={self.diffusion:g}, T={self.T:g}, steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return (
+            "BrownianPath",
+            self.x0,
+            self.drift,
+            self.diffusion,
+            self.T,
+            self.steps,
+        )
+
+    def _increments(self, key, n, dtype):
+        dt = self.T / self.steps
+        z = jax.random.normal(key, (n, self.steps), dtype)
+        return self.drift * dt + self.diffusion * (dt**0.5) * z
+
+    def _path_from_increments(self, inc):
+        return self.x0 + jnp.cumsum(inc, axis=1)
+
+
+class GBMPath(PathDistribution):
+    """Geometric Brownian motion ``s0 * exp((mu - sigma^2/2) t + sigma W_t)``.
+
+    Exact in distribution at every grid slice (the log-path is a
+    Brownian cumulative sum), so ``terminal()`` is exactly lognormal
+    with ``E[S_T] = s0 * exp(mu T)``.
+    """
+
+    def __init__(self, s0=1.0, mu=0.0, sigma=0.2, T=1.0, steps=252):
+        s0 = float(s0)
+        sigma = float(sigma)
+        if not s0 > 0:
+            raise ValueError(f"s0 must be positive, got {s0}.")
+        if not sigma > 0:
+            raise ValueError(f"sigma must be positive, got {sigma}.")
+        self.s0 = s0
+        self.mu = float(mu)
+        self.sigma = sigma
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"GBMPath(s0={self.s0:g}, mu={self.mu:g}, sigma={self.sigma:g}, "
+            f"T={self.T:g}, steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return ("GBMPath", self.s0, self.mu, self.sigma, self.T, self.steps)
+
+    def _increments(self, key, n, dtype):
+        dt = self.T / self.steps
+        z = jax.random.normal(key, (n, self.steps), dtype)
+        return (self.mu - 0.5 * self.sigma**2) * dt + self.sigma * (
+            dt**0.5
+        ) * z
+
+    def _path_from_increments(self, inc):
+        return self.s0 * jnp.exp(jnp.cumsum(inc, axis=1))
+
+
+class PathFunctional(Transform):
+    """Scalar projection of a path node: terminal/max/min/mean/at."""
+
+    _OPS = ("terminal", "max", "min", "mean", "at")
+
+    def __init__(self, path, op, index=None):
+        if not isinstance(path, PathDistribution):
+            raise TypeError(
+                f"PathFunctional needs a PathDistribution, got {path!r}."
+            )
+        if op not in self._OPS:
+            raise ValueError(f"op must be one of {self._OPS}, got {op!r}.")
+        if (op == "at") != (index is not None):
+            raise ValueError("index is required for op='at' and only then.")
+        self.path = path
+        self.op = op
+        self.index = index
+        super().__init__()
+
+    def __repr__(self):
+        extra = f", {self.index}" if self.op == "at" else ""
+        return f"{type(self).__name__}({self.path!r}, '{self.op}'{extra})"
+
+    def get_parents(self):
+        yield self.path
+
+    def _rewire(self, update):
+        self.path = update(self.path)
+
+    def _static_signature(self):
+        return ("PathFunctional", self.op, self.index)
+
+    def _emit(self, ctx):
+        paths = ctx.value(self.path)
+        if self.op == "terminal":
+            return paths[:, -1]
+        if self.op == "max":
+            return jnp.max(paths, axis=1)
+        if self.op == "min":
+            return jnp.min(paths, axis=1)
+        if self.op == "mean":
+            return jnp.mean(paths, axis=1)
+        return paths[:, self.index]
+
+
+def BrownianMotion(x0=0.0, drift=0.0, diffusion=1.0, T=1.0, steps=252):
+    """Arithmetic Brownian path node; see :class:`BrownianPath`.
+
+    >>> w = BrownianMotion(T=2.0, steps=8)
+    >>> w.at(7)
+    PathFunctional(BrownianPath(x0=0, drift=0, diffusion=1, T=2, steps=8), 'at', 7)
+    """
+    return BrownianPath(x0=x0, drift=drift, diffusion=diffusion, T=T, steps=steps)
+
+
+def GeometricBrownianMotion(s0=1.0, mu=0.0, sigma=0.2, T=1.0, steps=252):
+    """Geometric Brownian path node; see :class:`GBMPath`.
+
+    >>> GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2).terminal()
+    PathFunctional(GBMPath(s0=100, mu=0.05, sigma=0.2, T=1, steps=252), 'terminal')
+    """
+    return GBMPath(s0=s0, mu=mu, sigma=sigma, T=T, steps=steps)

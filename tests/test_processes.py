@@ -1,0 +1,139 @@
+"""Stochastic-process nodes: exact grid distributions, functionals,
+graph integration (framework extension; the reference has no processes).
+"""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+from probabilit_tpu import BrownianMotion, Distribution, GeometricBrownianMotion
+
+
+class TestBrownianPath:
+    def test_terminal_exact_normal(self):
+        # Increments are exact Gaussians, so W_T ~ N(x0 + drift*T,
+        # diffusion^2 * T) with no discretisation error.
+        w = BrownianMotion(x0=1.0, drift=0.3, diffusion=1.5, T=2.0, steps=128)
+        s = np.asarray(w.terminal().sample(30000, random_state=0))
+        p = stats.kstest(s[:8000], "norm", args=(1.6, 1.5 * np.sqrt(2))).pvalue
+        assert p > 0.01
+
+    def test_slice_variance_scales_with_time(self):
+        w = BrownianMotion(T=2.0, steps=128, diffusion=1.5)
+        a = np.asarray(w.at(31).sample(30000, random_state=1))
+        # at(31) is time 32*dt.
+        assert a.var() == pytest.approx(1.5**2 * 32 * (2.0 / 128), abs=0.03)
+
+    def test_max_bounds_and_reflection_direction(self):
+        # Discrete-time max is below the continuous supremum, so the
+        # reflection-principle value 2*P(W_T > a) upper-bounds it; it
+        # still must dominate the one-sided terminal probability.
+        w = BrownianMotion(T=1.0, steps=256)
+        mx = np.asarray(w.maximum().sample(40000, random_state=2))
+        p_hit = float(np.mean(mx > 1.0))
+        upper = 2 * (1 - stats.norm.cdf(1.0))
+        lower = 1 - stats.norm.cdf(1.0)
+        assert lower < p_hit <= upper + 0.01
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="steps"):
+            BrownianMotion(steps=0)
+        with pytest.raises(ValueError, match="T must be positive"):
+            BrownianMotion(T=0.0)
+        with pytest.raises(ValueError, match="diffusion"):
+            BrownianMotion(diffusion=0.0)
+        w = BrownianMotion(steps=8)
+        with pytest.raises(ValueError, match="step must be in"):
+            w.at(8)
+
+
+class TestGBMPath:
+    def test_terminal_exact_lognormal(self):
+        # log S_T is a Brownian cumulative sum: exactly N((mu-s^2/2)T, s^2 T).
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, T=1.0, steps=64)
+        st = np.asarray(g.terminal().sample(30000, random_state=2))
+        p = stats.kstest(np.log(st[:8000] / 100), "norm", args=(0.03, 0.2)).pvalue
+        assert p > 0.01
+        assert st.mean() == pytest.approx(100 * np.exp(0.05), abs=0.6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="s0"):
+            GeometricBrownianMotion(s0=0.0)
+        with pytest.raises(ValueError, match="sigma"):
+            GeometricBrownianMotion(sigma=-1.0)
+
+
+class TestFunctionals:
+    def test_memoised_and_ordered(self):
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=32)
+        assert g.terminal() is g.terminal()
+        assert g.at(3) is g.at(3) and g.at(3) is not g.at(4)
+        payoff = (g.maximum() < 130) * (g.terminal() - 100)
+        payoff.sample(20000, random_state=4)
+        mx = np.asarray(g.maximum().samples_)
+        mn = np.asarray(g.minimum().sample(20000, random_state=4))
+        tm = np.asarray(g.terminal().samples_)
+        av = np.asarray(g.average().sample(20000, random_state=4))
+        assert (mx >= tm - 1e-4).all()
+        assert (mn <= av + 1e-4).all() and (av <= mx + 1e-4).all()
+
+    def test_functional_requires_path(self):
+        from probabilit_tpu.models.processes import PathFunctional
+
+        with pytest.raises(TypeError, match="PathDistribution"):
+            PathFunctional(Distribution("norm"), "max")
+
+    def test_copy_parity_and_fresh_cache(self):
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=32)
+        payoff = (g.maximum() < 130) * (g.terminal() - 100)
+        base = np.asarray(payoff.sample(8000, random_state=4))
+        clone = payoff.copy()
+        np.testing.assert_array_equal(
+            np.asarray(clone.sample(8000, random_state=4)), base
+        )
+        # The copied path node must not hand out functionals parented to
+        # the ORIGINAL path.
+        copied_paths = [
+            n
+            for n in clone.nodes()
+            if type(n).__name__ == "GBMPath" and n is not g
+        ]
+        assert copied_paths
+        fresh = copied_paths[0].average()
+        assert fresh.path is copied_paths[0]
+
+
+class TestGraphIntegration:
+    def test_vector_node_correlate_rejected(self):
+        w = BrownianMotion(steps=16)
+        x = Distribution("norm")
+        sink = (w.terminal() + x).correlate(w, x, corr_mat=np.eye(2))
+        with pytest.raises(ValueError, match="vector-valued"):
+            sink.sample(100, random_state=0)
+
+    def test_streaming_estimate(self):
+        from probabilit_tpu.engine import streaming
+
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=64)
+        est = streaming.estimate(
+            g.terminal(), 200_000, block_size=1 << 15, random_state=5
+        )
+        assert abs(est["mean"] - 100 * np.exp(0.05)) < 5 * est["sem"] + 0.05
+
+    def test_mesh_bitwise_invariance(self):
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=32)
+        payoff = (g.maximum() < 130) * (g.terminal() - 100)
+        base = np.asarray(payoff.sample(4096, random_state=3))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(payoff.sample(4096, random_state=3))
+        np.testing.assert_array_equal(base, sharded)
+
+    def test_reproducible_per_seed(self):
+        w = BrownianMotion(steps=16)
+        a = np.asarray(w.terminal().sample(1024, random_state=9))
+        b = np.asarray(w.terminal().sample(1024, random_state=9))
+        np.testing.assert_array_equal(a, b)
+        c = np.asarray(w.terminal().sample(1024, random_state=10))
+        assert not np.array_equal(a, c)
