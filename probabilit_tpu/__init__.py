@@ -28,7 +28,11 @@ from probabilit_tpu.models.factories import (
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
 from probabilit_tpu.engine.streaming import estimate_many
-from probabilit_tpu.models.processes import BrownianMotion, GeometricBrownianMotion
+from probabilit_tpu.models.processes import (
+    BrownianMotion,
+    GeometricBrownianMotion,
+    OrnsteinUhlenbeck,
+)
 
 __version__ = "0.1.0"
 
@@ -52,4 +56,5 @@ __all__ = [
     "FrankCopula",
     "BrownianMotion",
     "GeometricBrownianMotion",
+    "OrnsteinUhlenbeck",
 ]

@@ -27,6 +27,7 @@ from probabilit_tpu.garbage_collector import GarbageCollector  # noqa: F401
 from probabilit_tpu.models.processes import (  # noqa: F401
     BrownianMotion,
     GeometricBrownianMotion,
+    OrnsteinUhlenbeck,
     PathDistribution,
     PathFunctional,
 )
@@ -46,6 +47,7 @@ __all__ = list(_graph_all) + [
     "QuantileTransform",
     "BrownianMotion",
     "GeometricBrownianMotion",
+    "OrnsteinUhlenbeck",
     "PathDistribution",
     "PathFunctional",
     "GarbageCollector",

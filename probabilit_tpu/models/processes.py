@@ -34,6 +34,7 @@ from probabilit_tpu.models.graph import Transform
 __all__ = [
     "BrownianMotion",
     "GeometricBrownianMotion",
+    "OrnsteinUhlenbeck",
     "PathDistribution",
     "PathFunctional",
 ]
@@ -207,6 +208,76 @@ class GBMPath(PathDistribution):
         return self.s0 * jnp.exp(jnp.cumsum(inc, axis=1))
 
 
+class OUPath(PathDistribution):
+    """Ornstein-Uhlenbeck: ``dX = theta (mu - X) dt + sigma dW`` — exact.
+
+    The exact transition is the affine recurrence
+    ``X_k = a X_{k-1} + b + c Z_k`` with ``a = exp(-theta dt)``,
+    ``b = mu (1 - a)``, ``c = sigma sqrt((1 - a^2) / (2 theta))``; the
+    whole path is one ``lax.associative_scan`` over affine maps
+    ``(A, B) -> x  |->  A x + B`` along the time axis (log-depth on
+    TPU, numerically stable: only products of ``a < 1`` appear).  Every
+    grid slice is exactly
+    ``N(mu + (x0 - mu) a^k, sigma^2 (1 - a^(2k)) / (2 theta))``.
+    """
+
+    def __init__(self, x0=0.0, theta=1.0, mu=0.0, sigma=1.0, T=1.0, steps=252):
+        theta = float(theta)
+        sigma = float(sigma)
+        if not theta > 0:
+            raise ValueError(f"theta must be positive, got {theta}.")
+        if not sigma > 0:
+            raise ValueError(f"sigma must be positive, got {sigma}.")
+        self.x0 = float(x0)
+        self.theta = theta
+        self.mu = float(mu)
+        self.sigma = sigma
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"OUPath(x0={self.x0:g}, theta={self.theta:g}, mu={self.mu:g}, "
+            f"sigma={self.sigma:g}, T={self.T:g}, steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return (
+            "OUPath",
+            self.x0,
+            self.theta,
+            self.mu,
+            self.sigma,
+            self.T,
+            self.steps,
+        )
+
+    def _increments(self, key, n, dtype):
+        import numpy as np
+
+        dt = self.T / self.steps
+        a = float(np.exp(-self.theta * dt))
+        b = self.mu * (1.0 - a)
+        c = self.sigma * float(
+            np.sqrt((1.0 - a * a) / (2.0 * self.theta))
+        )
+        z = jax.random.normal(key, (n, self.steps), dtype)
+        return b + c * z
+
+    def _path_from_increments(self, inc):
+        import numpy as np
+
+        dt = self.T / self.steps
+        a = jnp.asarray(np.exp(-self.theta * dt), inc.dtype)
+        A = jnp.full_like(inc, a)
+
+        def compose(left, right):
+            # Later map applied after earlier: A2 (A1 x + B1) + B2.
+            return (left[0] * right[0], left[1] * right[0] + right[1])
+
+        A_pref, B_pref = jax.lax.associative_scan(compose, (A, inc), axis=1)
+        return A_pref * self.x0 + B_pref
+
+
 class PathFunctional(Transform):
     """Scalar projection of a path node: terminal/max/min/mean/at."""
 
@@ -269,3 +340,12 @@ def GeometricBrownianMotion(s0=1.0, mu=0.0, sigma=0.2, T=1.0, steps=252):
     PathFunctional(GBMPath(s0=100, mu=0.05, sigma=0.2, T=1, steps=252), 'terminal')
     """
     return GBMPath(s0=s0, mu=mu, sigma=sigma, T=T, steps=steps)
+
+
+def OrnsteinUhlenbeck(x0=0.0, theta=1.0, mu=0.0, sigma=1.0, T=1.0, steps=252):
+    """Mean-reverting OU path node (rates/spreads); see :class:`OUPath`.
+
+    >>> OrnsteinUhlenbeck(theta=2.0, mu=0.05, sigma=0.1, T=1.0, steps=4)
+    OUPath(x0=0, theta=2, mu=0.05, sigma=0.1, T=1, steps=4)
+    """
+    return OUPath(x0=x0, theta=theta, mu=mu, sigma=sigma, T=T, steps=steps)

@@ -137,3 +137,48 @@ class TestGraphIntegration:
         np.testing.assert_array_equal(a, b)
         c = np.asarray(w.terminal().sample(1024, random_state=10))
         assert not np.array_equal(a, c)
+
+
+class TestOUPath:
+    def test_exact_slice_laws(self):
+        from probabilit_tpu import OrnsteinUhlenbeck
+
+        ou = OrnsteinUhlenbeck(
+            x0=0.3, theta=2.0, mu=0.05, sigma=0.4, T=1.0, steps=64
+        )
+        dt = 1.0 / 64
+        a = np.exp(-2.0 * dt)
+        for k in (0, 15, 63):
+            s = np.asarray(ou.at(k).sample(30000, random_state=k))
+            ak = a ** (k + 1)
+            m = 0.05 + (0.3 - 0.05) * ak
+            v = 0.4**2 * (1 - ak**2) / (2 * 2.0)
+            p = stats.kstest(s[:8000], "norm", args=(m, np.sqrt(v))).pvalue
+            assert p > 0.01, (k, p)
+
+    def test_mean_reversion_to_stationary_law(self):
+        from probabilit_tpu import OrnsteinUhlenbeck
+
+        ou = OrnsteinUhlenbeck(x0=5.0, theta=3.0, mu=1.0, sigma=0.5, T=5.0, steps=128)
+        s = np.asarray(ou.terminal().sample(30000, random_state=9))
+        assert abs(s.mean() - 1.0) < 0.01
+        assert abs(s.var() - 0.25 / 6) < 0.002
+
+    def test_validation(self):
+        from probabilit_tpu import OrnsteinUhlenbeck
+
+        with pytest.raises(ValueError, match="theta"):
+            OrnsteinUhlenbeck(theta=0.0)
+        with pytest.raises(ValueError, match="sigma"):
+            OrnsteinUhlenbeck(sigma=0.0)
+
+    def test_mesh_bitwise(self):
+        from probabilit_tpu import OrnsteinUhlenbeck
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        ou = OrnsteinUhlenbeck(theta=2.0, sigma=0.3, steps=32)
+        expr = ou.average() + ou.terminal()
+        base = np.asarray(expr.sample(4096, random_state=1))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(expr.sample(4096, random_state=1))
+        np.testing.assert_array_equal(base, sharded)
