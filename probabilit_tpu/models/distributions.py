@@ -366,14 +366,24 @@ class CopulaDistribution(AbstractDistribution):
         return self.d
 
     def _emit(self, ctx):
+        import jax as _jax
+
         from probabilit_tpu.ops import copulas
         from probabilit_tpu.ops import multivariate as mv
+        from probabilit_tpu.parallel import mesh as _mesh
 
         q = ctx.column(self)
         key = mv._key_from_q(q)
-        return copulas.sample(
+        u = copulas.sample(
             self.family, key, (ctx.n, self.d), self.theta, config.float_dtype()
         )
+        # Pin the sample axis under a mesh: key-based draws carry no
+        # sharding of their own and would otherwise replicate (n, d)
+        # per device (same rationale as PathDistribution._emit).
+        sharding = _mesh.sample_sharding(ndim=2)
+        if sharding is not None:
+            u = _jax.lax.with_sharding_constraint(u, sharding)
+        return u
 
 
 class MarginalDistribution(Transform):

@@ -78,13 +78,20 @@ class PathDistribution(AbstractDistribution):
 
     def _emit(self, ctx):
         from probabilit_tpu.ops import multivariate as mv
+        from probabilit_tpu.parallel import mesh as _mesh
 
         q = ctx.column(self)
         key = mv._key_from_q(q)
         dtype = config.float_dtype()
-        return self._path_from_increments(
-            self._increments(key, ctx.n, dtype)
-        )
+        inc = self._increments(key, ctx.n, dtype)
+        # Key-based draws have no data dependence on the (sharded)
+        # quantile column, so without a constraint the SPMD partitioner
+        # may materialise the full (n, steps) matrix REPLICATED on every
+        # device; pin the sample axis so each chip owns its rows.
+        sharding = _mesh.sample_sharding(ndim=2)
+        if sharding is not None:
+            inc = jax.lax.with_sharding_constraint(inc, sharding)
+        return self._path_from_increments(inc)
 
     # ------------------------------------------------------------------
     # Functional shortcuts — each returns a scalar-valued graph node.
