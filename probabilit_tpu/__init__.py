@@ -31,7 +31,9 @@ from probabilit_tpu.engine.streaming import estimate_many
 from probabilit_tpu.models.processes import (
     BrownianMotion,
     GeometricBrownianMotion,
+    MertonJumpDiffusion,
     OrnsteinUhlenbeck,
+    PoissonProcess,
 )
 
 __version__ = "0.1.0"
@@ -57,4 +59,6 @@ __all__ = [
     "BrownianMotion",
     "GeometricBrownianMotion",
     "OrnsteinUhlenbeck",
+    "PoissonProcess",
+    "MertonJumpDiffusion",
 ]

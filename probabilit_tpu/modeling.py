@@ -27,9 +27,11 @@ from probabilit_tpu.garbage_collector import GarbageCollector  # noqa: F401
 from probabilit_tpu.models.processes import (  # noqa: F401
     BrownianMotion,
     GeometricBrownianMotion,
+    MertonJumpDiffusion,
     OrnsteinUhlenbeck,
     PathDistribution,
     PathFunctional,
+    PoissonProcess,
 )
 from probabilit_tpu.ops.correlation import Cholesky, ImanConover  # noqa: F401
 from probabilit_tpu.ops.ncm import nearest_correlation_matrix  # noqa: F401
@@ -48,6 +50,8 @@ __all__ = list(_graph_all) + [
     "BrownianMotion",
     "GeometricBrownianMotion",
     "OrnsteinUhlenbeck",
+    "PoissonProcess",
+    "MertonJumpDiffusion",
     "PathDistribution",
     "PathFunctional",
     "GarbageCollector",

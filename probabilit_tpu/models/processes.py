@@ -35,6 +35,8 @@ __all__ = [
     "BrownianMotion",
     "GeometricBrownianMotion",
     "OrnsteinUhlenbeck",
+    "PoissonProcess",
+    "MertonJumpDiffusion",
     "PathDistribution",
     "PathFunctional",
 ]
@@ -285,6 +287,133 @@ class OUPath(PathDistribution):
         return A_pref * self.x0 + B_pref
 
 
+class PoissonProcessPath(PathDistribution):
+    """Homogeneous Poisson counting process ``N_t`` — exact increments.
+
+    Grid increments are iid ``Poisson(rate * dt)`` (independent
+    increments make the discretisation exact at the grid), drawn through
+    the native poisson inverse-CDF kernel; the counting path is their
+    cumulative sum, so ``at(k) ~ Poisson(rate * (k+1) * dt)`` exactly.
+    """
+
+    def __init__(self, rate=1.0, T=1.0, steps=252):
+        rate = float(rate)
+        if not rate > 0:
+            raise ValueError(f"rate must be positive, got {rate}.")
+        self.rate = rate
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"PoissonProcessPath(rate={self.rate:g}, T={self.T:g}, "
+            f"steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return ("PoissonProcessPath", self.rate, self.T, self.steps)
+
+    def _increments(self, key, n, dtype):
+        from probabilit_tpu.ops import ppf as _ppf
+        from probabilit_tpu.ops.qmc import clamp_open_unit
+
+        dt = self.T / self.steps
+        u = clamp_open_unit(
+            jax.random.uniform(key, (n, self.steps), dtype=dtype)
+        )
+        return _ppf.call("poisson", u, mu=self.rate * dt).astype(dtype)
+
+    def _path_from_increments(self, inc):
+        return jnp.cumsum(inc, axis=1)
+
+
+class MertonJumpPath(PathDistribution):
+    """Merton jump-diffusion asset path — exact per grid step.
+
+    ``log S`` increments per step of length ``dt``:
+
+        (mu - sigma^2/2) dt + sigma sqrt(dt) Z
+        + jump_mean * K + jump_std * sqrt(K) * Z'
+
+    with ``K ~ Poisson(jump_rate * dt)``.  Conditional on the jump count
+    the summed normal jumps are exactly ``N(K jump_mean, K jump_std^2)``,
+    so each grid slice carries the process's exact law — no small-dt
+    "at most one jump" approximation.  ``E[S_T] = s0 * exp(mu T +
+    jump_rate T (exp(jump_mean + jump_std^2/2) - 1))`` (``mu`` is the
+    continuous-part drift, uncompensated).
+    """
+
+    def __init__(
+        self,
+        s0=1.0,
+        mu=0.0,
+        sigma=0.2,
+        jump_rate=1.0,
+        jump_mean=0.0,
+        jump_std=0.1,
+        T=1.0,
+        steps=252,
+    ):
+        s0, sigma = float(s0), float(sigma)
+        jump_rate, jump_std = float(jump_rate), float(jump_std)
+        if not s0 > 0:
+            raise ValueError(f"s0 must be positive, got {s0}.")
+        if not sigma > 0:
+            raise ValueError(f"sigma must be positive, got {sigma}.")
+        if not jump_rate > 0:
+            raise ValueError(f"jump_rate must be positive, got {jump_rate}.")
+        if not jump_std >= 0:
+            raise ValueError(f"jump_std must be >= 0, got {jump_std}.")
+        self.s0 = s0
+        self.mu = float(mu)
+        self.sigma = sigma
+        self.jump_rate = jump_rate
+        self.jump_mean = float(jump_mean)
+        self.jump_std = jump_std
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"MertonJumpPath(s0={self.s0:g}, mu={self.mu:g}, "
+            f"sigma={self.sigma:g}, jump_rate={self.jump_rate:g}, "
+            f"jump_mean={self.jump_mean:g}, jump_std={self.jump_std:g}, "
+            f"T={self.T:g}, steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return (
+            "MertonJumpPath",
+            self.s0,
+            self.mu,
+            self.sigma,
+            self.jump_rate,
+            self.jump_mean,
+            self.jump_std,
+            self.T,
+            self.steps,
+        )
+
+    def _increments(self, key, n, dtype):
+        from probabilit_tpu.ops import ppf as _ppf
+        from probabilit_tpu.ops.qmc import clamp_open_unit
+
+        dt = self.T / self.steps
+        kz, ku, kj = jax.random.split(key, 3)
+        z = jax.random.normal(kz, (n, self.steps), dtype)
+        u = clamp_open_unit(
+            jax.random.uniform(ku, (n, self.steps), dtype=dtype)
+        )
+        k_jumps = _ppf.call("poisson", u, mu=self.jump_rate * dt).astype(dtype)
+        zj = jax.random.normal(kj, (n, self.steps), dtype)
+        diffusion = (self.mu - 0.5 * self.sigma**2) * dt + self.sigma * (
+            dt**0.5
+        ) * z
+        jumps = self.jump_mean * k_jumps + self.jump_std * jnp.sqrt(k_jumps) * zj
+        return diffusion + jumps
+
+    def _path_from_increments(self, inc):
+        return self.s0 * jnp.exp(jnp.cumsum(inc, axis=1))
+
+
 class PathFunctional(Transform):
     """Scalar projection of a path node: terminal/max/min/mean/at."""
 
@@ -356,3 +485,39 @@ def OrnsteinUhlenbeck(x0=0.0, theta=1.0, mu=0.0, sigma=1.0, T=1.0, steps=252):
     OUPath(x0=0, theta=2, mu=0.05, sigma=0.1, T=1, steps=4)
     """
     return OUPath(x0=x0, theta=theta, mu=mu, sigma=sigma, T=T, steps=steps)
+
+
+def PoissonProcess(rate=1.0, T=1.0, steps=252):
+    """Poisson counting-process path node; see :class:`PoissonProcessPath`.
+
+    >>> PoissonProcess(rate=3.0, T=2.0, steps=8).terminal()
+    PathFunctional(PoissonProcessPath(rate=3, T=2, steps=8), 'terminal')
+    """
+    return PoissonProcessPath(rate=rate, T=T, steps=steps)
+
+
+def MertonJumpDiffusion(
+    s0=1.0,
+    mu=0.0,
+    sigma=0.2,
+    jump_rate=1.0,
+    jump_mean=0.0,
+    jump_std=0.1,
+    T=1.0,
+    steps=252,
+):
+    """Merton jump-diffusion asset path node; see :class:`MertonJumpPath`.
+
+    >>> MertonJumpDiffusion(s0=100, sigma=0.2, jump_rate=0.5, steps=4)
+    MertonJumpPath(s0=100, mu=0, sigma=0.2, jump_rate=0.5, jump_mean=0, jump_std=0.1, T=1, steps=4)
+    """
+    return MertonJumpPath(
+        s0=s0,
+        mu=mu,
+        sigma=sigma,
+        jump_rate=jump_rate,
+        jump_mean=jump_mean,
+        jump_std=jump_std,
+        T=T,
+        steps=steps,
+    )

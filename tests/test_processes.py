@@ -182,3 +182,64 @@ class TestOUPath:
         with use_mesh(make_mesh()):
             sharded = np.asarray(expr.sample(4096, random_state=1))
         np.testing.assert_array_equal(base, sharded)
+
+
+class TestJumpProcesses:
+    def test_poisson_terminal_exact_pmf(self):
+        from probabilit_tpu import PoissonProcess
+
+        p = PoissonProcess(rate=3.0, T=2.0, steps=64)
+        s = np.asarray(p.terminal().sample(40000, random_state=0)).astype(int)
+        for k in range(0, 12, 2):
+            assert abs((s == k).mean() - stats.poisson.pmf(k, 6.0)) < 0.006, k
+
+    def test_counting_path_monotone(self):
+        from probabilit_tpu import PoissonProcess
+
+        p = PoissonProcess(rate=3.0, T=2.0, steps=64)
+        mx = np.asarray(p.maximum().sample(5000, random_state=1))
+        p.terminal().sample(5000, random_state=1)
+        np.testing.assert_array_equal(mx, np.asarray(p.terminal().samples_))
+
+    def test_merton_exact_moments(self):
+        from probabilit_tpu import MertonJumpDiffusion
+
+        m = MertonJumpDiffusion(
+            s0=100,
+            mu=0.02,
+            sigma=0.2,
+            jump_rate=1.0,
+            jump_mean=-0.05,
+            jump_std=0.15,
+            T=1.0,
+            steps=64,
+        )
+        st = np.asarray(m.terminal().sample(200_000, random_state=2))
+        expect = 100 * np.exp(0.02 + 1.0 * (np.exp(-0.05 + 0.15**2 / 2) - 1))
+        sem = st.std() / np.sqrt(len(st))
+        assert abs(st.mean() - expect) < 5 * sem + 0.05
+        # Var[log S_T/s0] = sigma^2 T + lambda T (jump_mean^2 + jump_std^2)
+        # — the exact compound-Poisson-normal decomposition.
+        lv = np.log(st / 100).var()
+        assert abs(lv - (0.04 + 0.0025 + 0.0225)) < 0.003
+
+    def test_validation(self):
+        from probabilit_tpu import MertonJumpDiffusion, PoissonProcess
+
+        with pytest.raises(ValueError, match="rate"):
+            PoissonProcess(rate=0.0)
+        with pytest.raises(ValueError, match="jump_rate"):
+            MertonJumpDiffusion(jump_rate=-1.0)
+        with pytest.raises(ValueError, match="jump_std"):
+            MertonJumpDiffusion(jump_std=-0.1)
+
+    def test_mesh_bitwise(self):
+        from probabilit_tpu import MertonJumpDiffusion
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        m = MertonJumpDiffusion(s0=100, sigma=0.2, jump_rate=0.5, steps=32)
+        expr = m.minimum() / m.terminal()
+        base = np.asarray(expr.sample(4096, random_state=5))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(expr.sample(4096, random_state=5))
+        np.testing.assert_array_equal(base, sharded)
