@@ -1,12 +1,15 @@
-"""Stochastic-process nodes: Brownian and geometric-Brownian paths.
+"""Stochastic-process nodes: Brownian, GBM, OU, Poisson, Merton paths.
 
 Framework extension (the reference models scalar draws only): a path
-node samples an ``(n, steps)`` matrix of discretised process paths —
-cumulative sums of exact Gaussian increments, so every time slice has
-the process's EXACT finite-dimensional distribution (no Euler error for
-these two families) — and path functionals (terminal value, running
-max/min, time average, a time slice) project it back to the scalar
-world where the rest of the modeling language operates.
+node samples an ``(n, steps)`` matrix of discretised process paths from
+EXACT grid-increment laws — Gaussian cumulative sums (Brownian/GBM),
+an affine associative scan (Ornstein-Uhlenbeck), Poisson increments
+(counting process), and compound-Poisson-normal jump increments
+(Merton) — so every time slice has the process's exact
+finite-dimensional distribution (no Euler error for any of the five
+families).  Path functionals (terminal value, running max/min, time
+average, a time slice) project back to the scalar world where the rest
+of the modeling language operates.
 
 TPU shape: increments are one ``(n, steps)`` normal draw and the path
 is one associative-scan ``cumsum`` along the time axis; functionals are
