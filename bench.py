@@ -371,6 +371,45 @@ def bench_dependence(n=100_000_000):
     return out
 
 
+def bench_paths(n_paths=1 << 21, steps=252):
+    """Path-dependent workload: barrier payoff on exact-law GBM paths.
+
+    2^21 paths x 252 steps ~ 5.3e8 normal draws + one cumsum scan + a
+    running max, streamed in 2^16-path blocks (66 MB of path matrix per
+    block) through estimate().
+    """
+    import numpy as np
+
+    from probabilit_tpu import GeometricBrownianMotion
+    from probabilit_tpu.engine import streaming
+
+    gbm = GeometricBrownianMotion(s0=100, mu=0.03, sigma=0.2, T=1.0, steps=steps)
+    payoff = (
+        (gbm.maximum() < 130)
+        * ((gbm.terminal() - 100) > 0)
+        * (gbm.terminal() - 100)
+        * float(np.exp(-0.03))
+    )
+
+    def run(seed):
+        return streaming.estimate(
+            payoff, n_paths, block_size=1 << 16, random_state=seed
+        )["mean"]
+
+    t0 = time.perf_counter()
+    run(0)
+    log(f"gbm-barrier compile+first: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    price = run(1)
+    dt = time.perf_counter() - t0
+    log(
+        f"gbm-barrier run: {dt * 1e3:.0f} ms -> "
+        f"{n_paths * steps / dt / 1e9:.2f} G path-elements/s "
+        f"(price {price:.4f})"
+    )
+    return dt * 1e3
+
+
 def bench_streaming_1e9():
     """Full 1e9-draw estimation with a streamed p95 (single dispatch).
 
@@ -506,6 +545,8 @@ def main():
     _release_device_memory()
     dependence = bench_dependence()
     _release_device_memory()
+    paths_ms = bench_paths()
+    _release_device_memory()
     table_ns = bench_large_table()
     _release_device_memory()
     sobol_ms = bench_sobol_indices()
@@ -531,6 +572,7 @@ def main():
                     "large_table_471knot_ns_per_sample": table_ns,
                     "sobol_indices_20node_10x1m_ms": sobol_ms,
                     **dependence,
+                    "gbm_barrier_2e21x252_ms": paths_ms,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
                     "target_imanconover_ms": 100.0,
