@@ -34,6 +34,12 @@ def plot(*variables, corr=None, sample_kwargs=None, **kwargs):
     import pandas as pd
     import seaborn
 
+    for var in variables:
+        if getattr(var, "_vector_valued", False):
+            raise ValueError(
+                f"Cannot pairplot vector-valued node {var!r}; plot scalar "
+                "marginals/functionals of it instead (e.g. path.terminal())."
+            )
     detached_sink = NoOp(*variables).copy()
     variables = detached_sink.parents
 
