@@ -104,8 +104,19 @@ class SensitivityResult:
         return f"SensitivityResult(value={self.value:.6g}, {rows})"
 
 
+def _is_path_node(node):
+    from probabilit_tpu.models.processes import PathDistribution
+
+    return isinstance(node, PathDistribution)
+
+
 def _numeric_slots(node):
-    """The numeric scalar parameter slots of a Distribution node."""
+    """The numeric scalar parameter slots of a Distribution/path node."""
+    if _is_path_node(node):
+        # Named float attributes declared differentiable by the family
+        # (jump_rate & co. are excluded there — discrete inner draws
+        # have zero pathwise derivative).
+        return list(node._param_slots)
     slots = []
     for i, a in enumerate(node.args):
         if isinstance(a, numbers.Real) and not isinstance(a, bool):
@@ -123,9 +134,18 @@ def _validate_family(node):
         _scipy_is_multivariate,
     )
 
+    if _is_path_node(node):
+        if not node._param_slots:
+            raise ValueError(
+                f"{type(node).__name__} has no differentiable parameters "
+                "(its randomness is discrete-valued, so pathwise "
+                "derivatives are zero almost everywhere)."
+            )
+        return
     if not isinstance(node, Distribution):
         raise TypeError(
-            "sensitivity(wrt=...) targets parametric Distribution nodes; "
+            "sensitivity(wrt=...) targets parametric Distribution nodes "
+            "or stochastic-process path nodes; "
             f"got {type(node).__name__}."
         )
     name = node.distr
@@ -193,13 +213,17 @@ def _normalize_wrt(plan, wrt):
 
 
 def _read_slot(node, slot):
+    if _is_path_node(node):
+        return getattr(node, slot)
     if isinstance(slot, int):
         return node.args[slot]
     return node.kwargs[slot]
 
 
 def _write_slot(node, slot, value):
-    if isinstance(slot, int):
+    if _is_path_node(node):
+        setattr(node, slot, value)
+    elif isinstance(slot, int):
         args = list(node.args)
         args[slot] = value
         node.args = tuple(args)

@@ -54,6 +54,10 @@ class PathDistribution(AbstractDistribution):
 
     is_leaf = True
     _vector_valued = True
+    # Differentiable scalar parameters (pathwise sensitivities swap these
+    # attributes for traced scalars; engine/sensitivity.py).  Empty means
+    # the family has no valid pathwise derivative.
+    _param_slots = ()
 
     def __init__(self, steps, T):
         steps = int(steps)
@@ -146,6 +150,8 @@ class BrownianPath(PathDistribution):
     without discretisation error.
     """
 
+    _param_slots = ("x0", "drift", "diffusion")
+
     def __init__(self, x0=0.0, drift=0.0, diffusion=1.0, T=1.0, steps=252):
         diffusion = float(diffusion)
         if not diffusion > 0:
@@ -187,6 +193,8 @@ class GBMPath(PathDistribution):
     Brownian cumulative sum), so ``terminal()`` is exactly lognormal
     with ``E[S_T] = s0 * exp(mu T)``.
     """
+
+    _param_slots = ("s0", "mu", "sigma")
 
     def __init__(self, s0=1.0, mu=0.0, sigma=0.2, T=1.0, steps=252):
         s0 = float(s0)
@@ -233,6 +241,8 @@ class OUPath(PathDistribution):
     ``N(mu + (x0 - mu) a^k, sigma^2 (1 - a^(2k)) / (2 theta))``.
     """
 
+    _param_slots = ("x0", "theta", "mu", "sigma")
+
     def __init__(self, x0=0.0, theta=1.0, mu=0.0, sigma=1.0, T=1.0, steps=252):
         theta = float(theta)
         sigma = float(sigma)
@@ -263,24 +273,22 @@ class OUPath(PathDistribution):
             self.steps,
         )
 
-    def _increments(self, key, n, dtype):
-        import numpy as np
+    def _decay(self, dtype):
+        # jnp (not numpy) so parameters may be TRACED scalars — the
+        # pathwise-sensitivity machinery swaps them for tracers.
+        theta = jnp.asarray(self.theta, dtype)
+        return jnp.exp(-theta * (self.T / self.steps)), theta
 
-        dt = self.T / self.steps
-        a = float(np.exp(-self.theta * dt))
+    def _increments(self, key, n, dtype):
+        a, theta = self._decay(dtype)
         b = self.mu * (1.0 - a)
-        c = self.sigma * float(
-            np.sqrt((1.0 - a * a) / (2.0 * self.theta))
-        )
+        c = self.sigma * jnp.sqrt((1.0 - a * a) / (2.0 * theta))
         z = jax.random.normal(key, (n, self.steps), dtype)
         return b + c * z
 
     def _path_from_increments(self, inc):
-        import numpy as np
-
-        dt = self.T / self.steps
-        a = jnp.asarray(np.exp(-self.theta * dt), inc.dtype)
-        A = jnp.full_like(inc, a)
+        a, _ = self._decay(inc.dtype)
+        A = jnp.broadcast_to(a, inc.shape)
 
         def compose(left, right):
             # Later map applied after earlier: A2 (A1 x + B1) + B2.
@@ -344,6 +352,10 @@ class MertonJumpPath(PathDistribution):
     jump_rate T (exp(jump_mean + jump_std^2/2) - 1))`` (``mu`` is the
     continuous-part drift, uncompensated).
     """
+
+    # jump_rate is EXCLUDED: it enters through the discrete Poisson
+    # count, whose pathwise derivative is zero almost everywhere.
+    _param_slots = ("s0", "mu", "sigma", "jump_mean", "jump_std")
 
     def __init__(
         self,

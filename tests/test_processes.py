@@ -243,3 +243,53 @@ class TestJumpProcesses:
         with use_mesh(make_mesh()):
             sharded = np.asarray(expr.sample(4096, random_state=5))
         np.testing.assert_array_equal(base, sharded)
+
+
+class TestPathwiseGreeks:
+    """Pathwise parameter sensitivities (Greeks) of path functionals via
+    autodiff through the compiled sampling program."""
+
+    def test_gbm_terminal_greeks_analytic(self):
+        import probabilit_tpu as pt
+        from probabilit_tpu import GeometricBrownianMotion
+
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, T=1.0, steps=32)
+        res = pt.sensitivity(g.terminal(), wrt=g, size=1 << 16, random_state=0)
+        # E[S_T] = s0 e^{mu T}: dE/dmu = s0 T e^{mu T}, dE/ds0 = e^{mu T},
+        # dE/dsigma = 0 — the pathwise estimator lands on all three.
+        assert res[(g, "mu")] == pytest.approx(100 * np.exp(0.05), abs=1.5)
+        assert res[(g, "s0")] == pytest.approx(np.exp(0.05), abs=0.01)
+        assert abs(res[(g, "sigma")]) < 1.5
+        assert g.mu == 0.05 and g.sigma == 0.2  # parameters restored
+
+    def test_ou_terminal_mu_and_x0(self):
+        import probabilit_tpu as pt
+        from probabilit_tpu import OrnsteinUhlenbeck
+
+        ou = OrnsteinUhlenbeck(x0=0.5, theta=2.0, mu=0.1, sigma=0.3, T=1.0, steps=32)
+        res = pt.sensitivity(ou.terminal(), wrt=ou, size=1 << 16, random_state=1)
+        # E[X_T] = mu + (x0 - mu) e^{-theta T}: derivatives are exact
+        # constants, so common-random-number noise is essentially zero.
+        assert res[(ou, "mu")] == pytest.approx(1 - np.exp(-2.0), abs=1e-2)
+        assert res[(ou, "x0")] == pytest.approx(np.exp(-2.0), abs=1e-2)
+
+    def test_merton_asian_vega_positive_and_jump_rate_excluded(self):
+        import probabilit_tpu as pt
+        from probabilit_tpu import MertonJumpDiffusion
+
+        m = MertonJumpDiffusion(
+            s0=100, sigma=0.2, jump_rate=0.5, jump_mean=-0.03, jump_std=0.1, steps=32
+        )
+        asian = (m.average() - 100) * ((m.average() - 100) > 0)
+        res = pt.sensitivity(asian, wrt=m, size=1 << 15, random_state=2)
+        assert res[(m, "sigma")] > 0  # Asian call vega
+        with pytest.raises(ValueError, match="no numeric scalar parameter"):
+            pt.sensitivity(asian, wrt={m: ["jump_rate"]}, size=1024)
+
+    def test_poisson_process_rejected(self):
+        import probabilit_tpu as pt
+        from probabilit_tpu import PoissonProcess
+
+        p = PoissonProcess(rate=2.0, steps=16)
+        with pytest.raises(ValueError, match="no differentiable parameters"):
+            pt.sensitivity(p.terminal(), wrt=p, size=1024)
