@@ -245,10 +245,13 @@ def sensitivity(
     ----------
     sink : Node
         The quantity of interest (any node of the model graph).
-    wrt : Distribution | list[Distribution] | dict[Distribution, list]
+    wrt : Distribution | PathDistribution | list | dict[node, list]
         Which parameters to differentiate: whole nodes (all numeric scalar
         parameters) or an explicit per-node list of parameter names /
-        positional indices (e.g. ``{x: ["loc", "scale"]}``).
+        positional indices (e.g. ``{x: ["loc", "scale"]}``).  Path nodes
+        expose their family's differentiable attributes (GBM: s0/mu/sigma
+        — i.e. pathwise Greeks of any path functional; jump counts are
+        excluded, their pathwise derivative is zero a.e.).
     size : int
         Monte Carlo sample size for the estimate.
     random_state : None | int | numpy Generator/RandomState | jax key
