@@ -572,7 +572,7 @@ def main():
                     "large_table_471knot_ns_per_sample": table_ns,
                     "sobol_indices_20node_10x1m_ms": sobol_ms,
                     **dependence,
-                    "gbm_barrier_2e21x252_ms": paths_ms,
+                    "gbm_barrier_2p21x252_ms": paths_ms,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
                     "target_imanconover_ms": 100.0,

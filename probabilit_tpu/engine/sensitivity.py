@@ -299,7 +299,7 @@ def sensitivity(
         slot_key,
         stat_key,
         size,
-        getattr(correlator_cls, "__qualname__", str(correlator_cls)),
+        _compile.correlator_token(correlator_cls),
         jnp.dtype(config.float_dtype()).name,
         _compile._active_mesh_key(),
     )

@@ -43,6 +43,52 @@ _ESTIMATE_CACHE = {}
 _TRACE_COUNT = 0
 
 
+_UNION_SINK_CACHE = {}
+
+
+def _union_sink(sink, extras):
+    """Cached NoOp rooting ``sink`` and out-of-graph extras in one plan.
+
+    Cached per (ids, mutation epoch): a fresh NoOp per call would give
+    every call a fresh plan signature and defeat the whole-run program
+    caches.
+    """
+    from probabilit_tpu.models import graph as _graph
+    from probabilit_tpu.models.graph import NoOp
+
+    key = (
+        sink._id,
+        tuple(node._id for node in extras),
+        _graph.Node._mutation_epoch,
+    )
+    node = _UNION_SINK_CACHE.get(key)
+    if node is None:
+        if len(_UNION_SINK_CACHE) > 64:
+            _UNION_SINK_CACHE.pop(next(iter(_UNION_SINK_CACHE)))
+        node = NoOp(sink, *extras)
+        _UNION_SINK_CACHE[key] = node
+    return node
+
+
+def _find_key_seeded(plan):
+    """First node whose randomness comes from a q[0]-seeded PRNG key.
+
+    Copula/path nodes declare ``_key_seeded``; multivariate scipy
+    families use the same q[0]-seeding contract inside their emit.
+    """
+    from probabilit_tpu.models.distributions import (
+        Distribution,
+        _scipy_is_multivariate,
+    )
+
+    for node in plan.topo:
+        if getattr(node, "_key_seeded", False):
+            return node
+        if isinstance(node, Distribution) and _scipy_is_multivariate(node.distr):
+            return node
+    return None
+
+
 def _block_program(
     sink,
     block_size,
@@ -75,7 +121,38 @@ def _block_program(
     compositions inside XLA itself; our own Newton loops freeze per-lane
     and are batch-independent.)
     """
+    if getattr(sink, "_vector_valued", False):
+        raise ValueError(
+            f"Cannot stream vector-valued node {sink!r}; stream scalar "
+            "marginals/functionals of it instead (e.g. path.terminal())."
+        )
+    out_sink = sink
     plan = _compile.get_plan(sink)
+    single_extra = extra is not None and not isinstance(extra, (tuple, list))
+    extras = () if extra is None else (extra,) if single_extra else tuple(extra)
+    if extras and not all(
+        any(node is req for node in plan.topo) for req in extras
+    ):
+        # A control variate is often a SIBLING of the sink (e.g. the
+        # vanilla call controlling an Asian option — both children of
+        # one path node): root them under a shared (cached, so programs
+        # stay cached too) NoOp so one plan drives both from the same
+        # draws.  A control adding NEW distribution nodes changes the
+        # column layout (and therefore the sink's draws vs a plain run)
+        # but stays unbiased.
+        sink = _union_sink(out_sink, extras)
+        plan = _compile.get_plan(sink)
+    if method is not None:
+        seeded = _find_key_seeded(plan)
+        if seeded is not None:
+            raise ValueError(
+                f"Streamed method={method!r} promises bitwise equality "
+                f"with a single-shot run, but {seeded!r} draws from a "
+                "column-seeded PRNG key whose per-block value differs "
+                "from the single-shot column (and low-discrepancy/"
+                "antithetic structure cannot reach key-based draws "
+                "anyway). Use method=None for this graph."
+            )
     if plan.corr_matrix is not None and method is not None:
         # The streamed-QMC contract is bitwise equality with a single-shot
         # run; correlation induction recolors per block (empirical moments
@@ -85,23 +162,14 @@ def _block_program(
             "use method=None for streamed correlated sampling "
             "(per-block recoloring) or a single-shot sample()."
         )
-    keep = frozenset({sink._id})
-    single_extra = extra is not None and not isinstance(extra, (tuple, list))
-    extras = () if extra is None else (extra,) if single_extra else tuple(extra)
-    for requested in extras:
-        if not any(node is requested for node in plan.topo):
-            raise ValueError(
-                "The control node must be part of the estimated graph "
-                "(an ancestor of the sink, sharing its draws)."
-            )
-    keep = keep | {node._id for node in extras}
+    keep = frozenset({out_sink._id}) | {node._id for node in extras}
 
     def _pair(outputs):
         if extra is None:
-            return (outputs[sink._id], None)
+            return (outputs[out_sink._id], None)
         if single_extra:
-            return (outputs[sink._id], outputs[extras[0]._id])
-        return (outputs[sink._id], tuple(outputs[n._id] for n in extras))
+            return (outputs[out_sink._id], outputs[extras[0]._id])
+        return (outputs[out_sink._id], tuple(outputs[n._id] for n in extras))
 
     if method is not None:
         from probabilit_tpu import config
@@ -854,6 +922,11 @@ def estimate_many(
     for node in nodes:
         if not isinstance(node, Node):
             raise ValueError(f"estimate_many takes graph nodes, got {node!r}.")
+        if getattr(node, "_vector_valued", False):
+            raise ValueError(
+                f"Cannot estimate vector-valued node {node!r}; request "
+                "scalar marginals/functionals of it instead."
+            )
         if node._id in seen:
             raise ValueError(f"{node!r} appears twice.")
         seen.add(node._id)

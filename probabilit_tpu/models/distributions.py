@@ -337,6 +337,9 @@ class CopulaDistribution(AbstractDistribution):
     # (n, d)-valued: cannot join a correlate() declaration directly
     # (engine/compile._analyze_correlations guards on this).
     _vector_valued = True
+    # Randomness comes from a column-seeded PRNG key, not the column
+    # itself: streamed method= runs reject such graphs (bitwise contract).
+    _key_seeded = True
 
     def __init__(self, family, theta, d):
         from probabilit_tpu.ops import copulas

@@ -54,6 +54,10 @@ class PathDistribution(AbstractDistribution):
 
     is_leaf = True
     _vector_valued = True
+    # Randomness comes from a column-seeded PRNG key (see _emit):
+    # method="sobol"/"antithetic" etc. cannot reach these draws, and
+    # streamed method= runs reject such graphs (bitwise contract).
+    _key_seeded = True
     # Differentiable scalar parameters (pathwise sensitivities swap these
     # attributes for traced scalars; engine/sensitivity.py).  Empty means
     # the family has no valid pathwise derivative.

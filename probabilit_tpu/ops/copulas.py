@@ -63,8 +63,11 @@ def validate(family, theta, d):
 
 
 def _open_unit(u, dtype):
-    tiny = 2.0**-24 if jnp.dtype(dtype) == jnp.float32 else 2.0**-53
-    return jnp.clip(u, tiny, 1.0 - tiny)
+    from probabilit_tpu.ops.qmc import clamp_open_unit
+
+    # One home for the open-interval clamp policy (CLAUDE.md: always
+    # clamp before inverse CDFs); this wrapper only fixes the dtype.
+    return clamp_open_unit(jnp.asarray(u, dtype))
 
 
 def _exp1(key, shape, dtype):
@@ -92,20 +95,31 @@ def _positive_stable(key, shape, alpha, dtype):
     ) ** ((1.0 - a) / a)
 
 
-def _log_series(key, shape, p, dtype):
+def _log_series(key, shape, log1mp, dtype):
     """Logarithmic(p) integer draws (as floats >= 1), Kemp's LK algorithm.
 
     pmf(k) proportional to p^k / k.  Branch-free ``where`` realisation of
-    the classic accept branches; exact, no loops.
+    the classic accept branches; exact, no loops.  Parameterised by
+    ``log1mp = log(1 - p)`` rather than ``p``: the Frank frailty has
+    ``p = 1 - e^(-theta)``, which rounds to exactly 1.0 in float32 for
+    theta >= ~16.6 — ``log1p(-p)`` would then be ``-inf`` and every draw
+    would silently collapse (measured: Kendall tau 0.38 instead of 0.82
+    at theta=20).  The caller knows ``log(1-p) = -theta`` EXACTLY.
     """
     k1, k2 = jax.random.split(key)
     u1 = _open_unit(jax.random.uniform(k1, shape, dtype=dtype), dtype)
     u2 = _open_unit(jax.random.uniform(k2, shape, dtype=dtype), dtype)
-    # q = 1 - (1-p)^(u1), computed via log1p for p near 1 (large theta).
-    log1mp = jnp.log1p(jnp.asarray(-p, dtype))
+    log1mp = jnp.asarray(log1mp, dtype)
+    # q = 1 - (1-p)^(u1) = -expm1(u1 * log(1-p)), exact at any theta.
     q = -jnp.expm1(u1 * log1mp)
-    q = _open_unit(q, dtype)
-    heavy = jnp.floor(1.0 + jnp.log(u2) / jnp.log(q))
+    # log(q) must come from log1p of the SMALL complement (1-p)^(u1):
+    # q itself rounds to 1.0 in f32 once (1-p)^(u1) < 2^-24 (17% of
+    # draws at theta=20), and a clamped log(q) floors at -2^-24 —
+    # underestimating the heavy-tail V by orders of magnitude (measured:
+    # the copula's upper-quantile mass went missing, KS ~0.06).
+    comp = jnp.maximum(jnp.exp(u1 * log1mp), jnp.finfo(dtype).tiny)
+    log_q = jnp.log1p(-comp)
+    heavy = jnp.floor(1.0 + jnp.log(u2) / log_q)
     v = jnp.where(u2 < q * q, heavy, jnp.where(u2 > q, 1.0, 2.0))
     return jnp.maximum(v, 1.0)
 
@@ -140,6 +154,20 @@ def sample(family, key, shape, theta, dtype):
             u = jnp.exp(-((E / V) ** (1.0 / theta)))
     else:  # frank
         p = -np.expm1(-theta)  # 1 - e^(-theta), exact for small theta
-        V = _log_series(kv, (n, 1), p, dtype)
-        u = -jnp.log1p(-p * jnp.exp(-E / V)) / theta
+        # log(1-p) = -theta exactly; passing p itself would hit the f32
+        # p == 1.0 rounding wall at theta >= ~16.6 (see _log_series).
+        V = _log_series(kv, (n, 1), -theta, dtype)
+        t = E / V
+        # psi(t) = -log(1 - p e^(-t)) / theta needs BOTH tails handled:
+        # for large theta the frailty V is huge, so typical t ~ 1e-7 and
+        # f32 exp(-t) quantizes to ulp steps of 1 (draws collapse onto a
+        # visible grid; KS p-value 0 at theta=20 before this split).
+        # Small t: 1 - p e^(-t) = -expm1(-t) + e^(-t-theta), each term
+        # exact.  Large t: p e^(-t) is small, log1p is exact directly.
+        bracket_small = -jnp.expm1(-t) + jnp.exp(-t - theta)
+        u = jnp.where(
+            t < 0.6931,
+            -jnp.log(jnp.maximum(bracket_small, jnp.finfo(dtype).tiny)) / theta,
+            -jnp.log1p(-p * jnp.exp(-t)) / theta,
+        )
     return _open_unit(u, dtype)

