@@ -114,12 +114,15 @@ def _block_program(
     point sequence: block ``b`` generates points ``[b*block_size,
     (b+1)*block_size)`` via the generators' index addressability, so the
     concatenated stream equals a single-shot ``sample(method=...)`` of
-    the same total size exactly.
-    (One carve-out: XLA's incomplete-beta primitive iterates with a
-    batch-GLOBAL convergence test, so beta-class families with endpoint
-    pdf singularities — a or b < 1 — can drift ~2e-6 between batch
-    compositions inside XLA itself; our own Newton loops freeze per-lane
-    and are batch-independent.)
+    the same total size exactly.  Two carve-outs: graphs containing
+    key-seeded nodes (paths/copulas/multivariate) are REJECTED under a
+    method — their randomness cannot satisfy the bitwise contract (and
+    QMC/antithetic structure never reaches key-based draws); and XLA's
+    incomplete-beta primitive iterates with a batch-GLOBAL convergence
+    test, so beta-class families with endpoint pdf singularities — a or
+    b < 1 — can drift ~2e-6 between batch compositions inside XLA
+    itself (our own Newton loops freeze per-lane and are
+    batch-independent).
     """
     if getattr(sink, "_vector_valued", False):
         raise ValueError(
