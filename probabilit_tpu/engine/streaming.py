@@ -43,6 +43,121 @@ _ESTIMATE_CACHE = {}
 _TRACE_COUNT = 0
 
 
+def _quantile_accumulators(quantiles, block_size):
+    """(qsum_full, qsum_partial): per-block quantile numerators.
+
+    Shared by ``estimate`` and ``estimate_many``.  ``qsum_full(x)`` is a
+    FULL block's contribution to the count-weighted quantile numerator;
+    ``qsum_partial(x, mask, cnt)`` handles the final block with a traced
+    valid count.  Levels within 1/2^17 of the endpoints fall back to one
+    exact full-block sort (ADVICE r2: a q=0.999999 request must not
+    silently estimate ~q=0.999992).
+    """
+    cols = 1 << 17
+    rows_ok = (
+        bool(quantiles)
+        and block_size % cols == 0
+        and block_size > cols
+        and all(1.0 / cols <= q <= 1.0 - 1.0 / cols for q in quantiles)
+    )
+
+    def qsum_full(x):
+        # np.quantile 'linear' convention: rank q*(m-1), interpolated
+        # between the bracketing statistics — flooring to a bare index
+        # would quantize the level to a 1/m rank grid (a 53%
+        # tail-probability error at q=0.99999 with 2^17 rows).
+        if not quantiles:
+            return jnp.zeros((0,), jnp.float32)
+        if rows_ok:
+            xs = jax.lax.sort(
+                x.reshape(block_size // cols, cols),
+                dimension=1,
+                is_stable=False,
+            )
+            out = []
+            for q in quantiles:
+                pos = q * (cols - 1)
+                lo = min(int(pos), cols - 2)
+                frac = jnp.float32(pos - lo)
+                a = xs[:, lo]
+                b = xs[:, lo + 1]
+                out.append(jnp.sum(a + frac * (b - a)) * cols)
+            return jnp.stack(out)
+        xs = jax.lax.sort(x, is_stable=False)
+        m = block_size
+        out = []
+        for q in quantiles:
+            pos = q * (m - 1)
+            lo = min(int(pos), m - 2) if m > 1 else 0
+            frac = jnp.float32(pos - lo)
+            a = xs[lo]
+            b = xs[min(lo + 1, m - 1)]
+            out.append((a + frac * (b - a)) * m)
+        return jnp.stack(out)
+
+    def qsum_partial(x, mask, cnt):
+        # Final-block contribution: invalid lanes sort to +inf, full
+        # rows use the static positions, the boundary row interpolates
+        # at traced positions.
+        if not quantiles:
+            return jnp.zeros((0,), jnp.float32)
+        xinf = jnp.where(mask, x, jnp.float32(jnp.inf))
+        if rows_ok:
+            nrows = block_size // cols
+            xs = jax.lax.sort(
+                xinf.reshape(nrows, cols), dimension=1, is_stable=False
+            )
+            n_full = cnt // cols
+            rem = cnt - n_full * cols
+            remf = rem.astype(jnp.float32)
+            full_rows = jnp.arange(nrows, dtype=jnp.int32) < n_full
+            brow = jax.lax.dynamic_slice_in_dim(
+                xs, jnp.minimum(n_full, nrows - 1), 1, axis=0
+            )[0]
+            out = []
+            for q in quantiles:
+                pos = q * (cols - 1)
+                lo = min(int(pos), cols - 2)
+                frac = jnp.float32(pos - lo)
+                a = xs[:, lo]
+                b = xs[:, lo + 1]
+                # Select, not multiply: invalid rows hold +inf and
+                # inf * 0 would poison the sum with NaN.
+                full_sum = (
+                    jnp.sum(jnp.where(full_rows, a + frac * (b - a), 0.0))
+                    * cols
+                )
+                bpos = q * (remf - 1.0)
+                blo = jnp.clip(jnp.floor(bpos).astype(jnp.int32), 0, cols - 2)
+                bfrac = bpos - blo.astype(jnp.float32)
+                ba = jax.lax.dynamic_index_in_dim(brow, blo, keepdims=False)
+                bb = jax.lax.dynamic_index_in_dim(
+                    brow,
+                    jnp.minimum(blo + 1, jnp.maximum(rem - 1, 0)),
+                    keepdims=False,
+                )
+                bq = ba + bfrac * (bb - ba)
+                out.append(
+                    full_sum + jnp.where(rem > 0, bq * remf, jnp.float32(0.0))
+                )
+            return jnp.stack(out)
+        xs = jax.lax.sort(xinf, is_stable=False)
+        cntf = cnt.astype(jnp.float32)
+        out = []
+        for q in quantiles:
+            pos = q * (cntf - 1.0)
+            lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, block_size - 2)
+            frac = pos - lo.astype(jnp.float32)
+            a = jax.lax.dynamic_index_in_dim(xs, lo, keepdims=False)
+            b = jax.lax.dynamic_index_in_dim(
+                xs, jnp.minimum(lo + 1, cnt - 1), keepdims=False
+            )
+            out.append((a + frac * (b - a)) * cntf)
+        return jnp.stack(out)
+
+    return qsum_full, qsum_partial
+
+
 _UNION_SINK_CACHE = {}
 
 
@@ -585,17 +700,7 @@ def _estimate_carry(
     if cached is not None:
         return cached(key, n_blocks, last_count)
 
-    cols = 1 << 17
-    # Row-batched quantile extraction needs every level to sit at least
-    # one order statistic away from the row extremes; nearer levels fall
-    # back to the exact full-block sort (ADVICE r2: a q=0.999999 request
-    # must not silently estimate ~q=0.999992).
-    rows_ok = (
-        bool(quantiles)
-        and block_size % cols == 0
-        and block_size > cols
-        and all(1.0 / cols <= q <= 1.0 - 1.0 / cols for q in quantiles)
-    )
+    qsum_full, qsum_partial = _quantile_accumulators(quantiles, block_size)
 
     @jax.jit
     def all_blocks(key, n_blocks, last_count):
@@ -609,106 +714,6 @@ def _estimate_carry(
         # its valid count as a traced scalar.
         global _TRACE_COUNT
         _TRACE_COUNT += 1
-
-        def qsum_full(x):
-            # Contribution of a FULL block to the quantile numerator:
-            # sum over rows of (row order statistic * row count).
-            # np.quantile 'linear' convention: rank q*(m-1), interpolated
-            # between the bracketing statistics — flooring to a bare
-            # index would quantize the level to a 1/m rank grid (a 53%
-            # tail-probability error at q=0.99999 with 2^17 rows).
-            if not quantiles:
-                return jnp.zeros((0,), jnp.float32)
-            if rows_ok:
-                xs = jax.lax.sort(
-                    x.reshape(block_size // cols, cols),
-                    dimension=1,
-                    is_stable=False,
-                )
-                out = []
-                for q in quantiles:
-                    pos = q * (cols - 1)
-                    lo = min(int(pos), cols - 2)
-                    frac = jnp.float32(pos - lo)
-                    a = xs[:, lo]
-                    b = xs[:, lo + 1]
-                    out.append(jnp.sum(a + frac * (b - a)) * cols)
-                return jnp.stack(out)
-            xs = jax.lax.sort(x, is_stable=False)
-            m = block_size
-            out = []
-            for q in quantiles:
-                pos = q * (m - 1)
-                lo = min(int(pos), m - 2) if m > 1 else 0
-                frac = jnp.float32(pos - lo)
-                a = xs[lo]
-                b = xs[min(lo + 1, m - 1)]
-                out.append((a + frac * (b - a)) * m)
-            return jnp.stack(out)
-
-        def qsum_partial(x, mask, cnt):
-            # Final-block contribution with a traced valid count: invalid
-            # lanes sort to +inf, full rows use the static positions,
-            # the boundary row interpolates at traced positions.
-            if not quantiles:
-                return jnp.zeros((0,), jnp.float32)
-            xinf = jnp.where(mask, x, jnp.float32(jnp.inf))
-            if rows_ok:
-                nrows = block_size // cols
-                xs = jax.lax.sort(
-                    xinf.reshape(nrows, cols), dimension=1, is_stable=False
-                )
-                n_full = cnt // cols
-                rem = cnt - n_full * cols
-                remf = rem.astype(jnp.float32)
-                full_rows = jnp.arange(nrows, dtype=jnp.int32) < n_full
-                brow = jax.lax.dynamic_slice_in_dim(
-                    xs, jnp.minimum(n_full, nrows - 1), 1, axis=0
-                )[0]
-                out = []
-                for q in quantiles:
-                    pos = q * (cols - 1)
-                    lo = min(int(pos), cols - 2)
-                    frac = jnp.float32(pos - lo)
-                    a = xs[:, lo]
-                    b = xs[:, lo + 1]
-                    # Select, not multiply: invalid rows hold +inf and
-                    # inf * 0 would poison the sum with NaN.
-                    full_sum = (
-                        jnp.sum(
-                            jnp.where(full_rows, a + frac * (b - a), 0.0)
-                        )
-                        * cols
-                    )
-                    bpos = q * (remf - 1.0)
-                    blo = jnp.clip(jnp.floor(bpos).astype(jnp.int32), 0, cols - 2)
-                    bfrac = bpos - blo.astype(jnp.float32)
-                    ba = jax.lax.dynamic_index_in_dim(brow, blo, keepdims=False)
-                    bb = jax.lax.dynamic_index_in_dim(
-                        brow,
-                        jnp.minimum(blo + 1, jnp.maximum(rem - 1, 0)),
-                        keepdims=False,
-                    )
-                    bq = ba + bfrac * (bb - ba)
-                    out.append(
-                        full_sum + jnp.where(rem > 0, bq * remf, jnp.float32(0.0))
-                    )
-                return jnp.stack(out)
-            xs = jax.lax.sort(xinf, is_stable=False)
-            cntf = cnt.astype(jnp.float32)
-            out = []
-            for q in quantiles:
-                pos = q * (cntf - 1.0)
-                lo = jnp.clip(
-                    jnp.floor(pos).astype(jnp.int32), 0, block_size - 2
-                )
-                frac = pos - lo.astype(jnp.float32)
-                a = jax.lax.dynamic_index_in_dim(xs, lo, keepdims=False)
-                b = jax.lax.dynamic_index_in_dim(
-                    xs, jnp.minimum(lo + 1, cnt - 1), keepdims=False
-                )
-                out.append((a + frac * (b - a)) * cntf)
-            return jnp.stack(out)
 
         zero = jnp.float32(0.0)
 
@@ -899,6 +904,7 @@ def estimate_many(
     executor="auto",
     method=None,
     correlator="imanconover",
+    quantiles=None,
 ):
     """One-pass streamed moments for SEVERAL nodes of one model.
 
@@ -912,8 +918,11 @@ def estimate_many(
     O(block) memory; carries are (M,)-vector Chan merges, so cost is
     independent of how many nodes are watched.
 
-    ``sem`` is the iid formula per node (see ``estimate``); quantiles,
-    replicates, and control variates remain single-sink features.
+    ``sem`` is the iid formula per node (see ``estimate``);
+    ``quantiles=(0.5, 0.95, ...)`` adds streamed per-node quantile
+    estimates (same estimator as ``estimate``, one row-sort per node
+    per block).  Replicates and control variates remain single-sink
+    features.
     """
     from probabilit_tpu import config as _config
     from probabilit_tpu.models.graph import Node, NoOp
@@ -935,6 +944,10 @@ def estimate_many(
         seen.add(node._id)
     if size < 1:
         raise ValueError(f"size must be >= 1, got {size}.")
+    quantiles = tuple(float(q) for q in quantiles) if quantiles else ()
+    for q in quantiles:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"Quantile levels must be in (0, 1), got {q}.")
     key = resolve_key(random_state)
     n_blocks = -(-size // block_size)
     last_count = size - (n_blocks - 1) * block_size
@@ -954,6 +967,7 @@ def estimate_many(
         block_size,
         executor,
         method,
+        quantiles,
         lhs_total,
         _compile.correlator_token(_compile.resolve_correlator(correlator)),
         jnp.dtype(_config.float_dtype()).name,
@@ -961,7 +975,9 @@ def estimate_many(
     )
     cached = _MANY_CACHE.get(cache_key)
     if cached is not None:
-        return _finalize_many(nodes, cached(key, n_blocks, last_count), size)
+        return _finalize_many(
+            nodes, cached(key, n_blocks, last_count), size, quantiles
+        )
 
     # A NoOp roots all requested nodes in ONE plan (the reference's own
     # multi-variable trick, inspection.py:35-36); its output is None and
@@ -983,13 +999,15 @@ def estimate_many(
                 "estimate_many needs numeric nodes. Use sample_streaming()."
             )
 
+    qsum_full, qsum_partial = _quantile_accumulators(quantiles, block_size)
+
     @jax.jit
     def all_blocks(key, n_blocks, last_count):
         global _TRACE_COUNT
         _TRACE_COUNT += 1
 
-        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite):
-            n_prev, mean, m2, vmin, vmax, finite = carry
+        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum):
+            n_prev, mean, m2, vmin, vmax, finite, qsum = carry
             delta = bm - mean
             nn = n_prev + bn
             w = n_prev * bn / nn
@@ -1002,6 +1020,7 @@ def estimate_many(
                 jnp.minimum(vmin, bmin),
                 jnp.maximum(vmax, bmax),
                 finite & bfinite,
+                qsum + bqsum,
             )
 
         def body(b, carry):
@@ -1017,6 +1036,7 @@ def estimate_many(
                 jnp.min(y, axis=1),
                 jnp.max(y, axis=1),
                 jnp.all(jnp.isfinite(y)),
+                jnp.stack([qsum_full(y[i]) for i in range(m)]),
             )
 
         init = (
@@ -1026,6 +1046,7 @@ def estimate_many(
             jnp.full((m,), jnp.inf, jnp.float32),
             jnp.full((m,), -jnp.inf, jnp.float32),
             jnp.bool_(True),
+            jnp.zeros((m, len(quantiles)), jnp.float32),
         )
         nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
         carry = jax.lax.fori_loop(0, nb1, body, init)
@@ -1045,23 +1066,29 @@ def estimate_many(
             jnp.min(jnp.where(mask, y, jnp.float32(jnp.inf)), axis=1),
             jnp.max(jnp.where(mask, y, jnp.float32(-jnp.inf)), axis=1),
             jnp.all(jnp.where(mask, jnp.isfinite(y), True)),
+            jnp.stack(
+                [qsum_partial(y[i], mask[0], cnt) for i in range(m)]
+            ),
         )
 
     if len(_MANY_CACHE) > 32:
         _MANY_CACHE.pop(next(iter(_MANY_CACHE)))
     _MANY_CACHE[cache_key] = all_blocks
-    return _finalize_many(nodes, all_blocks(key, n_blocks, last_count), size)
+    return _finalize_many(
+        nodes, all_blocks(key, n_blocks, last_count), size, quantiles
+    )
 
 
-def _finalize_many(nodes, carry, size):
-    total_, mean_, m2_, vmin_, vmax_, finite_ = jax.device_get(carry)
+def _finalize_many(nodes, carry, size, quantiles=()):
+    total_, mean_, m2_, vmin_, vmax_, finite_, qsum_ = jax.device_get(carry)
     if not bool(finite_):
         raise ValueError("Sampling produced non-finite values.")
     total = float(total_)
+    qsum = np.asarray(qsum_, np.float64)
     out = {}
     for i, node in enumerate(nodes):
         var = float(m2_[i]) / total if total else float("nan")
-        out[node] = {
+        stats = {
             "n": size,
             "mean": float(mean_[i]),
             "var": var,
@@ -1070,4 +1097,7 @@ def _finalize_many(nodes, carry, size):
             "min": float(vmin_[i]),
             "max": float(vmax_[i]),
         }
+        for j, level in enumerate(quantiles):
+            stats[f"q{level:g}"] = float(qsum[i, j] / total)
+        out[node] = stats
     return out

@@ -909,3 +909,40 @@ class TestEstimateMany:
         bad = Log(Distribution("norm", loc=-100.0))
         with pytest.raises(ValueError, match="non-finite"):
             streaming.estimate_many([bad], 10_000, block_size=4096, random_state=0)
+
+
+class TestEstimateManyQuantiles:
+    def test_per_node_quantiles_match_analytic(self):
+        import scipy.stats as sps
+
+        eq = Distribution("lognorm", s=0.25)
+        bo = Distribution("norm", loc=1.02, scale=0.05)
+        total = 0.6 * eq + 0.4 * bo
+        res = streaming.estimate_many(
+            [eq, bo, total],
+            200_000,
+            block_size=32768,
+            random_state=0,
+            quantiles=(0.5, 0.95),
+        )
+        assert res[bo]["q0.5"] == pytest.approx(1.02, abs=2e-3)
+        assert res[bo]["q0.95"] == pytest.approx(
+            sps.norm.ppf(0.95, 1.02, 0.05), abs=2e-3
+        )
+        assert res[eq]["q0.95"] == pytest.approx(
+            sps.lognorm.ppf(0.95, 0.25), abs=5e-3
+        )
+        # Monotone combination: the total's p95 sits between components'
+        # scaled contributions and above its median.
+        assert res[total]["q0.95"] > res[total]["q0.5"]
+
+    def test_no_quantiles_by_default_and_cache_split(self):
+        a = Distribution("uniform")
+        plain = streaming.estimate_many([a], 4096, block_size=1024, random_state=1)
+        assert "q0.5" not in plain[a]
+        withq = streaming.estimate_many(
+            [a], 4096, block_size=1024, random_state=1, quantiles=(0.25,)
+        )
+        assert withq[a]["q0.25"] == pytest.approx(0.25, abs=0.02)
+        with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+            streaming.estimate_many([a], 100, block_size=64, quantiles=(1.5,))
