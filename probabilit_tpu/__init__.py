@@ -30,6 +30,7 @@ from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
 from probabilit_tpu.engine.streaming import estimate_many
 from probabilit_tpu.models.processes import (
     BrownianMotion,
+    CorrelatedGBM,
     GeometricBrownianMotion,
     MertonJumpDiffusion,
     OrnsteinUhlenbeck,
@@ -61,4 +62,5 @@ __all__ = [
     "OrnsteinUhlenbeck",
     "PoissonProcess",
     "MertonJumpDiffusion",
+    "CorrelatedGBM",
 ]

@@ -26,6 +26,7 @@ from probabilit_tpu.models.distributions import (  # noqa: F401
 from probabilit_tpu.garbage_collector import GarbageCollector  # noqa: F401
 from probabilit_tpu.models.processes import (  # noqa: F401
     BrownianMotion,
+    CorrelatedGBM,
     GeometricBrownianMotion,
     MertonJumpDiffusion,
     OrnsteinUhlenbeck,
@@ -52,6 +53,7 @@ __all__ = list(_graph_all) + [
     "OrnsteinUhlenbeck",
     "PoissonProcess",
     "MertonJumpDiffusion",
+    "CorrelatedGBM",
     "PathDistribution",
     "PathFunctional",
     "GarbageCollector",

@@ -40,12 +40,57 @@ __all__ = [
     "OrnsteinUhlenbeck",
     "PoissonProcess",
     "MertonJumpDiffusion",
+    "CorrelatedGBM",
     "PathDistribution",
     "PathFunctional",
 ]
 
 
-class PathDistribution(AbstractDistribution):
+class PathFunctionalMixin:
+    """Functional shortcuts shared by path leaves and asset views.
+
+    Memoised per (op, index): repeated ``path.terminal()`` calls give
+    the SAME node, so ``path.terminal().samples_`` after sampling any
+    expression built from it behaves the way users expect.  Requires a
+    ``steps`` attribute and an ``(n, steps)``-valued emission.
+    """
+
+    _is_path = True
+
+    def _functional(self, op, index=None):
+        cache = self.__dict__.setdefault("_functional_cache", {})
+        key = (op, index)
+        if key not in cache:
+            cache[key] = PathFunctional(self, op, index=index)
+        return cache[key]
+
+    def terminal(self):
+        """Value at time T."""
+        return self._functional("terminal")
+
+    def maximum(self):
+        """Running maximum over the grid (discrete-time supremum)."""
+        return self._functional("max")
+
+    def minimum(self):
+        """Running minimum over the grid."""
+        return self._functional("min")
+
+    def average(self):
+        """Time average over the grid (Asian-option payoff ingredient)."""
+        return self._functional("mean")
+
+    def at(self, step):
+        """Value at grid point ``step`` (time ``(step + 1) * T / steps``)."""
+        step = int(step)
+        if not 0 <= step < self.steps:
+            raise ValueError(
+                f"step must be in [0, {self.steps}), got {step}."
+            )
+        return self._functional("at", index=step)
+
+
+class PathDistribution(PathFunctionalMixin, AbstractDistribution):
     """Base path node: ``(n, steps)`` sample paths on a uniform grid.
 
     Time grid is ``dt, 2*dt, ..., T`` with ``dt = T / steps`` (the start
@@ -105,45 +150,6 @@ class PathDistribution(AbstractDistribution):
         if sharding is not None:
             inc = jax.lax.with_sharding_constraint(inc, sharding)
         return self._path_from_increments(inc)
-
-    # ------------------------------------------------------------------
-    # Functional shortcuts — each returns a scalar-valued graph node.
-    # Memoised per (op, index): repeated ``path.terminal()`` calls give
-    # the SAME node, so ``path.terminal().samples_`` after sampling any
-    # expression built from it behaves the way users expect.
-    # ------------------------------------------------------------------
-    def _functional(self, op, index=None):
-        cache = self.__dict__.setdefault("_functional_cache", {})
-        key = (op, index)
-        if key not in cache:
-            cache[key] = PathFunctional(self, op, index=index)
-        return cache[key]
-
-    def terminal(self):
-        """Value at time T."""
-        return self._functional("terminal")
-
-    def maximum(self):
-        """Running maximum over the grid (discrete-time supremum)."""
-        return self._functional("max")
-
-    def minimum(self):
-        """Running minimum over the grid."""
-        return self._functional("min")
-
-    def average(self):
-        """Time average over the grid (Asian-option payoff ingredient)."""
-        return self._functional("mean")
-
-    def at(self, step):
-        """Value at grid point ``step`` (time ``(step + 1) * T / steps``)."""
-        step = int(step)
-        if not 0 <= step < self.steps:
-            raise ValueError(
-                f"step must be in [0, {self.steps}), got {step}."
-            )
-        return self._functional("at", index=step)
-
 
 class BrownianPath(PathDistribution):
     """Arithmetic Brownian motion ``x0 + drift*t + diffusion*W_t``.
@@ -439,7 +445,7 @@ class PathFunctional(Transform):
     _OPS = ("terminal", "max", "min", "mean", "at")
 
     def __init__(self, path, op, index=None):
-        if not isinstance(path, PathDistribution):
+        if not getattr(path, "_is_path", False):
             raise TypeError(
                 f"PathFunctional needs a PathDistribution, got {path!r}."
             )
@@ -540,3 +546,147 @@ def MertonJumpDiffusion(
         T=T,
         steps=steps,
     )
+
+
+class CorrelatedGBMPaths(PathDistribution):
+    """Joint (n, d, steps) geometric-Brownian paths with correlated drivers.
+
+    The d assets' log-increments share a constant instantaneous
+    correlation matrix: one (n, steps, d) standard-normal draw is
+    recolored by the Cholesky factor of ``corr`` along the asset axis
+    (one small MXU matmul), then each asset runs the exact GBM cumsum.
+    Log-terminal correlations therefore equal ``corr`` EXACTLY in
+    distribution at every horizon — no discretisation error.
+
+    Unpack per-asset views with the ``CorrelatedGBM`` factory; each view
+    carries the full functional API (terminal/max/min/average/at).
+    """
+
+    def __init__(self, s0, mu, sigma, corr, T=1.0, steps=252):
+        import numpy as np
+
+        s0 = np.asarray(s0, np.float64).ravel()
+        mu = np.asarray(mu, np.float64).ravel()
+        sigma = np.asarray(sigma, np.float64).ravel()
+        corr = np.asarray(corr, np.float64)
+        d = s0.shape[0]
+        if d < 2:
+            raise ValueError(f"CorrelatedGBM needs >= 2 assets, got {d}.")
+        if mu.shape != (d,) or sigma.shape != (d,):
+            raise ValueError(
+                f"s0/mu/sigma must have equal lengths; got "
+                f"{d}/{mu.shape[0]}/{sigma.shape[0]}."
+            )
+        if not (s0 > 0).all():
+            raise ValueError("Every s0 must be positive.")
+        if not (sigma > 0).all():
+            raise ValueError("Every sigma must be positive.")
+        if corr.shape != (d, d):
+            raise ValueError(f"corr must be ({d}, {d}), got {corr.shape}.")
+        if not np.allclose(np.diag(corr), 1.0):
+            raise ValueError("corr must have unit diagonal.")
+        if not np.allclose(corr, corr.T):
+            raise ValueError("corr must be symmetric.")
+        try:
+            chol = np.linalg.cholesky(corr)
+        except np.linalg.LinAlgError:
+            raise ValueError("corr must be positive definite.") from None
+        self.s0 = s0
+        self.mu = mu
+        self.sigma = sigma
+        self.corr = corr
+        self._chol = chol
+        self.d = d
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"CorrelatedGBMPaths(d={self.d}, T={self.T:g}, steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return (
+            "CorrelatedGBMPaths",
+            self.s0.tobytes(),
+            self.mu.tobytes(),
+            self.sigma.tobytes(),
+            self.corr.tobytes(),
+            self.T,
+            self.steps,
+        )
+
+    def _increments(self, key, n, dtype):
+        dt = self.T / self.steps
+        z = jax.random.normal(key, (n, self.steps, self.d), dtype)
+        # Recolor along the asset axis; f32 matmul precision pinned like
+        # every statistics-bearing matmul in this package (CLAUDE.md).
+        with jax.default_matmul_precision("float32"):
+            zc = z @ jnp.asarray(self._chol.T, dtype)
+        drift = jnp.asarray((self.mu - 0.5 * self.sigma**2) * dt, dtype)
+        vol = jnp.asarray(self.sigma * dt**0.5, dtype)
+        return drift + vol * zc  # (n, steps, d) log-increments
+
+    def _path_from_increments(self, inc):
+        logpath = jnp.cumsum(inc, axis=1)  # cumulative along time
+        s0 = jnp.asarray(self.s0, inc.dtype)
+        # (n, d, steps): asset-major so each view slices contiguously.
+        return jnp.transpose(s0[None, None, :] * jnp.exp(logpath), (0, 2, 1))
+
+    # The joint node's own functional API is ambiguous (which asset?);
+    # use the per-asset views.
+    def _functional(self, op, index=None):
+        raise TypeError(
+            "Apply functionals to a per-asset view (CorrelatedGBM's "
+            "returned nodes), not the joint node."
+        )
+
+
+class AssetPath(PathFunctionalMixin, Transform):
+    """One asset's (n, steps) view of a joint correlated-paths node."""
+
+    _vector_valued = True
+
+    def __init__(self, joint, asset):
+        if not isinstance(joint, CorrelatedGBMPaths):
+            raise TypeError(
+                f"AssetPath views a CorrelatedGBMPaths node, got {joint!r}."
+            )
+        asset = int(asset)
+        if not 0 <= asset < joint.d:
+            raise ValueError(f"asset must be in [0, {joint.d}), got {asset}.")
+        self.joint = joint
+        self.asset = asset
+        self.steps = joint.steps
+        self.T = joint.T
+        super().__init__()
+
+    def __repr__(self):
+        return f"AssetPath({self.joint!r}, asset={self.asset})"
+
+    def get_parents(self):
+        yield self.joint
+
+    def _rewire(self, update):
+        self.joint = update(self.joint)
+        self.__dict__.pop("_functional_cache", None)
+
+    def _static_signature(self):
+        return ("AssetPath", self.asset)
+
+    def _emit(self, ctx):
+        return ctx.value(self.joint)[:, self.asset, :]
+
+
+def CorrelatedGBM(s0, mu, sigma, corr, T=1.0, steps=252):
+    """d correlated GBM asset paths sharing one exact joint draw.
+
+    Returns one :class:`AssetPath` view per asset, each with the full
+    functional API — basket, spread, and worst-of payoffs compose from
+    them directly:
+
+    >>> a, b = CorrelatedGBM([100, 50], [0.03, 0.02], [0.2, 0.3],
+    ...                      [[1, 0.6], [0.6, 1]], steps=16)
+    >>> basket = 0.5 * a.terminal() + 0.5 * b.terminal()
+    """
+    joint = CorrelatedGBMPaths(s0, mu, sigma, corr, T=T, steps=steps)
+    return tuple(AssetPath(joint, i) for i in range(joint.d))

@@ -293,3 +293,71 @@ class TestPathwiseGreeks:
         p = PoissonProcess(rate=2.0, steps=16)
         with pytest.raises(ValueError, match="no differentiable parameters"):
             pt.sensitivity(p.terminal(), wrt=p, size=1024)
+
+
+class TestCorrelatedGBM:
+    def _paths(self, steps=32):
+        from probabilit_tpu import CorrelatedGBM
+
+        return CorrelatedGBM(
+            [100, 50, 10],
+            [0.03, 0.02, 0.0],
+            [0.2, 0.3, 0.15],
+            [[1, 0.6, 0.2], [0.6, 1, 0.3], [0.2, 0.3, 1]],
+            T=1.0,
+            steps=steps,
+        )
+
+    def test_exact_marginals_and_joint_correlation(self):
+        a, b, c = self._paths()
+        (a.terminal() + b.terminal() + c.terminal()).sample(40000, random_state=0)
+        la = np.log(np.asarray(a.terminal().samples_) / 100)
+        lb = np.log(np.asarray(b.terminal().samples_) / 50)
+        lc = np.log(np.asarray(c.terminal().samples_) / 10)
+        # Marginals: each log-terminal is exactly N((mu-s^2/2)T, s^2 T).
+        assert stats.kstest(la[:8000], "norm", args=(0.01, 0.2)).pvalue > 0.01
+        assert stats.kstest(lb[:8000], "norm", args=(-0.025, 0.3)).pvalue > 0.01
+        # Joint: log-terminal correlations equal the target EXACTLY in
+        # distribution (shared recolored drivers, no discretisation).
+        C = np.corrcoef(np.vstack([la, lb, lc]))
+        assert abs(C[0, 1] - 0.6) < 0.02
+        assert abs(C[0, 2] - 0.2) < 0.02
+        assert abs(C[1, 2] - 0.3) < 0.02
+
+    def test_views_have_full_functional_api(self):
+        a, b, _ = self._paths()
+        spread = a.terminal() - 2 * b.terminal()
+        spread.sample(2000, random_state=1)
+        mx = np.asarray(a.maximum().sample(2000, random_state=1))
+        assert (mx >= np.asarray(a.terminal().samples_) - 1e-3).all()
+        assert a.at(3) is a.at(3)
+
+    def test_joint_node_functionals_rejected(self):
+        a, _, _ = self._paths()
+        with pytest.raises(TypeError, match="per-asset view"):
+            a.joint.terminal()
+
+    def test_copy_and_mesh_bitwise(self):
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        a, b, _ = self._paths()
+        basket = 0.5 * a.terminal() + 0.5 * b.terminal()
+        base = np.asarray(basket.sample(4096, random_state=3))
+        np.testing.assert_array_equal(
+            np.asarray(basket.copy().sample(4096, random_state=3)), base
+        )
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(basket.sample(4096, random_state=3))
+        np.testing.assert_array_equal(base, sharded)
+
+    def test_validation(self):
+        from probabilit_tpu import CorrelatedGBM
+
+        with pytest.raises(ValueError, match=">= 2 assets"):
+            CorrelatedGBM([100], [0.0], [0.2], [[1.0]])
+        with pytest.raises(ValueError, match="equal lengths"):
+            CorrelatedGBM([100, 50], [0.0], [0.2, 0.3], np.eye(2))
+        with pytest.raises(ValueError, match="unit diagonal"):
+            CorrelatedGBM([100, 50], [0, 0], [0.2, 0.3], [[1, 0.9], [0.9, 2]])
+        with pytest.raises(ValueError, match="positive definite"):
+            CorrelatedGBM([100, 50], [0, 0], [0.2, 0.3], [[1, 1.5], [1.5, 1]])
