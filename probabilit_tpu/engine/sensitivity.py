@@ -137,9 +137,9 @@ def _validate_family(node):
     if _is_path_node(node):
         if not node._param_slots:
             raise ValueError(
-                f"{type(node).__name__} has no differentiable parameters "
-                "(its randomness is discrete-valued, so pathwise "
-                "derivatives are zero almost everywhere)."
+                f"{type(node).__name__} declares no differentiable scalar "
+                "parameters (discrete-valued randomness has zero pathwise "
+                "derivative a.e.; vector parameters are not slot-addressable)."
             )
         return
     if not isinstance(node, Distribution):
