@@ -248,6 +248,13 @@ def t_cdf(x, df):
     # jax.scipy's carries ran a v5e out of HBM.  float64 keeps
     # jax.scipy's implementation (1e-14 vs the kernel's f32-tuned trips).
     if dtype == jnp.float32:
+        # cf_iters stays 40 even though the CF converges by ~12 pairs at
+        # b = 1/2 (iteration count does not move the measured accuracy —
+        # the lgamma prefactor dominates): a 16-pair body made t_cdf
+        # ALONE faster (168 -> 91 ms at 1e8 on v5e) but the streamed
+        # t-copula program 3x SLOWER (1.9 -> 5.5 s, reproduced twice) —
+        # the shorter body flips XLA into a worse schedule around the
+        # per-row lax.map.  Change only with an end-to-end measurement.
         tail = 0.5 * betainc_kernel(
             0.5 * df, jnp.asarray(0.5, dtype), z, fused=not _IN_KERNEL
         )
@@ -509,13 +516,16 @@ def _betacf_fused(a, b, x, iters=40):
     return h
 
 
-def betainc_kernel(a, b, x, fused=False):
+def betainc_kernel(a, b, x, fused=False, cf_iters=40):
     """Regularized incomplete beta I_x(a, b), Mosaic-safe.
 
     Standard symmetry split at x = (a+1)/(a+b+2); both continued
     fractions evaluated and selected elementwise.  Sized for a, b in
     (0, ~30].  ``fused=True`` unrolls the Lentz recurrence into one
-    elementwise fusion (host-side XLA only — see ``_betacf_fused``).
+    elementwise fusion (host-side XLA only — see ``_betacf_fused``);
+    ``cf_iters`` bounds the recurrence depth for callers whose (a, b)
+    range converges early (the t CDF's b = 1/2 converges by ~12 pairs
+    at every df <= 128, measured against scipy on a wide x sweep).
     """
     dtype = jnp.result_type(a, b, x, jnp.float32)
     a = jnp.asarray(a, dtype)
@@ -531,7 +541,11 @@ def betainc_kernel(a, b, x, fused=False):
         + b * jnp.log1p(-xc)
     )
     bt = jnp.exp(log_bt)
-    cf = _betacf_fused if fused else _betacf
+    if fused:
+        def cf(pa, pb, px):
+            return _betacf_fused(pa, pb, px, iters=cf_iters)
+    else:
+        cf = _betacf
     direct = bt * cf(a, b, xc) / a
     flipped = 1.0 - bt * cf(b, a, 1.0 - xc) / b
     p = jnp.where(xc < (a + 1.0) / (a + b + 2.0), direct, flipped)
