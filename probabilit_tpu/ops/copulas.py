@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sample", "validate", "FAMILIES"]
+__all__ = ["sample", "validate", "FAMILIES", "theta_from_tau", "rho_from_tau"]
 
 FAMILIES = ("clayton", "gumbel", "frank")
 
@@ -171,3 +171,74 @@ def sample(family, key, shape, theta, dtype):
             -jnp.log1p(-p * jnp.exp(-t)) / theta,
         )
     return _open_unit(u, dtype)
+
+
+def theta_from_tau(family, tau):
+    """Invert Kendall's tau to the family's ``theta`` (host, closed form).
+
+    The standard moment-matching calibration: estimate tau from data
+    (e.g. ``scipy.stats.kendalltau``), invert to the copula parameter.
+
+    * Clayton: ``theta = 2 tau / (1 - tau)``
+    * Gumbel:  ``theta = 1 / (1 - tau)``
+    * Frank:   solves ``tau(theta) = 1 - (4/theta)(1 - D_1(theta))``
+      (Debye) by bisection to 1e-10.
+
+    All three require ``0 < tau < 1`` (the frailty samplers cover
+    positive dependence only).
+
+    >>> round(theta_from_tau("clayton", 0.5), 6)
+    2.0
+    >>> round(theta_from_tau("gumbel", 0.5), 6)
+    2.0
+    """
+    tau = float(tau)
+    if family not in FAMILIES:
+        raise ValueError(
+            f"Unknown copula family {family!r}; expected one of {FAMILIES}."
+        )
+    if not 0.0 < tau < 1.0:
+        raise ValueError(
+            f"tau must be in (0, 1) for the frailty families, got {tau}."
+        )
+    if family == "clayton":
+        return 2.0 * tau / (1.0 - tau)
+    if family == "gumbel":
+        return 1.0 / (1.0 - tau)
+    # Frank: tau(theta) is strictly increasing on theta > 0.
+    from scipy.integrate import quad
+
+    def tau_of(theta):
+        d1 = quad(lambda t: t / np.expm1(t), 0.0, theta)[0] / theta
+        return 1.0 - 4.0 / theta * (1.0 - d1)
+
+    lo, hi = 1e-6, 1.0
+    while tau_of(hi) < tau:
+        hi *= 2.0
+        if hi > 1e6:
+            raise ValueError(f"tau={tau} is out of Frank's invertible range.")
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if tau_of(mid) < tau:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-10 * max(1.0, hi):
+            break
+    return 0.5 * (lo + hi)
+
+
+def rho_from_tau(tau):
+    """Elliptical-copula shape from Kendall's tau: ``rho = sin(pi tau / 2)``.
+
+    Holds for EVERY elliptical copula (Gaussian and Student-t alike), so
+    it calibrates both ``ImanConover`` targets and ``StudentTCopula``
+    shape matrices from rank data.
+
+    >>> round(rho_from_tau(0.5), 6)
+    0.707107
+    """
+    tau = float(tau)
+    if not -1.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (-1, 1), got {tau}.")
+    return float(np.sin(np.pi * tau / 2.0))

@@ -305,3 +305,32 @@ class TestReviewRegressions:
         avg = _compile.correlator_token(ImanConover(ties="average"))
         ordi = _compile.correlator_token(ImanConover(ties="ordinal"))
         assert avg != ordi
+
+
+class TestCalibration:
+    def test_theta_from_tau_round_trips(self):
+        for fam, theta in [("clayton", 2.0), ("gumbel", 2.5), ("frank", 5.0)]:
+            U = np.asarray(
+                copulas.sample(fam, jax.random.PRNGKey(0), (30000, 2), theta, np.float32)
+            )
+            tau = stats.kendalltau(U[:20000, 0], U[:20000, 1]).statistic
+            est = copulas.theta_from_tau(fam, tau)
+            assert abs(est - theta) / theta < 0.08, (fam, est)
+
+    def test_closed_forms_exact(self):
+        assert copulas.theta_from_tau("clayton", 0.5) == pytest.approx(2.0)
+        assert copulas.theta_from_tau("gumbel", 0.5) == pytest.approx(2.0)
+        # Frank at tau=0.4567 -> theta ~ 5 (Debye inversion).
+        assert copulas.theta_from_tau("frank", 0.45663) == pytest.approx(5.0, abs=0.01)
+
+    def test_rho_from_tau_elliptical_law(self):
+        tau = 2 / np.pi * np.arcsin(0.7)
+        assert copulas.rho_from_tau(tau) == pytest.approx(0.7, abs=1e-12)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+            copulas.theta_from_tau("clayton", -0.5)
+        with pytest.raises(ValueError, match="Unknown copula family"):
+            copulas.theta_from_tau("gauss", 0.5)
+        with pytest.raises(ValueError, match="in \\(-1, 1\\)"):
+            copulas.rho_from_tau(1.5)
