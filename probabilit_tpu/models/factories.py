@@ -224,8 +224,9 @@ def FrankCopula(theta, d=2):
     """``d`` dependent Uniform(0,1) nodes with Frank-copula dependence.
 
     Tail-free, radially symmetric dependence; ``tau = 1 - (4/theta) *
-    (1 - D_1(theta))`` (Debye).  ``theta > 0`` (the frailty sampler's
-    completely-monotone range).
+    (1 - D_1(theta))`` (Debye).  ``theta > 0`` for any ``d`` (frailty
+    sampler); ``-30 <= theta < 0`` gives NEGATIVE dependence in the
+    bivariate case (conditional-inversion sampler).
 
     >>> u1, u2 = FrankCopula(theta=5.0)
     """

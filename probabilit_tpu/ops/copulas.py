@@ -23,7 +23,9 @@ family (Hofert 2008 gives this catalogue):
   upper-tail dependence  lambda_U = 2 - 2^(1/theta),  tau = 1 - 1/theta
 * Frank    psi(t) = -log1p(-p e^(-t))/theta, V ~ Logarithmic(p) via
   Kemp's LK algorithm (branch-free ``where`` form),  p = 1 - e^(-theta),
-  no tail dependence, tau = 1 - 4/theta (1 - D_1(theta))
+  no tail dependence, tau = 1 - 4/theta (1 - D_1(theta)); theta < 0
+  (negative dependence, bivariate only) samples by conditional
+  inversion instead of the frailty
 
 Every draw is a pure function of the PRNG key, so copula nodes stream
 and shard exactly like other distribution nodes.
@@ -54,11 +56,24 @@ def validate(family, theta, d):
         raise ValueError(f"Clayton requires theta > 0, got {theta}.")
     if family == "gumbel" and not theta >= 1:
         raise ValueError(f"Gumbel requires theta >= 1, got {theta}.")
-    if family == "frank" and not theta > 0:
-        # theta < 0 gives negative dependence only in d=2 and needs the
-        # conditional-inversion sampler; the frailty form requires a
-        # completely monotone generator, i.e. theta > 0.
-        raise ValueError(f"Frank (frailty form) requires theta > 0, got {theta}.")
+    if family == "frank":
+        if theta == 0.0:
+            raise ValueError(
+                "Frank theta=0 is independence; use independent uniforms."
+            )
+        if theta < 0.0 and d != 2:
+            # Negative dependence exists only in the bivariate Frank
+            # (the frailty generator must be completely monotone for
+            # d >= 3); sampled by conditional inversion.
+            raise ValueError(
+                f"Frank theta < 0 is bivariate-only (got d={d})."
+            )
+        if theta < -30.0:
+            # The conditional form evaluates e^(-theta u); beyond ~e^30
+            # float32 intermediates overflow.
+            raise ValueError(
+                f"Frank theta must be >= -30 (float32 range), got {theta}."
+            )
     return theta, d
 
 
@@ -152,7 +167,19 @@ def sample(family, key, shape, theta, dtype):
         else:
             V = _positive_stable(kv, (n, 1), 1.0 / theta, dtype)
             u = jnp.exp(-((E / V) ** (1.0 / theta)))
-    else:  # frank
+    elif family == "frank" and theta < 0.0:
+        # Bivariate negative dependence: conditional inversion
+        # u2 = -(1/theta) log1p( v (1-e^-theta) /
+        #                        (v expm1(-theta u1) - e^(-theta u1)) ).
+        k1, k2 = jax.random.split(key)
+        u1 = _open_unit(jax.random.uniform(k1, (n,), dtype=dtype), dtype)
+        v = _open_unit(jax.random.uniform(k2, (n,), dtype=dtype), dtype)
+        e1 = jnp.exp(-theta * u1)
+        denom = v * jnp.expm1(-theta * u1) - e1
+        ratio = v * (-jnp.expm1(-theta)) / denom
+        u2 = -jnp.log1p(ratio) / theta
+        u = jnp.stack([u1, u2], axis=1)
+    else:  # frank, positive dependence (frailty; any dimension)
         p = -np.expm1(-theta)  # 1 - e^(-theta), exact for small theta
         # log(1-p) = -theta exactly; passing p itself would hit the f32
         # p == 1.0 rounding wall at theta >= ~16.6 (see _log_series).
@@ -184,8 +211,10 @@ def theta_from_tau(family, tau):
     * Frank:   solves ``tau(theta) = 1 - (4/theta)(1 - D_1(theta))``
       (Debye) by bisection to 1e-10.
 
-    All three require ``0 < tau < 1`` (the frailty samplers cover
-    positive dependence only).
+    Clayton/Gumbel require ``0 < tau < 1`` (their frailty samplers
+    cover positive dependence only); Frank also inverts negative tau
+    (bivariate conditional-inversion sampler, ``theta = -theta(|tau|)``
+    by the odd symmetry of Frank's tau).
 
     >>> round(theta_from_tau("clayton", 0.5), 6)
     2.0
@@ -197,6 +226,9 @@ def theta_from_tau(family, tau):
         raise ValueError(
             f"Unknown copula family {family!r}; expected one of {FAMILIES}."
         )
+    if family == "frank" and -1.0 < tau < 0.0:
+        # Frank's tau is odd in theta.
+        return -theta_from_tau("frank", -tau)
     if not 0.0 < tau < 1.0:
         raise ValueError(
             f"tau must be in (0, 1) for the frailty families, got {tau}."

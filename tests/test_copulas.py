@@ -82,8 +82,9 @@ class TestCopulaKernels:
             copulas.validate("clayton", 0.0, 2)
         with pytest.raises(ValueError, match="theta >= 1"):
             copulas.validate("gumbel", 0.5, 2)
-        with pytest.raises(ValueError, match="theta > 0"):
-            copulas.validate("frank", -1.0, 2)
+        # frank theta < 0 is now VALID for d=2 (negative dependence);
+        # theta=0 and d>2 negatives stay rejected (TestNegativeFrank).
+        copulas.validate("frank", -1.0, 2)
 
     def test_log_series_pmf(self):
         # Kemp LK sampler against the Logarithmic(p) pmf p^k / (-k ln(1-p)).
@@ -334,3 +335,43 @@ class TestCalibration:
             copulas.theta_from_tau("gauss", 0.5)
         with pytest.raises(ValueError, match="in \\(-1, 1\\)"):
             copulas.rho_from_tau(1.5)
+
+
+class TestNegativeFrank:
+    def test_negative_tau_matches_odd_debye(self):
+        from scipy.integrate import quad
+
+        for theta in (-2.0, -20.0):
+            U = np.asarray(
+                copulas.sample(
+                    "frank", jax.random.PRNGKey(2), (30000, 2), theta, np.float32
+                )
+            )
+            for j in range(2):
+                assert stats.kstest(U[:8000, j], "uniform").pvalue > 0.005
+            t = abs(theta)
+            d1 = quad(lambda x: x / np.expm1(x), 0, t)[0] / t
+            tau_true = -(1 - 4 / t * (1 - d1))
+            tau = stats.kendalltau(U[:15000, 0], U[:15000, 1]).statistic
+            assert abs(tau - tau_true) < 0.03, theta
+
+    def test_negative_theta_validation(self):
+        with pytest.raises(ValueError, match="bivariate-only"):
+            copulas.validate("frank", -2.0, 3)
+        with pytest.raises(ValueError, match="independence"):
+            copulas.validate("frank", 0.0, 2)
+        with pytest.raises(ValueError, match=">= -30"):
+            copulas.validate("frank", -100.0, 2)
+
+    def test_negative_tau_inversion(self):
+        theta = copulas.theta_from_tau("frank", -0.45663)
+        assert theta == pytest.approx(-5.0, abs=0.01)
+
+    def test_graph_level_negative_dependence(self):
+        from probabilit_tpu import FrankCopula, QuantileTransform
+
+        u1, u2 = FrankCopula(theta=-5.0)
+        m = QuantileTransform(u1, "norm") + QuantileTransform(u2, "norm")
+        s = np.asarray(m.sample(20000, random_state=0))
+        # Negative dependence shrinks the sum's variance below 2.
+        assert s.var() < 1.5
