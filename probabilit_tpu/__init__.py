@@ -23,7 +23,9 @@ from probabilit_tpu.models.factories import (
     PERT,
     ClaytonCopula,
     FrankCopula,
+    GaussianCopula,
     GumbelCopula,
+    TCopula,
 )
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
@@ -57,6 +59,8 @@ __all__ = [
     "ClaytonCopula",
     "GumbelCopula",
     "FrankCopula",
+    "GaussianCopula",
+    "TCopula",
     "BrownianMotion",
     "GeometricBrownianMotion",
     "OrnsteinUhlenbeck",

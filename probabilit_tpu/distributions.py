@@ -8,7 +8,9 @@ from probabilit_tpu.models.factories import (  # noqa: F401
     PERT,
     ClaytonCopula,
     FrankCopula,
+    GaussianCopula,
     GumbelCopula,
+    TCopula,
     Lognormal,
     Normal,
     TruncatedNormal,
@@ -33,4 +35,6 @@ __all__ = [
     "ClaytonCopula",
     "GumbelCopula",
     "FrankCopula",
+    "GaussianCopula",
+    "TCopula",
 ]

@@ -11,6 +11,7 @@ from probabilit_tpu.models.graph import __all__ as _graph_all
 from probabilit_tpu.models.distributions import (  # noqa: F401
     AbstractDistribution,
     CopulaDistribution,
+    EllipticalCopulaDistribution,
     CumulativeDistribution,
     Distribution,
     DiscreteDistribution,
@@ -47,6 +48,7 @@ __all__ = list(_graph_all) + [
     "MarginalDistribution",
     "MultivariateDistribution",
     "CopulaDistribution",
+    "EllipticalCopulaDistribution",
     "QuantileTransform",
     "BrownianMotion",
     "GeometricBrownianMotion",

@@ -27,6 +27,7 @@ __all__ = [
     "MarginalDistribution",
     "MultivariateDistribution",
     "CopulaDistribution",
+    "EllipticalCopulaDistribution",
     "QuantileTransform",
 ]
 
@@ -419,6 +420,72 @@ class MarginalDistribution(Transform):
     def _emit(self, ctx):
         value = ctx.value(self.distr)
         return jnp.atleast_2d(value)[:, self.d]
+
+
+class EllipticalCopulaDistribution(AbstractDistribution):
+    """(n, d) uniform-marginal draws with Gaussian or Student-t
+    dependence (shape matrix + optional df), the elliptical siblings of
+    :class:`CopulaDistribution`.  Use the ``GaussianCopula`` /
+    ``TCopula`` factories and unpack the marginal views.
+
+    Same q[0]-seeding, streaming, and sharding contracts as
+    ``CopulaDistribution``.
+    """
+
+    is_leaf = True
+    _vector_valued = True
+    _key_seeded = True
+
+    def __init__(self, family, corr, df=None):
+        from probabilit_tpu.ops import copulas
+
+        chol, d, df = copulas.validate_elliptical(family, corr, df)
+        self.family = str(family)
+        self.corr = np.asarray(corr, np.float64)
+        self._chol = chol
+        self.df = df
+        self.d = d
+        super().__init__()
+
+    def __repr__(self):
+        extra = "" if self.df is None else f", df={self.df:g}"
+        return (
+            f'{type(self).__name__}("{self.family}", d={self.d}{extra})'
+        )
+
+    def get_parents(self):
+        return iter(())
+
+    def _rewire(self, update):
+        pass
+
+    def _static_signature(self):
+        return (
+            "EllipticalCopulaDistribution",
+            self.family,
+            self.corr.tobytes(),
+            self.df,
+        )
+
+    def _mv_dim(self):
+        return self.d
+
+    def _emit(self, ctx):
+        import jax as _jax
+
+        from probabilit_tpu.ops import copulas
+        from probabilit_tpu.ops import multivariate as mv
+        from probabilit_tpu.parallel import mesh as _mesh
+
+        q = ctx.column(self)
+        key = mv._key_from_q(q)
+        u = copulas.elliptical_sample(
+            self.family, key, ctx.n, self._chol, self.df, config.float_dtype()
+        )
+        sharding = _mesh.sample_sharding(ndim=2)
+        if sharding is not None:
+            u = _jax.lax.with_sharding_constraint(u, sharding)
+        return u
 
 
 class QuantileTransform(Transform):

@@ -26,6 +26,8 @@ __all__ = [
     "ClaytonCopula",
     "GumbelCopula",
     "FrankCopula",
+    "GaussianCopula",
+    "TCopula",
 ]
 
 
@@ -231,3 +233,39 @@ def FrankCopula(theta, d=2):
     >>> u1, u2 = FrankCopula(theta=5.0)
     """
     return _copula("frank", theta, d)
+
+
+def GaussianCopula(corr):
+    """d dependent Uniform(0,1) nodes with Gaussian-copula dependence.
+
+    ``corr`` is the shape matrix (calibrate from rank data with
+    ``ops.copulas.rho_from_tau``); tail dependence is zero — reach for
+    ``TCopula`` when joint extremes must cluster.
+
+    >>> u1, u2 = GaussianCopula([[1, 0.5], [0.5, 1]])
+    """
+    from probabilit_tpu.models.distributions import (
+        EllipticalCopulaDistribution,
+        MarginalDistribution,
+    )
+
+    node = EllipticalCopulaDistribution("gaussian", corr)
+    return tuple(MarginalDistribution(node, d=i) for i in range(node.d))
+
+
+def TCopula(corr, df=4.0):
+    """d dependent Uniform(0,1) nodes with Student-t copula dependence.
+
+    Symmetric tail dependence ``2 t_{df+1}(-sqrt((df+1)(1-rho)/(1+rho)))``
+    at shape ``rho``; the uniform-marginal sibling of the
+    ``StudentTCopula`` correlator.
+
+    >>> u1, u2, u3 = TCopula([[1, .5, .2], [.5, 1, .3], [.2, .3, 1]], df=3)
+    """
+    from probabilit_tpu.models.distributions import (
+        EllipticalCopulaDistribution,
+        MarginalDistribution,
+    )
+
+    node = EllipticalCopulaDistribution("t", corr, df=df)
+    return tuple(MarginalDistribution(node, d=i) for i in range(node.d))

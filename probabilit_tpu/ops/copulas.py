@@ -37,7 +37,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sample", "validate", "FAMILIES", "theta_from_tau", "rho_from_tau"]
+__all__ = [
+    "sample",
+    "validate",
+    "FAMILIES",
+    "ELLIPTICAL_FAMILIES",
+    "validate_elliptical",
+    "elliptical_sample",
+    "theta_from_tau",
+    "rho_from_tau",
+]
 
 FAMILIES = ("clayton", "gumbel", "frank")
 
@@ -274,3 +283,58 @@ def rho_from_tau(tau):
     if not -1.0 < tau < 1.0:
         raise ValueError(f"tau must be in (-1, 1), got {tau}.")
     return float(np.sin(np.pi * tau / 2.0))
+
+
+ELLIPTICAL_FAMILIES = ("gaussian", "t")
+
+
+def validate_elliptical(family, corr, df):
+    """(chol, d, df) for an elliptical copula, or raise ValueError."""
+    if family not in ELLIPTICAL_FAMILIES:
+        raise ValueError(
+            f"Unknown elliptical family {family!r}; "
+            f"expected one of {ELLIPTICAL_FAMILIES}."
+        )
+    corr = np.asarray(corr, np.float64)
+    if corr.ndim != 2 or corr.shape[0] != corr.shape[1] or corr.shape[0] < 2:
+        raise ValueError(f"corr must be square with d >= 2, got {corr.shape}.")
+    if not np.allclose(np.diag(corr), 1.0):
+        raise ValueError("corr must have unit diagonal.")
+    if not np.allclose(corr, corr.T):
+        raise ValueError("corr must be symmetric.")
+    try:
+        chol = np.linalg.cholesky(corr)
+    except np.linalg.LinAlgError:
+        raise ValueError("corr must be positive definite.") from None
+    if family == "t":
+        df = float(df)
+        if not df > 0:
+            raise ValueError(f"t copula needs df > 0, got {df}.")
+    elif df is not None:
+        raise ValueError("df applies to the t copula only.")
+    return chol, corr.shape[0], df
+
+
+def elliptical_sample(family, key, n, chol, df, dtype):
+    """(n, d) elliptical-copula draws: uniform marginals, shape ``chol``.
+
+    Gaussian: ``u = Phi(z)`` with ``z`` the recolored normals; Student-t
+    divides by a shared per-observation ``sqrt(chi2(df)/df)`` first and
+    maps through the exact t CDF — the same construction as the
+    ``StudentTCopula`` correlator, packaged as uniform marginal draws.
+    """
+    from probabilit_tpu.ops import special as _special
+
+    d = chol.shape[0]
+    kz, kw = jax.random.split(key)
+    z = jax.random.normal(kz, (n, d), dtype)
+    with jax.default_matmul_precision("float32"):
+        z = z @ jnp.asarray(chol.T, dtype)
+    if family == "gaussian":
+        u = _special.ndtr_fast(z)
+    else:
+        mix = jnp.sqrt(
+            _special.chi2_draws(kw, df, n, dtype) / jnp.asarray(df, dtype)
+        )
+        u = _special.t_cdf(z / mix[:, None], jnp.asarray(df, dtype))
+    return _open_unit(u, dtype)

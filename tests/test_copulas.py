@@ -375,3 +375,67 @@ class TestNegativeFrank:
         s = np.asarray(m.sample(20000, random_state=0))
         # Negative dependence shrinks the sum's variance below 2.
         assert s.var() < 1.5
+
+
+class TestEllipticalCopulas:
+    def test_tau_matches_elliptical_law_both_families(self):
+        from probabilit_tpu import GaussianCopula, TCopula
+
+        C = [[1, 0.5, 0.2], [0.5, 1, 0.3], [0.2, 0.3, 1]]
+        g = GaussianCopula(C)
+        t = TCopula(C, df=3)
+        (g[0] + g[1] + g[2]).sample(60000, random_state=0)
+        (t[0] + t[1] + t[2]).sample(60000, random_state=0)
+        expect = 2 / np.pi * np.arcsin(0.5)
+        for trio in (g, t):
+            tau = stats.kendalltau(
+                np.asarray(trio[0].samples_)[:15000],
+                np.asarray(trio[1].samples_)[:15000],
+            ).statistic
+            assert abs(tau - expect) < 0.02
+            p = stats.kstest(np.asarray(trio[0].samples_)[:8000], "uniform").pvalue
+            assert p > 0.005
+
+    def test_t_tails_dominate_gaussian(self):
+        from probabilit_tpu import GaussianCopula, TCopula
+
+        C = [[1, 0.5], [0.5, 1]]
+        g1, g2 = GaussianCopula(C)
+        t1, t2 = TCopula(C, df=3)
+        (g1 + g2).sample(60000, random_state=1)
+        (t1 + t2).sample(60000, random_state=1)
+
+        def jt(a, b, q=0.99):
+            return np.mean((a > q) & (b > q)) / (1 - q)
+
+        assert jt(
+            np.asarray(t1.samples_), np.asarray(t2.samples_)
+        ) > 2 * jt(np.asarray(g1.samples_), np.asarray(g2.samples_))
+
+    def test_validation(self):
+        from probabilit_tpu import GaussianCopula, TCopula
+
+        with pytest.raises(ValueError, match="unit diagonal"):
+            GaussianCopula([[1, 0.5], [0.5, 2.0]])
+        with pytest.raises(ValueError, match="positive definite"):
+            GaussianCopula([[1, 1.5], [1.5, 1]])
+        with pytest.raises(ValueError, match="df > 0"):
+            TCopula(np.eye(2), df=0.0)
+        from probabilit_tpu.models.distributions import (
+            EllipticalCopulaDistribution,
+        )
+
+        with pytest.raises(ValueError, match="t copula only"):
+            EllipticalCopulaDistribution("gaussian", np.eye(2), df=4.0)
+
+    def test_mesh_bitwise_and_reproducible(self):
+        from probabilit_tpu import QuantileTransform, TCopula
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        u1, u2 = TCopula([[1, 0.6], [0.6, 1]], df=4)
+        m = QuantileTransform(u1, "norm") + QuantileTransform(u2, "expon")
+        base = np.asarray(m.sample(4096, random_state=3))
+        np.testing.assert_array_equal(np.asarray(m.sample(4096, random_state=3)), base)
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(m.sample(4096, random_state=3))
+        np.testing.assert_array_equal(base, sharded)
