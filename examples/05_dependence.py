@@ -72,6 +72,18 @@ def main():
     joint = np.mean((a > np.quantile(a, q)) & (b > np.quantile(b, q))) / (1 - q)
     print(f"P(both in top 1% | one is)   : {joint:8.3f}  (independent: 0.010)")
 
+    # --- 3. Calibrate the copula parameter FROM data ------------------
+    # Standard workflow: estimate Kendall's tau on observed pairs,
+    # invert to theta (closed form), then model with the fitted copula.
+    from scipy import stats as sps
+
+    from probabilit_tpu.ops.copulas import theta_from_tau
+
+    tau_hat = sps.kendalltau(a[:20000], b[:20000]).statistic
+    theta_hat = theta_from_tau("clayton", tau_hat)
+    print(f"calibration: tau_hat={tau_hat:.3f} -> theta_hat={theta_hat:.3f} "
+          f"(true 2.0)")
+
 
 if __name__ == "__main__":
     main()
