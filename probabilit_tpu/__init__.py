@@ -22,6 +22,7 @@ from probabilit_tpu.models.distributions import (
 from probabilit_tpu.models.factories import (
     PERT,
     ClaytonCopula,
+    EmpiricalCopula,
     FrankCopula,
     GaussianCopula,
     GumbelCopula,
@@ -61,6 +62,7 @@ __all__ = [
     "FrankCopula",
     "GaussianCopula",
     "TCopula",
+    "EmpiricalCopula",
     "BrownianMotion",
     "GeometricBrownianMotion",
     "OrnsteinUhlenbeck",

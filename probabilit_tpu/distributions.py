@@ -7,6 +7,7 @@ Named factories with friendly parametrizations (reference
 from probabilit_tpu.models.factories import (  # noqa: F401
     PERT,
     ClaytonCopula,
+    EmpiricalCopula,
     FrankCopula,
     GaussianCopula,
     GumbelCopula,
@@ -37,4 +38,5 @@ __all__ = [
     "FrankCopula",
     "GaussianCopula",
     "TCopula",
+    "EmpiricalCopula",
 ]

@@ -12,6 +12,7 @@ from probabilit_tpu.models.distributions import (  # noqa: F401
     AbstractDistribution,
     CopulaDistribution,
     EllipticalCopulaDistribution,
+    EmpiricalCopulaDistribution,
     CumulativeDistribution,
     Distribution,
     DiscreteDistribution,
@@ -49,6 +50,7 @@ __all__ = list(_graph_all) + [
     "MultivariateDistribution",
     "CopulaDistribution",
     "EllipticalCopulaDistribution",
+    "EmpiricalCopulaDistribution",
     "QuantileTransform",
     "BrownianMotion",
     "GeometricBrownianMotion",

@@ -28,6 +28,7 @@ __all__ = [
     "MultivariateDistribution",
     "CopulaDistribution",
     "EllipticalCopulaDistribution",
+    "EmpiricalCopulaDistribution",
     "QuantileTransform",
 ]
 
@@ -481,6 +482,63 @@ class EllipticalCopulaDistribution(AbstractDistribution):
         key = mv._key_from_q(q)
         u = copulas.elliptical_sample(
             self.family, key, ctx.n, self._chol, self.df, config.float_dtype()
+        )
+        sharding = _mesh.sample_sharding(ndim=2)
+        if sharding is not None:
+            u = _jax.lax.with_sharding_constraint(u, sharding)
+        return u
+
+
+class EmpiricalCopulaDistribution(AbstractDistribution):
+    """(n, d) draws with the EMPIRICAL dependence of observed data.
+
+    Nonparametric member of the copula family: rows of the data's rank
+    pseudo-observations (``rank/(m+1)``) are bootstrapped, so the joint
+    rank structure is exactly the sample's — no parametric family
+    assumed.  Use the ``EmpiricalCopula`` factory and shape marginal
+    views with ``QuantileTransform``.  Same q[0]-seeding, streaming,
+    and sharding contracts as the parametric copula nodes.
+    """
+
+    is_leaf = True
+    _vector_valued = True
+    _key_seeded = True
+
+    def __init__(self, data):
+        from probabilit_tpu.ops import copulas
+
+        self.pseudo = copulas.empirical_pseudo_observations(data)
+        self.d = self.pseudo.shape[1]
+        super().__init__()
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(m={self.pseudo.shape[0]}, d={self.d})"
+        )
+
+    def get_parents(self):
+        return iter(())
+
+    def _rewire(self, update):
+        pass
+
+    def _static_signature(self):
+        return ("EmpiricalCopulaDistribution", self.pseudo.tobytes())
+
+    def _mv_dim(self):
+        return self.d
+
+    def _emit(self, ctx):
+        import jax as _jax
+
+        from probabilit_tpu.ops import copulas
+        from probabilit_tpu.ops import multivariate as mv
+        from probabilit_tpu.parallel import mesh as _mesh
+
+        q = ctx.column(self)
+        key = mv._key_from_q(q)
+        u = copulas.empirical_sample(
+            key, ctx.n, self.pseudo, config.float_dtype()
         )
         sharding = _mesh.sample_sharding(ndim=2)
         if sharding is not None:

@@ -28,6 +28,7 @@ __all__ = [
     "FrankCopula",
     "GaussianCopula",
     "TCopula",
+    "EmpiricalCopula",
 ]
 
 
@@ -268,4 +269,25 @@ def TCopula(corr, df=4.0):
     )
 
     node = EllipticalCopulaDistribution("t", corr, df=df)
+    return tuple(MarginalDistribution(node, d=i) for i in range(node.d))
+
+
+def EmpiricalCopula(data):
+    """d dependent Uniform-ish nodes with the DATA's rank dependence.
+
+    Nonparametric: bootstraps the rank pseudo-observations of ``data``
+    (an ``(observations, d)`` array), reproducing its joint rank
+    structure exactly without choosing a parametric family.
+
+    >>> import numpy as np
+    >>> rng = np.random.default_rng(0)
+    >>> z = rng.normal(size=(500, 1)) + rng.normal(size=(500, 2)) * 0.5
+    >>> u1, u2 = EmpiricalCopula(z)
+    """
+    from probabilit_tpu.models.distributions import (
+        EmpiricalCopulaDistribution,
+        MarginalDistribution,
+    )
+
+    node = EmpiricalCopulaDistribution(data)
     return tuple(MarginalDistribution(node, d=i) for i in range(node.d))

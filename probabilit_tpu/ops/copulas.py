@@ -46,6 +46,8 @@ __all__ = [
     "elliptical_sample",
     "theta_from_tau",
     "rho_from_tau",
+    "empirical_pseudo_observations",
+    "empirical_sample",
 ]
 
 FAMILIES = ("clayton", "gumbel", "frank")
@@ -338,3 +340,38 @@ def elliptical_sample(family, key, n, chol, df, dtype):
         )
         u = _special.t_cdf(z / mix[:, None], jnp.asarray(df, dtype))
     return _open_unit(u, dtype)
+
+
+def empirical_pseudo_observations(data):
+    """(m, d) pseudo-observations rank(x)/(m+1) of observed rows.
+
+    Average ranks (ties share their midrank), matching the package's
+    rank conventions; each column lands strictly inside (0, 1).
+    """
+    from scipy.stats import rankdata as _rankdata
+
+    data = np.asarray(data, np.float64)
+    if data.ndim != 2 or data.shape[1] < 2:
+        raise ValueError(
+            f"data must be (observations, d >= 2), got {data.shape}."
+        )
+    if data.shape[0] < 2:
+        raise ValueError("Need at least two observations.")
+    if not np.isfinite(data).all():
+        raise ValueError("data must be finite.")
+    m = data.shape[0]
+    return _rankdata(data, axis=0) / (m + 1.0)
+
+
+def empirical_sample(key, n, pseudo, dtype):
+    """(n, d) draws with the EMPIRICAL dependence of ``pseudo`` rows.
+
+    Bootstrap of the pseudo-observation rows: dependence is exactly the
+    sample's rank structure (the empirical copula), marginals are the
+    discrete uniform on {1/(m+1), ..., m/(m+1)} — shape them with
+    ``QuantileTransform`` like any other copula node.  One (n,)-indexed
+    row gather; fine at any m that fits HBM.
+    """
+    m = pseudo.shape[0]
+    idx = jax.random.randint(key, (n,), 0, m)
+    return jnp.asarray(pseudo, dtype)[idx]

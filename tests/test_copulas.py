@@ -439,3 +439,56 @@ class TestEllipticalCopulas:
         with use_mesh(make_mesh()):
             sharded = np.asarray(m.sample(4096, random_state=3))
         np.testing.assert_array_equal(base, sharded)
+
+
+class TestEmpiricalCopula:
+    def test_rank_dependence_reproduced(self):
+        from probabilit_tpu import EmpiricalCopula, QuantileTransform
+
+        rng = np.random.default_rng(0)
+        common = rng.exponential(size=2000)
+        data = np.column_stack(
+            [
+                common + rng.normal(size=2000) * 0.4,
+                common**1.5 + rng.normal(size=2000) * 0.4,
+            ]
+        )
+        tau_data = stats.kendalltau(data[:, 0], data[:, 1]).statistic
+        u1, u2 = EmpiricalCopula(data)
+        m = QuantileTransform(u1, "lognorm", s=0.4) + QuantileTransform(u2, "expon")
+        m.sample(40000, random_state=1)
+        tau_model = stats.kendalltau(
+            np.asarray(u1.samples_)[:15000], np.asarray(u2.samples_)[:15000]
+        ).statistic
+        assert abs(tau_model - tau_data) < 0.03
+
+    def test_reproducible_and_copyable(self):
+        from probabilit_tpu import EmpiricalCopula, QuantileTransform
+
+        rng = np.random.default_rng(1)
+        u1, u2 = EmpiricalCopula(rng.normal(size=(300, 2)))
+        m = QuantileTransform(u1, "norm") + QuantileTransform(u2, "norm")
+        r1 = np.asarray(m.sample(2048, random_state=5))
+        np.testing.assert_array_equal(np.asarray(m.copy().sample(2048, random_state=5)), r1)
+
+    def test_mesh_bitwise(self):
+        from probabilit_tpu import EmpiricalCopula
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        rng = np.random.default_rng(2)
+        u1, u2 = EmpiricalCopula(rng.normal(size=(200, 2)))
+        m = u1 + u2
+        base = np.asarray(m.sample(4096, random_state=3))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(m.sample(4096, random_state=3))
+        np.testing.assert_array_equal(base, sharded)
+
+    def test_validation(self):
+        from probabilit_tpu import EmpiricalCopula
+
+        with pytest.raises(ValueError, match="observations, d >= 2"):
+            EmpiricalCopula(np.ones((5,)))
+        with pytest.raises(ValueError, match="finite"):
+            EmpiricalCopula(np.array([[1.0, np.nan], [2.0, 3.0]]))
+        with pytest.raises(ValueError, match="two observations"):
+            EmpiricalCopula(np.ones((1, 2)))
