@@ -185,6 +185,111 @@ def _union_sink(sink, extras):
     return node
 
 
+
+def _quantile_accumulators_many(quantiles, block_size):
+    """Batched (M, block) variants of ``_quantile_accumulators``.
+
+    ONE sort per block covers every node: XLA sorts cost ~230 ms fixed
+    per call at 1e7 elements plus ~11 ms per extra batched row
+    (CLAUDE.md), so M per-node sorts in the hot fori_loop body would pay
+    the fixed cost M times.  Returns (qsum_full_many(y) -> (M, L),
+    qsum_partial_many(y, mask, cnt) -> (M, L)).
+    """
+    cols = 1 << 17
+    rows_ok = (
+        bool(quantiles)
+        and block_size % cols == 0
+        and block_size > cols
+        and all(1.0 / cols <= q <= 1.0 - 1.0 / cols for q in quantiles)
+    )
+
+    def qsum_full_many(y):
+        m = y.shape[0]
+        if not quantiles:
+            return jnp.zeros((m, 0), jnp.float32)
+        if rows_ok:
+            nrows = block_size // cols
+            xs = jax.lax.sort(
+                y.reshape(m * nrows, cols), dimension=1, is_stable=False
+            )
+            out = []
+            for q in quantiles:
+                pos = q * (cols - 1)
+                lo = min(int(pos), cols - 2)
+                frac = jnp.float32(pos - lo)
+                v = xs[:, lo] + frac * (xs[:, lo + 1] - xs[:, lo])
+                out.append(jnp.sum(v.reshape(m, nrows), axis=1) * cols)
+            return jnp.stack(out, axis=1)
+        xs = jax.lax.sort(y, dimension=1, is_stable=False)
+        out = []
+        for q in quantiles:
+            pos = q * (block_size - 1)
+            lo = min(int(pos), block_size - 2) if block_size > 1 else 0
+            frac = jnp.float32(pos - lo)
+            a = xs[:, lo]
+            b = xs[:, min(lo + 1, block_size - 1)]
+            out.append((a + frac * (b - a)) * block_size)
+        return jnp.stack(out, axis=1)
+
+    def qsum_partial_many(y, mask, cnt):
+        m = y.shape[0]
+        if not quantiles:
+            return jnp.zeros((m, 0), jnp.float32)
+        yinf = jnp.where(mask[None, :], y, jnp.float32(jnp.inf))
+        cntf = cnt.astype(jnp.float32)
+        if rows_ok:
+            nrows = block_size // cols
+            xs = jax.lax.sort(
+                yinf.reshape(m * nrows, cols), dimension=1, is_stable=False
+            ).reshape(m, nrows, cols)
+            n_full = cnt // cols
+            rem = cnt - n_full * cols
+            remf = rem.astype(jnp.float32)
+            full_rows = jnp.arange(nrows, dtype=jnp.int32) < n_full
+            brow = jax.lax.dynamic_slice_in_dim(
+                xs, jnp.minimum(n_full, nrows - 1), 1, axis=1
+            )[:, 0, :]
+            out = []
+            for q in quantiles:
+                pos = q * (cols - 1)
+                lo = min(int(pos), cols - 2)
+                frac = jnp.float32(pos - lo)
+                v = xs[:, :, lo] + frac * (xs[:, :, lo + 1] - xs[:, :, lo])
+                full_sum = (
+                    jnp.sum(jnp.where(full_rows[None, :], v, 0.0), axis=1)
+                    * cols
+                )
+                bpos = q * (remf - 1.0)
+                blo = jnp.clip(jnp.floor(bpos).astype(jnp.int32), 0, cols - 2)
+                bfrac = bpos - blo.astype(jnp.float32)
+                ba = jax.lax.dynamic_slice_in_dim(brow, blo, 1, axis=1)[:, 0]
+                bb = jax.lax.dynamic_slice_in_dim(
+                    brow,
+                    jnp.minimum(blo + 1, jnp.maximum(rem - 1, 0)),
+                    1,
+                    axis=1,
+                )[:, 0]
+                bq = ba + bfrac * (bb - ba)
+                out.append(
+                    full_sum + jnp.where(rem > 0, bq * remf, jnp.float32(0.0))
+                )
+            return jnp.stack(out, axis=1)
+        xs = jax.lax.sort(yinf, dimension=1, is_stable=False)
+        out = []
+        for q in quantiles:
+            pos = q * (cntf - 1.0)
+            lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, block_size - 2)
+            frac = pos - lo.astype(jnp.float32)
+            a = jax.lax.dynamic_slice_in_dim(xs, lo, 1, axis=1)[:, 0]
+            b = jax.lax.dynamic_slice_in_dim(
+                xs, jnp.minimum(lo + 1, cnt - 1), 1, axis=1
+            )[:, 0]
+            out.append((a + frac * (b - a)) * cntf)
+        return jnp.stack(out, axis=1)
+
+    return qsum_full_many, qsum_partial_many
+
+
 def _find_key_seeded(plan):
     """First node whose randomness comes from a q[0]-seeded PRNG key.
 
@@ -999,7 +1104,9 @@ def estimate_many(
                 "estimate_many needs numeric nodes. Use sample_streaming()."
             )
 
-    qsum_full, qsum_partial = _quantile_accumulators(quantiles, block_size)
+    qsum_full_many, qsum_partial_many = _quantile_accumulators_many(
+        quantiles, block_size
+    )
 
     @jax.jit
     def all_blocks(key, n_blocks, last_count):
@@ -1036,7 +1143,7 @@ def estimate_many(
                 jnp.min(y, axis=1),
                 jnp.max(y, axis=1),
                 jnp.all(jnp.isfinite(y)),
-                jnp.stack([qsum_full(y[i]) for i in range(m)]),
+                qsum_full_many(y),
             )
 
         init = (
@@ -1066,9 +1173,7 @@ def estimate_many(
             jnp.min(jnp.where(mask, y, jnp.float32(jnp.inf)), axis=1),
             jnp.max(jnp.where(mask, y, jnp.float32(-jnp.inf)), axis=1),
             jnp.all(jnp.where(mask, jnp.isfinite(y), True)),
-            jnp.stack(
-                [qsum_partial(y[i], mask[0], cnt) for i in range(m)]
-            ),
+            qsum_partial_many(y, mask[0], cnt),
         )
 
     if len(_MANY_CACHE) > 32:

@@ -447,7 +447,8 @@ class PathFunctional(Transform):
     def __init__(self, path, op, index=None):
         if not getattr(path, "_is_path", False):
             raise TypeError(
-                f"PathFunctional needs a PathDistribution, got {path!r}."
+                "PathFunctional needs a SCALAR path node ((n, steps)-"
+                f"valued; a PathDistribution or AssetPath view), got {path!r}."
             )
         if op not in self._OPS:
             raise ValueError(f"op must be one of {self._OPS}, got {op!r}.")
@@ -562,6 +563,12 @@ class CorrelatedGBMPaths(PathDistribution):
     carries the full functional API (terminal/max/min/average/at).
     """
 
+    # NOT a scalar path surface: its emission is (n, d, steps), so
+    # PathFunctional must reject it (a functional here would silently
+    # reduce over the WRONG axis — op='terminal' would return the last
+    # asset's whole path).  Use the per-asset AssetPath views.
+    _is_path = False
+
     def __init__(self, s0, mu, sigma, corr, T=1.0, steps=252):
         import numpy as np
 
@@ -583,14 +590,9 @@ class CorrelatedGBMPaths(PathDistribution):
             raise ValueError("Every sigma must be positive.")
         if corr.shape != (d, d):
             raise ValueError(f"corr must be ({d}, {d}), got {corr.shape}.")
-        if not np.allclose(np.diag(corr), 1.0):
-            raise ValueError("corr must have unit diagonal.")
-        if not np.allclose(corr, corr.T):
-            raise ValueError("corr must be symmetric.")
-        try:
-            chol = np.linalg.cholesky(corr)
-        except np.linalg.LinAlgError:
-            raise ValueError("corr must be positive definite.") from None
+        from probabilit_tpu.ops.copulas import corr_cholesky
+
+        chol, _ = corr_cholesky(corr)
         self.s0 = s0
         self.mu = mu
         self.sigma = sigma

@@ -42,6 +42,7 @@ __all__ = [
     "validate",
     "FAMILIES",
     "ELLIPTICAL_FAMILIES",
+    "corr_cholesky",
     "validate_elliptical",
     "elliptical_sample",
     "theta_from_tau",
@@ -238,8 +239,18 @@ def theta_from_tau(family, tau):
             f"Unknown copula family {family!r}; expected one of {FAMILIES}."
         )
     if family == "frank" and -1.0 < tau < 0.0:
-        # Frank's tau is odd in theta.
-        return -theta_from_tau("frank", -tau)
+        # Frank's tau is odd in theta; the bivariate sampler covers
+        # theta >= -30 (float32 range), i.e. tau >= ~-0.874.
+        theta = -theta_from_tau("frank", -tau)
+        if theta < -30.0:
+            raise ValueError(
+                f"tau={tau} needs Frank theta={theta:.2f}, below the "
+                "sampler's float32 floor of -30 (tau >= ~-0.874); no "
+                "Frank copula this negative can be sampled here."
+            )
+        return theta
+    if family == "frank" and not -1.0 < tau < 1.0:
+        raise ValueError(f"Frank tau must be in (-1, 1), got {tau}.")
     if not 0.0 < tau < 1.0:
         raise ValueError(
             f"tau must be in (0, 1) for the frailty families, got {tau}."
@@ -290,16 +301,18 @@ def rho_from_tau(tau):
 ELLIPTICAL_FAMILIES = ("gaussian", "t")
 
 
-def validate_elliptical(family, corr, df):
-    """(chol, d, df) for an elliptical copula, or raise ValueError."""
-    if family not in ELLIPTICAL_FAMILIES:
-        raise ValueError(
-            f"Unknown elliptical family {family!r}; "
-            f"expected one of {ELLIPTICAL_FAMILIES}."
-        )
+def corr_cholesky(corr, min_d=2):
+    """Validated (chol, d) of a correlation matrix (shared helper).
+
+    One home for the unit-diagonal / symmetry / positive-definite checks
+    used by the elliptical copulas AND the correlated-GBM path node;
+    tests of both assert these exact error strings.
+    """
     corr = np.asarray(corr, np.float64)
-    if corr.ndim != 2 or corr.shape[0] != corr.shape[1] or corr.shape[0] < 2:
-        raise ValueError(f"corr must be square with d >= 2, got {corr.shape}.")
+    if corr.ndim != 2 or corr.shape[0] != corr.shape[1] or corr.shape[0] < min_d:
+        raise ValueError(
+            f"corr must be square with d >= {min_d}, got {corr.shape}."
+        )
     if not np.allclose(np.diag(corr), 1.0):
         raise ValueError("corr must have unit diagonal.")
     if not np.allclose(corr, corr.T):
@@ -308,13 +321,24 @@ def validate_elliptical(family, corr, df):
         chol = np.linalg.cholesky(corr)
     except np.linalg.LinAlgError:
         raise ValueError("corr must be positive definite.") from None
+    return chol, corr.shape[0]
+
+
+def validate_elliptical(family, corr, df):
+    """(chol, d, df) for an elliptical copula, or raise ValueError."""
+    if family not in ELLIPTICAL_FAMILIES:
+        raise ValueError(
+            f"Unknown elliptical family {family!r}; "
+            f"expected one of {ELLIPTICAL_FAMILIES}."
+        )
+    chol, d = corr_cholesky(corr)
     if family == "t":
         df = float(df)
         if not df > 0:
             raise ValueError(f"t copula needs df > 0, got {df}.")
     elif df is not None:
         raise ValueError("df applies to the t copula only.")
-    return chol, corr.shape[0], df
+    return chol, d, df
 
 
 def elliptical_sample(family, key, n, chol, df, dtype):

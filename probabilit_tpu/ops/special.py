@@ -541,11 +541,13 @@ def betainc_kernel(a, b, x, fused=False, cf_iters=40):
         + b * jnp.log1p(-xc)
     )
     bt = jnp.exp(log_bt)
-    if fused:
-        def cf(pa, pb, px):
-            return _betacf_fused(pa, pb, px, iters=cf_iters)
-    else:
-        cf = _betacf
+    cf_impl = _betacf_fused if fused else _betacf
+
+    def cf(pa, pb, px):
+        # cf_iters applies to BOTH paths (the rolled _betacf takes the
+        # same iters argument); ignoring it on fused=False would make
+        # Mosaic callers' tuning a silent no-op.
+        return cf_impl(pa, pb, px, iters=cf_iters)
     direct = bt * cf(a, b, xc) / a
     flipped = 1.0 - bt * cf(b, a, 1.0 - xc) / b
     p = jnp.where(xc < (a + 1.0) / (a + b + 2.0), direct, flipped)

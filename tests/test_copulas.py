@@ -492,3 +492,40 @@ class TestEmpiricalCopula:
             EmpiricalCopula(np.array([[1.0, np.nan], [2.0, 3.0]]))
         with pytest.raises(ValueError, match="two observations"):
             EmpiricalCopula(np.ones((1, 2)))
+
+
+class TestSecondReviewRegressions:
+    def test_negative_tau_beyond_sampler_floor_rejected(self):
+        # theta_from_tau must not hand back a parameter the sampler
+        # rejects with an unrelated message.
+        with pytest.raises(ValueError, match="float32 floor"):
+            copulas.theta_from_tau("frank", -0.9)
+        with pytest.raises(ValueError, match="in \\(-1, 1\\)"):
+            copulas.theta_from_tau("frank", -1.5)
+
+    def test_joint_paths_node_rejected_by_path_functional(self):
+        # The joint (n, d, steps) node must not slip through the
+        # functional constructor: op='terminal' would silently return
+        # the last ASSET's whole path.
+        from probabilit_tpu.models.processes import (
+            CorrelatedGBMPaths,
+            PathFunctional,
+        )
+
+        joint = CorrelatedGBMPaths(
+            [100, 50], [0, 0], [0.2, 0.3], [[1, 0.5], [0.5, 1]], steps=8
+        )
+        with pytest.raises(TypeError, match="SCALAR path node"):
+            PathFunctional(joint, "terminal")
+
+    def test_shared_corr_validation(self):
+        # One helper validates correlation matrices for elliptical
+        # copulas AND correlated GBM (identical error strings).
+        from probabilit_tpu import CorrelatedGBM, GaussianCopula
+
+        for build in (
+            lambda C: GaussianCopula(C),
+            lambda C: CorrelatedGBM([100, 50], [0, 0], [0.2, 0.3], C),
+        ):
+            with pytest.raises(ValueError, match="positive definite"):
+                build([[1, 1.5], [1.5, 1]])
