@@ -45,11 +45,22 @@ _NCM_CACHE = {}
 
 
 class EmitContext:
-    """Tracing context handed to ``Node._emit``: memoised lazy evaluation."""
+    """Tracing context handed to ``Node._emit``: memoised lazy evaluation.
 
-    def __init__(self, n, columns):
+    ``gen_key`` is the program's in-trace PRNG key when the engine
+    generates the uniforms itself (``method=None``) and ``None`` when an
+    explicit quantile matrix drives the run (QMC methods,
+    ``sample_from_quantiles``).  Multi-column nodes (path processes)
+    branch on it: with a quantile matrix they consume their own slab of
+    columns (``slab``), otherwise they draw from a column-seeded key.
+    """
+
+    def __init__(self, n, columns, quantiles=None, slabs=None, gen_key=None):
         self.n = n
         self._columns = columns  # node_id -> traced quantile column
+        self._quantiles = quantiles  # full (n, d_total) matrix, or None
+        self._slabs = slabs or {}  # node_id -> (start, width)
+        self.gen_key = gen_key
         self._values = {}
 
     def value(self, node):
@@ -63,6 +74,11 @@ class EmitContext:
 
     def column(self, node):
         return self._columns[node._id]
+
+    def slab(self, node):
+        """The node's ``(n, width)`` quantile slab (quantile mode only)."""
+        start, width = self._slabs[node._id]
+        return jax.lax.slice_in_dim(self._quantiles, start, start + width, axis=1)
 
 
 class Plan:
@@ -98,6 +114,21 @@ class Plan:
         self.dist_nodes = self.isns + composite
         self.col_of = {n._id: i for i, n in enumerate(self.dist_nodes)}
         self.d = len(self.dist_nodes)
+
+        # Multi-column nodes (path processes declare ``_q_width > 1``)
+        # additionally own a contiguous SLAB of quantile columns past the
+        # scalar block, consumed in quantile mode (QMC methods /
+        # ``sample_from_quantiles``); ``d_total`` is the full matrix
+        # width.  The engine-generated PRNG path (``rng_inline``) never
+        # materialises the slabs — those programs stay (n, d).
+        self.slab_of = {}
+        off = self.d
+        for node in self.dist_nodes:
+            width = int(getattr(node, "_q_width", 1) or 1)
+            if width > 1:
+                self.slab_of[node._id] = (off, width)
+                off += width
+        self.d_total = off
 
         # Topo-ordered prefix needed before correlation induction: the ISNs
         # and their (Constant/Transform) ancestors.  Evaluating strictly in
@@ -311,6 +342,7 @@ def build_body(plan, correlator_cls, keep_ids, check_finite=True, generated_ok=F
     topo = list(plan.topo)
     pre_topo = list(plan.pre_topo)
     col_of = dict(plan.col_of)
+    slab_of = dict(plan.slab_of)
     sink = plan.sink
     keep_ids = frozenset(keep_ids)
     corr_var_ids = frozenset(v._id for v in corr_vars)
@@ -326,7 +358,13 @@ def build_body(plan, correlator_cls, keep_ids, check_finite=True, generated_ok=F
                 f"({n}, {len(corr_vars)})"
             )
         columns = {nid: quantiles[:, col] for nid, col in col_of.items()}
-        ctx = EmitContext(n=n, columns=columns)
+        ctx = EmitContext(
+            n=n,
+            columns=columns,
+            quantiles=quantiles,
+            slabs=slab_of,
+            gen_key=gen_key,
+        )
         fast = generated_ok and gen_key is not None
 
         # Phase 1: initial sampling nodes and their Constant/Transform

@@ -154,9 +154,11 @@ def sample(
         # quantile buffer, no host->device transfer).
         return _execute(plan, key, correlator, gc_strategy, rng_inline_n=size)
     # Under a mesh, index-addressable methods generate per-shard (each chip
-    # computes its own rows); otherwise on the default device.
+    # computes its own rows); otherwise on the default device.  Width is
+    # d_total: multi-column nodes (paths) consume their own slab of
+    # dimensions so QMC structure reaches every driver.
     quantiles = _qmc.generate_sharded(
-        method, key, size, plan.d, dtype=config.float_dtype()
+        method, key, size, plan.d_total, dtype=config.float_dtype()
     )
     return _execute(plan, quantiles, correlator, gc_strategy)
 
@@ -177,10 +179,18 @@ def sample_from_quantiles(sink, quantiles, correlator="imanconover", gc_strategy
     if quantiles.ndim != 2:
         raise ValueError("`quantiles` must have shape (num_samples, dimensionality)")
     _, n_dim = quantiles.shape
-    if n_dim != plan.d:
+    if n_dim != plan.d_total:
+        extra = (
+            ""
+            if plan.d_total == plan.d
+            else (
+                f" ({plan.d} scalar columns + "
+                f"{plan.d_total - plan.d} path-driver columns)"
+            )
+        )
         raise ValueError(
-            f"`quantiles` has {n_dim} columns but the graph has {plan.d} "
-            "sampling dimensions."
+            f"`quantiles` has {n_dim} columns but the graph has "
+            f"{plan.d_total} sampling dimensions{extra}."
         )
     return _execute(plan, quantiles, correlator, gc_strategy)
 

@@ -293,8 +293,10 @@ def _quantile_accumulators_many(quantiles, block_size):
 def _find_key_seeded(plan):
     """First node whose randomness comes from a q[0]-seeded PRNG key.
 
-    Copula/path nodes declare ``_key_seeded``; multivariate scipy
-    families use the same q[0]-seeding contract inside their emit.
+    Copula nodes declare ``_key_seeded``; multivariate scipy families
+    use the same q[0]-seeding contract inside their emit.  Path nodes
+    used to qualify but now consume per-driver quantile slabs in
+    quantile mode (``_q_width``), so QMC methods reach them.
     """
     from probabilit_tpu.models.distributions import (
         Distribution,
@@ -335,9 +337,10 @@ def _block_program(
     (b+1)*block_size)`` via the generators' index addressability, so the
     concatenated stream equals a single-shot ``sample(method=...)`` of
     the same total size exactly.  Two carve-outs: graphs containing
-    key-seeded nodes (paths/copulas/multivariate) are REJECTED under a
+    key-seeded nodes (copulas/multivariate) are REJECTED under a
     method — their randomness cannot satisfy the bitwise contract (and
-    QMC/antithetic structure never reaches key-based draws); and XLA's
+    QMC/antithetic structure never reaches key-based draws; path nodes
+    are fine — they consume per-driver quantile slabs); and XLA's
     incomplete-beta primitive iterates with a batch-GLOBAL convergence
     test, so beta-class families with endpoint pdf singularities — a or
     b < 1 — can drift ~2e-6 between batch compositions inside XLA
@@ -434,7 +437,7 @@ def _block_program(
         def run(b, key):
             offset = jnp.asarray(b, jnp.uint32) * jnp.uint32(block_size)
             q = _qmc.generate(
-                name, key, block_size, plan.d, dtype, offset=offset, total=total
+                name, key, block_size, plan.d_total, dtype, offset=offset, total=total
             )
             outputs, _ = program(q)
             return _pair(outputs)

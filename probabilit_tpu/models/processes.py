@@ -16,9 +16,15 @@ is one associative-scan ``cumsum`` along the time axis; functionals are
 axis reductions.  Everything fuses into the compiled sampling program,
 streams (choose ``block_size`` so ``block * steps * 4`` bytes fits
 comfortably — 2^20 rows x 252 steps is ~1 GB), and shards over a mesh
-like any other node.  Randomness follows the multivariate q[0]-seed
-contract (reference ``modeling.py:808-812``): a path node consumes one
-quantile column and keys its increments from the leading bits.
+like any other node.  Randomness has two modes (engine/compile.py):
+under ``method=None`` a path node consumes one quantile column and keys
+its increments from the leading bits (the multivariate q[0]-seed
+contract, reference ``modeling.py:808-812``); under a QMC/antithetic
+``method=`` it owns one quantile column PER DRIVER (``_q_width``) and
+builds Gaussian increments through the Brownian-bridge construction
+(``ops/bridge.py``), so low-discrepancy structure reaches the path's
+dominant features and streamed method= runs bitwise-equal single-shot
+runs.
 
 >>> gbm = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, T=1.0)
 >>> gbm.terminal()
@@ -99,10 +105,6 @@ class PathDistribution(PathFunctionalMixin, AbstractDistribution):
 
     is_leaf = True
     _vector_valued = True
-    # Randomness comes from a column-seeded PRNG key (see _emit):
-    # method="sobol"/"antithetic" etc. cannot reach these draws, and
-    # streamed method= runs reject such graphs (bitwise contract).
-    _key_seeded = True
     # Differentiable scalar parameters (pathwise sensitivities swap these
     # attributes for traced scalars; engine/sensitivity.py).  Empty means
     # the family has no valid pathwise derivative.
@@ -131,24 +133,62 @@ class PathDistribution(PathFunctionalMixin, AbstractDistribution):
     def _mv_dim(self):
         return self.steps
 
+    @property
+    def _q_width(self):
+        """Quantile columns consumed in quantile mode (one per driver).
+
+        Gaussian-driven families need one column per step; subclasses
+        with extra drivers (Merton: jump counts + jump sizes) widen it.
+        """
+        return self.steps
+
     def _increments(self, key, n, dtype):
         raise NotImplementedError
 
-    def _emit(self, ctx):
-        from probabilit_tpu.ops import multivariate as mv
-        from probabilit_tpu.parallel import mesh as _mesh
+    def _increments_from_slab(self, slab, dtype):
+        raise NotImplementedError
 
-        q = ctx.column(self)
-        key = mv._key_from_q(q)
+    def _bridge_z(self, slab, dtype):
+        """Uniform slab -> iid N(0,1) increments, Brownian-bridge ordered.
+
+        QMC dimension 0 of the slab controls the path's terminal point,
+        later dimensions refine coarse-to-fine (ops/bridge.py) — the
+        standard effective-dimension reduction that makes RQMC converge
+        on path-dependent payoffs.  The bridge matrix is orthogonal, so
+        the increment law is untouched.
+        """
+        from probabilit_tpu.ops import bridge as _bridge
+
+        return _bridge.normal_increments(slab, dtype)
+
+    def _emit(self, ctx):
         dtype = config.float_dtype()
-        inc = self._increments(key, ctx.n, dtype)
-        # Key-based draws have no data dependence on the (sharded)
-        # quantile column, so without a constraint the SPMD partitioner
-        # may materialise the full (n, steps) matrix REPLICATED on every
-        # device; pin the sample axis so each chip owns its rows.
-        sharding = _mesh.sample_sharding(ndim=2)
-        if sharding is not None:
-            inc = jax.lax.with_sharding_constraint(inc, sharding)
+        if ctx.gen_key is None:
+            # Quantile mode (QMC methods / sample_from_quantiles): the
+            # node owns a (n, _q_width) slab of the quantile matrix, so
+            # low-discrepancy / antithetic structure reaches every
+            # driver, blocks of a streamed method= run bitwise-equal
+            # slices of a single-shot run, and sharded runs inherit the
+            # matrix's sample-axis sharding.
+            inc = self._increments_from_slab(ctx.slab(self), dtype)
+        else:
+            from probabilit_tpu.ops import multivariate as mv
+            from probabilit_tpu.parallel import mesh as _mesh
+
+            # Engine-generated PRNG run: draw from a key seeded by the
+            # node's own quantile column (the multivariate q[0]-seed
+            # contract, reference modeling.py:808-812).
+            q = ctx.column(self)
+            key = mv._key_from_q(q)
+            inc = self._increments(key, ctx.n, dtype)
+            # Key-based draws have no data dependence on the (sharded)
+            # quantile column, so without a constraint the SPMD
+            # partitioner may materialise the full (n, steps) matrix
+            # REPLICATED on every device; pin the sample axis so each
+            # chip owns its rows.
+            sharding = _mesh.sample_sharding(ndim=inc.ndim)
+            if sharding is not None:
+                inc = jax.lax.with_sharding_constraint(inc, sharding)
         return self._path_from_increments(inc)
 
 class BrownianPath(PathDistribution):
@@ -192,6 +232,11 @@ class BrownianPath(PathDistribution):
         z = jax.random.normal(key, (n, self.steps), dtype)
         return self.drift * dt + self.diffusion * (dt**0.5) * z
 
+    def _increments_from_slab(self, slab, dtype):
+        dt = self.T / self.steps
+        z = self._bridge_z(slab, dtype)
+        return self.drift * dt + self.diffusion * (dt**0.5) * z
+
     def _path_from_increments(self, inc):
         return self.x0 + jnp.cumsum(inc, axis=1)
 
@@ -230,6 +275,13 @@ class GBMPath(PathDistribution):
     def _increments(self, key, n, dtype):
         dt = self.T / self.steps
         z = jax.random.normal(key, (n, self.steps), dtype)
+        return (self.mu - 0.5 * self.sigma**2) * dt + self.sigma * (
+            dt**0.5
+        ) * z
+
+    def _increments_from_slab(self, slab, dtype):
+        dt = self.T / self.steps
+        z = self._bridge_z(slab, dtype)
         return (self.mu - 0.5 * self.sigma**2) * dt + self.sigma * (
             dt**0.5
         ) * z
@@ -296,6 +348,15 @@ class OUPath(PathDistribution):
         z = jax.random.normal(key, (n, self.steps), dtype)
         return b + c * z
 
+    def _increments_from_slab(self, slab, dtype):
+        # Bridge ordering still helps: the OU path is a decay-weighted
+        # accumulation of these iid innovations, so the terminal-first
+        # ordering keeps most of the variance in the leading QMC dims.
+        a, theta = self._decay(dtype)
+        b = self.mu * (1.0 - a)
+        c = self.sigma * jnp.sqrt((1.0 - a * a) / (2.0 * theta))
+        return b + c * self._bridge_z(slab, dtype)
+
     def _path_from_increments(self, inc):
         a, _ = self._decay(inc.dtype)
         A = jnp.broadcast_to(a, inc.shape)
@@ -342,6 +403,17 @@ class PoissonProcessPath(PathDistribution):
             jax.random.uniform(key, (n, self.steps), dtype=dtype)
         )
         return _ppf.call("poisson", u, mu=self.rate * dt).astype(dtype)
+
+    def _increments_from_slab(self, slab, dtype):
+        from probabilit_tpu.ops import ppf as _ppf
+
+        # Discrete increments take the uniforms directly (no bridge:
+        # counts are not Gaussian); each step's count is the inverse-CDF
+        # transform of its own QMC dimension.
+        dt = self.T / self.steps
+        return _ppf.call(
+            "poisson", slab.astype(dtype), mu=self.rate * dt
+        ).astype(dtype)
 
     def _path_from_increments(self, inc):
         return jnp.cumsum(inc, axis=1)
@@ -417,6 +489,12 @@ class MertonJumpPath(PathDistribution):
             self.steps,
         )
 
+    @property
+    def _q_width(self):
+        # Three drivers per step: diffusion normal, jump-count uniform,
+        # summed-jump normal.
+        return 3 * self.steps
+
     def _increments(self, key, n, dtype):
         from probabilit_tpu.ops import ppf as _ppf
         from probabilit_tpu.ops.qmc import clamp_open_unit
@@ -429,6 +507,28 @@ class MertonJumpPath(PathDistribution):
         )
         k_jumps = _ppf.call("poisson", u, mu=self.jump_rate * dt).astype(dtype)
         zj = jax.random.normal(kj, (n, self.steps), dtype)
+        return self._combine(z, k_jumps, zj, dt)
+
+    def _increments_from_slab(self, slab, dtype):
+        from probabilit_tpu.ops import bridge as _bridge
+        from probabilit_tpu.ops import ppf as _ppf
+        from probabilit_tpu.ops import special as _special
+
+        # Slab layout [diffusion | jump counts | jump sizes]: the
+        # diffusion normals get the leading QMC dimensions (most of the
+        # variance for typical parameters) AND the bridge ordering; the
+        # discrete counts and conditional jump sums consume their own
+        # dimensions directly.
+        dt = self.T / self.steps
+        s = self.steps
+        z = _bridge.normal_increments(slab[:, :s], dtype)
+        k_jumps = _ppf.call(
+            "poisson", slab[:, s : 2 * s].astype(dtype), mu=self.jump_rate * dt
+        ).astype(dtype)
+        zj = _special.ndtri_fast(slab[:, 2 * s :].astype(dtype))
+        return self._combine(z, k_jumps, zj, dt)
+
+    def _combine(self, z, k_jumps, zj, dt):
         diffusion = (self.mu - 0.5 * self.sigma**2) * dt + self.sigma * (
             dt**0.5
         ) * z
@@ -617,9 +717,35 @@ class CorrelatedGBMPaths(PathDistribution):
             self.steps,
         )
 
+    @property
+    def _q_width(self):
+        # One Gaussian driver per (asset, step); asset-major slab layout.
+        return self.d * self.steps
+
     def _increments(self, key, n, dtype):
         dt = self.T / self.steps
         z = jax.random.normal(key, (n, self.steps, self.d), dtype)
+        return self._recolor(z, dt, dtype)
+
+    def _increments_from_slab(self, slab, dtype):
+        from probabilit_tpu.ops import bridge as _bridge
+
+        # Asset a owns slab columns [a*steps, (a+1)*steps), each block
+        # bridge-ordered, so dims (0, steps, 2*steps, ...) — the best
+        # QMC dimensions under the asset-major layout — control the
+        # terminal levels that dominate basket/spread payoffs.
+        z = jnp.stack(
+            [
+                _bridge.normal_increments(
+                    slab[:, a * self.steps : (a + 1) * self.steps], dtype
+                )
+                for a in range(self.d)
+            ],
+            axis=2,
+        )  # (n, steps, d)
+        return self._recolor(z, self.T / self.steps, dtype)
+
+    def _recolor(self, z, dt, dtype):
         # Recolor along the asset axis; f32 matmul precision pinned like
         # every statistics-bearing matmul in this package (CLAUDE.md).
         with jax.default_matmul_precision("float32"):

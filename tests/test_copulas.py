@@ -260,16 +260,12 @@ class TestReviewRegressions:
     def test_streamed_method_rejected_for_key_seeded_nodes(self):
         # method= promises bitwise stream equality, which a q-seeded key
         # cannot satisfy (and QMC/antithetic structure never reaches
-        # key-based draws) — reject with an actionable error.
+        # key-based draws) — reject with an actionable error.  Path
+        # nodes are NOT rejected any more: they consume per-driver
+        # quantile slabs (tests/test_processes.py::TestPathQMC).
         from probabilit_tpu import BrownianMotion, ClaytonCopula
         from probabilit_tpu.engine import streaming
-        from probabilit_tpu.modeling import Distribution
 
-        w = BrownianMotion(steps=4)
-        with pytest.raises(ValueError, match="column-seeded"):
-            streaming.sample_streaming(
-                w.terminal(), 256, block_size=64, method="sobol"
-            )
         u1, u2 = ClaytonCopula(theta=2.0)
         with pytest.raises(ValueError, match="column-seeded"):
             streaming.estimate(u1 + u2, 256, block_size=64, method="antithetic")
@@ -281,6 +277,7 @@ class TestReviewRegressions:
         with pytest.raises(ValueError, match="column-seeded"):
             streaming.estimate(mvn[0], 256, block_size=64, method="sobol")
         # method=None streams stay allowed.
+        w = BrownianMotion(steps=4)
         out = streaming.sample_streaming(
             w.terminal(), 256, block_size=64, random_state=0
         )

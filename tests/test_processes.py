@@ -361,3 +361,151 @@ class TestCorrelatedGBM:
             CorrelatedGBM([100, 50], [0, 0], [0.2, 0.3], [[1, 0.9], [0.9, 2]])
         with pytest.raises(ValueError, match="positive definite"):
             CorrelatedGBM([100, 50], [0, 0], [0.2, 0.3], [[1, 1.5], [1.5, 1]])
+
+
+class TestPathQMC:
+    """QMC/antithetic methods on path nodes via Brownian-bridge slabs.
+
+    In quantile mode every path node owns ``_q_width`` columns of the
+    quantile matrix; Gaussian drivers are built through the orthogonal
+    Brownian-bridge increment matrix (``ops/bridge.py``), so QMC
+    dimension 0 controls the terminal point.  The reference has no
+    paths at all; scipy-backed QMC cannot reach multivariate draws even
+    for its own families (``modeling.py:144-148``).
+    """
+
+    def test_bridge_matrices_exact(self):
+        from probabilit_tpu.ops import bridge
+
+        for steps in (1, 2, 3, 7, 8, 252):
+            B = bridge.bridge_matrix(steps)
+            A = bridge.increment_matrix(steps)
+            grid = np.arange(1, steps + 1, dtype=float)
+            # W = z @ B.T must carry the exact BM covariance min(s, t).
+            np.testing.assert_allclose(
+                B @ B.T, np.minimum.outer(grid, grid), atol=1e-9
+            )
+            # Increments of a BM are iid: A is orthogonal.
+            np.testing.assert_allclose(A @ A.T, np.eye(steps), atol=1e-12)
+            # Dimension 0 drives the terminal point alone.
+            assert B[-1, 0] == pytest.approx(np.sqrt(steps))
+            assert np.all(B[-1, 1:] == 0.0)
+
+    def test_sobol_exact_marginal_law(self):
+        # OU terminal under sobol must follow the exact transition law.
+        from probabilit_tpu import OrnsteinUhlenbeck
+
+        ou = OrnsteinUhlenbeck(x0=2.0, theta=1.5, mu=0.5, sigma=0.8, steps=32)
+        s = np.asarray(ou.terminal().sample(8192, random_state=0, method="sobol"))
+        a = np.exp(-1.5)
+        m = 0.5 + (2.0 - 0.5) * a
+        v = 0.8**2 * (1 - a * a) / (2 * 1.5)
+        assert stats.kstest(s, "norm", args=(m, np.sqrt(v))).pvalue > 0.01
+
+    def test_sobol_variance_reduction(self):
+        # The point of the bridge: QMC error on a terminal expectation
+        # far below the iid-MC standard error at the same n.
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=16)
+        n = 4096
+        s = np.asarray(g.terminal().sample(n, random_state=0, method="sobol"))
+        want = 100 * np.exp(0.05)
+        iid_sem = 100 * np.exp(0.05) * 0.2 / np.sqrt(n)  # ~ sigma_S/sqrt(n)
+        assert abs(s.mean() - want) < 0.25 * iid_sem
+
+    def test_antithetic_pairs_reflect_paths(self):
+        # A linear path functional is exactly pair-balanced: terminal of
+        # arithmetic BM gives pair means == x0 + drift*T to f32 eps.
+        w = BrownianMotion(x0=1.0, drift=0.3, diffusion=1.0, T=2.0, steps=8)
+        s = np.asarray(
+            w.terminal().sample(2048, random_state=1, method="antithetic")
+        )
+        pair_means = s.reshape(-1, 2).mean(axis=1)
+        np.testing.assert_allclose(pair_means, 1.6, atol=5e-5)
+
+    @pytest.mark.parametrize("method", ["sobol", "halton", "lhs", "antithetic"])
+    def test_streamed_method_bitwise_equals_single_shot(self, method):
+        from probabilit_tpu.engine import streaming
+
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=8)
+        t = g.terminal()
+        full = np.asarray(t.sample(512, random_state=3, method=method))
+        blocks = streaming.sample_streaming(
+            t, 512, block_size=128, random_state=3, method=method
+        )
+        np.testing.assert_array_equal(full, np.asarray(blocks))
+
+    def test_mesh_invariance_under_sobol(self):
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=8)
+        payoff = (g.maximum() < 130) * (g.terminal() - 100)
+        base = np.asarray(payoff.sample(4096, random_state=5, method="sobol"))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(payoff.sample(4096, random_state=5, method="sobol"))
+        np.testing.assert_array_equal(base, sharded)
+
+    def test_correlated_gbm_sobol_and_mesh(self):
+        # Also regression-tests the rank-3 sharding constraint on the
+        # joint (n, steps, d) draw (ndim=inc.ndim, was hardcoded 2).
+        from probabilit_tpu import CorrelatedGBM
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        a, b = CorrelatedGBM(
+            [100, 50], [0.03, 0.02], [0.2, 0.3], [[1, 0.6], [0.6, 1]], steps=8
+        )
+        basket = 0.5 * a.terminal() + 0.5 * b.terminal()
+        base = np.asarray(basket.sample(4096, random_state=5, method="sobol"))
+        with use_mesh(make_mesh()):
+            sharded = np.asarray(basket.sample(4096, random_state=5, method="sobol"))
+            prng = np.asarray(basket.sample(4096, random_state=5))
+        np.testing.assert_array_equal(base, sharded)
+        assert np.isfinite(prng).all()
+        lc = np.corrcoef(
+            np.log(np.asarray(a.terminal().samples_)),
+            np.log(np.asarray(b.terminal().samples_)),
+        )[0, 1]
+        assert abs(lc - 0.6) < 0.03
+
+    def test_merton_poisson_sobol_moments(self):
+        from probabilit_tpu import MertonJumpDiffusion, PoissonProcess
+
+        pp = PoissonProcess(rate=3.0, T=2.0, steps=16)
+        sp = np.asarray(pp.terminal().sample(8192, random_state=0, method="sobol"))
+        assert abs(sp.mean() - 6.0) < 0.05
+        assert abs(sp.var() - 6.0) < 0.3
+
+        mj = MertonJumpDiffusion(
+            s0=100, mu=0.03, sigma=0.2, jump_rate=1.0,
+            jump_mean=-0.05, jump_std=0.1, steps=16,
+        )
+        sm = np.asarray(
+            mj.terminal().sample(16384, random_state=0, method="sobol")
+        )
+        want = 100 * np.exp(0.03 + 1.0 * (np.exp(-0.05 + 0.005) - 1))
+        assert abs(sm.mean() - want) < 0.15
+
+    def test_quantile_matrix_width_includes_slabs(self):
+        from probabilit_tpu.engine import compile as _compile
+        from probabilit_tpu.engine.sampler import sample_from_quantiles
+
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=8)
+        x = Distribution("norm")
+        sink = g.terminal() + x
+        plan = _compile.get_plan(sink)
+        assert plan.d == 2  # path seed column + norm
+        assert plan.d_total == 2 + 8
+        with pytest.raises(ValueError, match="path-driver"):
+            sample_from_quantiles(sink, np.random.default_rng(0).random((64, 2)))
+        out = sample_from_quantiles(
+            sink, np.random.default_rng(0).random((64, 10))
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_estimate_streamed_sobol_quantiles(self):
+        from probabilit_tpu.engine import streaming
+
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=8)
+        res = streaming.estimate(
+            g.terminal(), 4096, block_size=1024, random_state=0, method="sobol"
+        )
+        assert abs(res["mean"] - 100 * np.exp(0.05)) < 0.3
