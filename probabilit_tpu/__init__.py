@@ -39,6 +39,8 @@ from probabilit_tpu.models.processes import (
     OrnsteinUhlenbeck,
     PoissonProcess,
 )
+from probabilit_tpu.models.levy import NormalInverseGaussian, VarianceGamma
+from probabilit_tpu.models.stochvol import CoxIngersollRoss, Heston
 
 __version__ = "0.1.0"
 
@@ -69,4 +71,8 @@ __all__ = [
     "PoissonProcess",
     "MertonJumpDiffusion",
     "CorrelatedGBM",
+    "VarianceGamma",
+    "NormalInverseGaussian",
+    "CoxIngersollRoss",
+    "Heston",
 ]

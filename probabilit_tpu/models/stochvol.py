@@ -1,0 +1,364 @@
+"""Square-root-diffusion nodes: CIR variance paths and the Heston model.
+
+Framework extension (the reference models scalar draws only; its closest
+primitive is a scipy-backed scalar ``Distribution``, modeling.py:760-812).
+The Cox-Ingersoll-Ross process has a CLOSED-FORM transition — a scaled
+noncentral chi-square — so its grid path can be sampled EXACTLY, with no
+Euler/Milstein error at any step size and no truncation tricks near
+zero:
+
+    V_{k+1} | V_k  =  c * ncx2(df, V_k * e / c),      e = exp(-kappa dt),
+    c = sigma^2 (1 - e) / (4 kappa),   df = 4 kappa theta / sigma^2.
+
+TPU shape: the noncentral chi-square is decomposed as
+``(Z + sqrt(lambda))^2 + Y`` with ``Z ~ N(0,1)`` and ``Y ~ chi2(df-1)``
+(valid for ``df > 1``; weaker than the Feller condition ``df >= 2``).
+Both driver matrices are pre-sampled OUTSIDE the time recursion — one
+``(n, steps)`` normal draw plus one inverse-CDF chi-square transform —
+so the unavoidable sequential part is a ``lax.scan`` whose body is four
+elementwise ops on an ``(n,)`` carry.  Nothing in the loop draws
+randomness or inverts CDFs; XLA streams the pre-sampled columns through
+VMEM at memory speed.
+
+The Heston asset path rides the exact variance path with Andersen's
+broken scheme (Andersen 2008, "Simple and efficient simulation of the
+Heston stochastic volatility model", eq. 33): the variance integral
+over a step is approximated by the trapezoid ``dt (V_k + V_{k+1}) / 2``
+and the variance's own Brownian integral is recovered exactly from the
+CIR dynamics, so the asset's conditional law given the variance path is
+Gaussian with the correct leverage (rho) coupling.  Variance marginals
+are exact at every grid time; the asset carries only the O(dt^2)-weak
+trapezoid error — far smaller than full Euler, which also mangles the
+variance near zero.
+
+Randomness follows the path-node contract (models/processes.py): under
+``method=None`` drivers come from a column-seeded PRNG key; under a
+QMC/antithetic method the node owns ``_q_width`` quantile columns
+(normals through ``ndtri``, chi-square through the native inverse CDF).
+
+>>> v = CoxIngersollRoss(v0=0.04, kappa=2.0, theta=0.04, sigma=0.3)
+>>> v.terminal()
+PathFunctional(CIRPath(v0=0.04, kappa=2, theta=0.04, sigma=0.3, T=1, steps=252), 'terminal')
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from probabilit_tpu.models.processes import PathDistribution
+
+__all__ = ["CoxIngersollRoss", "Heston", "CIRPath", "HestonPath"]
+
+
+def _cir_constants(kappa, theta, sigma, dt):
+    """(e, c, df): exact-transition constants for one grid step."""
+    e = math.exp(-kappa * dt)
+    c = sigma * sigma * (1.0 - e) / (4.0 * kappa)
+    df = 4.0 * kappa * theta / (sigma * sigma)
+    return e, c, df
+
+
+def _validate_cir(v0, kappa, theta, sigma, what="v0"):
+    v0, kappa = float(v0), float(kappa)
+    theta, sigma = float(theta), float(sigma)
+    if not v0 > 0:
+        raise ValueError(f"{what} must be positive, got {v0}.")
+    if not kappa > 0:
+        raise ValueError(f"kappa must be positive, got {kappa}.")
+    if not theta > 0:
+        raise ValueError(f"theta must be positive, got {theta}.")
+    if not sigma > 0:
+        raise ValueError(f"sigma must be positive, got {sigma}.")
+    df = 4.0 * kappa * theta / (sigma * sigma)
+    if not df > 1.0:
+        raise ValueError(
+            "Exact CIR sampling needs 4*kappa*theta/sigma^2 > 1 (the "
+            "normal + central-chi-square decomposition of the noncentral "
+            f"chi-square transition), got {df:.4g}. Increase kappa*theta "
+            "or decrease sigma."
+        )
+    return v0, kappa, theta, sigma
+
+
+def _cir_drivers_key(key, n, steps, df, dtype):
+    """Pre-sampled (z, y) driver matrices from a PRNG key."""
+    from probabilit_tpu.ops import ppf as _ppf
+    from probabilit_tpu.ops.qmc import clamp_open_unit
+
+    kz, ky = jax.random.split(key)
+    z = jax.random.normal(kz, (n, steps), dtype)
+    u = clamp_open_unit(jax.random.uniform(ky, (n, steps), dtype=dtype))
+    y = _ppf.call("chi2", u, df=df - 1.0).astype(dtype)
+    return z, y
+
+
+def _cir_drivers_slab(u_z, u_y, df, dtype):
+    """Pre-sampled (z, y) driver matrices from quantile slabs.
+
+    No Brownian-bridge reorder: the CIR recursion is nonlinear in its
+    innovations (each feeds a squared noncentrality), so the
+    coarse-to-fine variance alignment that justifies the bridge for
+    Gaussian cumulative sums does not apply; each step consumes its own
+    QMC dimension directly.
+    """
+    from probabilit_tpu.ops import ppf as _ppf
+    from probabilit_tpu.ops import special as _special
+
+    z = _special.ndtri_fast(u_z.astype(dtype))
+    y = _ppf.call("chi2", u_y.astype(dtype), df=df - 1.0).astype(dtype)
+    return z, y
+
+
+def _cir_scan(v0, e, c, z, y, dtype):
+    """(n, steps) exact CIR paths from pre-sampled drivers.
+
+    The only sequential dependence is the noncentrality
+    ``lambda_k = V_k e / c``; the scan body is four elementwise ops on
+    the ``(n,)`` carry (no RNG, no CDF inversion inside the loop — XLA
+    loop iterations cannot fuse, so everything expensive is hoisted to
+    the pre-sampled driver matrices).
+    """
+    e = jnp.asarray(e, dtype)
+    c = jnp.asarray(c, dtype)
+    ratio = e / c
+
+    def step(v, zy):
+        z_k, y_k = zy
+        shifted = z_k + jnp.sqrt(v * ratio)
+        v_next = c * (shifted * shifted + y_k)
+        return v_next, v_next
+
+    init = jnp.full((z.shape[0],), v0, dtype)
+    # scan over the time axis: drivers laid out (steps, n).
+    _, vs = jax.lax.scan(step, init, (z.T, y.T))
+    return vs.T
+
+
+class CIRPath(PathDistribution):
+    """Cox-Ingersoll-Ross square-root diffusion — exact grid transitions.
+
+    ``dV = kappa (theta - V) dt + sigma sqrt(V) dW`` sampled through the
+    closed-form noncentral-chi-square transition law, so every grid
+    slice is exact: ``at(k) ~ c_k * ncx2(df, v0 * e_k / c_k)`` with
+    ``e_k = exp(-kappa t_k)``, ``c_k = sigma^2 (1 - e_k) / (4 kappa)``
+    (the one-step constants composed to horizon ``t_k`` — the transition
+    family is closed under composition).  Requires
+    ``4 kappa theta / sigma^2 > 1``; paths are positive by construction
+    (no truncation/reflection fixes).
+    """
+
+    # Parameters shape the chi-square DRIVER LAW (df depends on
+    # kappa/theta/sigma), so pathwise derivatives that hold the drivers
+    # fixed are invalid; no differentiable slots.
+    _param_slots = ()
+
+    def __init__(self, v0=0.04, kappa=1.0, theta=0.04, sigma=0.2, T=1.0, steps=252):
+        self.v0, self.kappa, self.theta, self.sigma = _validate_cir(
+            v0, kappa, theta, sigma
+        )
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"CIRPath(v0={self.v0:g}, kappa={self.kappa:g}, "
+            f"theta={self.theta:g}, sigma={self.sigma:g}, T={self.T:g}, "
+            f"steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return (
+            "CIRPath",
+            self.v0,
+            self.kappa,
+            self.theta,
+            self.sigma,
+            self.T,
+            self.steps,
+        )
+
+    @property
+    def _q_width(self):
+        # Two drivers per step: transition normal + central chi-square.
+        return 2 * self.steps
+
+    def _constants(self):
+        return _cir_constants(self.kappa, self.theta, self.sigma, self.T / self.steps)
+
+    def _increments(self, key, n, dtype):
+        _, _, df = self._constants()
+        z, y = _cir_drivers_key(key, n, self.steps, df, dtype)
+        return jnp.stack([z, y], axis=2)
+
+    def _increments_from_slab(self, slab, dtype):
+        _, _, df = self._constants()
+        s = self.steps
+        z, y = _cir_drivers_slab(slab[:, :s], slab[:, s:], df, dtype)
+        return jnp.stack([z, y], axis=2)
+
+    def _path_from_increments(self, inc):
+        e, c, _ = self._constants()
+        return _cir_scan(self.v0, e, c, inc[:, :, 0], inc[:, :, 1], inc.dtype)
+
+
+class HestonPath(PathDistribution):
+    """Heston stochastic-volatility asset path (exact-variance scheme).
+
+    ``dS = mu S dt + sqrt(V) S dW_S``, ``dV = kappa (theta - V) dt +
+    sigma sqrt(V) dW_V``, ``corr(dW_S, dW_V) = rho``.  The variance path
+    is sampled EXACTLY (noncentral-chi-square transitions, see
+    :class:`CIRPath`); the log-asset increment conditions on it through
+    Andersen's broken scheme: with ``I_k = dt (V_k + V_{k+1}) / 2`` (the
+    trapezoidal integrated variance, the scheme's only approximation)
+    the variance's Brownian integral is recovered exactly from the CIR
+    dynamics as ``A_k = (V_{k+1} - V_k - kappa theta dt + kappa I_k) /
+    sigma``, and
+
+        ln S_{k+1} = ln S_k + mu dt - I_k / 2 + rho A_k
+                     + sqrt(1 - rho^2) sqrt(I_k) Z_k .
+
+    Variance marginals carry zero discretisation error at every grid
+    time; the asset's weak error is O(dt^2) from the trapezoid alone
+    (Euler is O(dt) and needs ad-hoc fixes near V = 0).
+    """
+
+    _param_slots = ()
+
+    def __init__(
+        self,
+        s0=1.0,
+        mu=0.0,
+        v0=0.04,
+        kappa=1.0,
+        theta=0.04,
+        sigma=0.2,
+        rho=-0.5,
+        T=1.0,
+        steps=252,
+    ):
+        s0, rho = float(s0), float(rho)
+        if not s0 > 0:
+            raise ValueError(f"s0 must be positive, got {s0}.")
+        if not -1.0 < rho < 1.0:
+            raise ValueError(f"rho must be in (-1, 1), got {rho}.")
+        self.s0 = s0
+        self.mu = float(mu)
+        self.rho = rho
+        self.v0, self.kappa, self.theta, self.sigma = _validate_cir(
+            v0, kappa, theta, sigma
+        )
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"HestonPath(s0={self.s0:g}, mu={self.mu:g}, v0={self.v0:g}, "
+            f"kappa={self.kappa:g}, theta={self.theta:g}, "
+            f"sigma={self.sigma:g}, rho={self.rho:g}, T={self.T:g}, "
+            f"steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return (
+            "HestonPath",
+            self.s0,
+            self.mu,
+            self.v0,
+            self.kappa,
+            self.theta,
+            self.sigma,
+            self.rho,
+            self.T,
+            self.steps,
+        )
+
+    @property
+    def _q_width(self):
+        # Three drivers per step: asset normal, variance normal,
+        # variance central chi-square.
+        return 3 * self.steps
+
+    def _constants(self):
+        return _cir_constants(self.kappa, self.theta, self.sigma, self.T / self.steps)
+
+    def _increments(self, key, n, dtype):
+        _, _, df = self._constants()
+        ks, kv = jax.random.split(key)
+        zs = jax.random.normal(ks, (n, self.steps), dtype)
+        zv, y = _cir_drivers_key(kv, n, self.steps, df, dtype)
+        return jnp.stack([zs, zv, y], axis=2)
+
+    def _increments_from_slab(self, slab, dtype):
+        from probabilit_tpu.ops import bridge as _bridge
+
+        _, _, df = self._constants()
+        s = self.steps
+        # The asset normals enter a cumulative sum, so they take the
+        # LEADING slab columns with the Brownian-bridge reorder (QMC
+        # dimension 0 drives the terminal log-return given the variance
+        # path); the variance drivers feed the nonlinear CIR recursion
+        # and consume their dimensions directly.
+        zs = _bridge.normal_increments(slab[:, :s], dtype)
+        zv, y = _cir_drivers_slab(slab[:, s : 2 * s], slab[:, 2 * s :], df, dtype)
+        return jnp.stack([zs, zv, y], axis=2)
+
+    def _path_from_increments(self, inc):
+        dtype = inc.dtype
+        dt = self.T / self.steps
+        e, c, _ = self._constants()
+        zs = inc[:, :, 0]
+        v = _cir_scan(self.v0, e, c, inc[:, :, 1], inc[:, :, 2], dtype)
+        v_prev = jnp.concatenate(
+            [jnp.full((v.shape[0], 1), self.v0, dtype), v[:, :-1]], axis=1
+        )
+        integral = (0.5 * dt) * (v_prev + v)
+        brownian_v = (
+            v - v_prev - self.kappa * self.theta * dt + self.kappa * integral
+        ) / self.sigma
+        dlog = (
+            self.mu * dt
+            - 0.5 * integral
+            + self.rho * brownian_v
+            + math.sqrt(1.0 - self.rho * self.rho) * jnp.sqrt(integral) * zs
+        )
+        return self.s0 * jnp.exp(jnp.cumsum(dlog, axis=1))
+
+
+def CoxIngersollRoss(v0=0.04, kappa=1.0, theta=0.04, sigma=0.2, T=1.0, steps=252):
+    """Exact CIR square-root diffusion path node; see :class:`CIRPath`.
+
+    >>> CoxIngersollRoss(v0=0.03, kappa=2.0, theta=0.04, sigma=0.3, steps=4)
+    CIRPath(v0=0.03, kappa=2, theta=0.04, sigma=0.3, T=1, steps=4)
+    """
+    return CIRPath(v0=v0, kappa=kappa, theta=theta, sigma=sigma, T=T, steps=steps)
+
+
+def Heston(
+    s0=1.0,
+    mu=0.0,
+    v0=0.04,
+    kappa=1.0,
+    theta=0.04,
+    sigma=0.2,
+    rho=-0.5,
+    T=1.0,
+    steps=252,
+):
+    """Heston stochastic-volatility asset path node; see :class:`HestonPath`.
+
+    >>> Heston(s0=100, v0=0.04, kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7,
+    ...        steps=4).terminal()
+    PathFunctional(HestonPath(s0=100, mu=0, v0=0.04, kappa=2, theta=0.04, sigma=0.3, rho=-0.7, T=1, steps=4), 'terminal')
+    """
+    return HestonPath(
+        s0=s0,
+        mu=mu,
+        v0=v0,
+        kappa=kappa,
+        theta=theta,
+        sigma=sigma,
+        rho=rho,
+        T=T,
+        steps=steps,
+    )
