@@ -40,6 +40,7 @@ from probabilit_tpu.models.processes import (
     PoissonProcess,
 )
 from probabilit_tpu.models.levy import NormalInverseGaussian, VarianceGamma
+from probabilit_tpu.models.sde import SDE
 from probabilit_tpu.models.stochvol import CoxIngersollRoss, Heston
 
 __version__ = "0.1.0"
@@ -75,4 +76,5 @@ __all__ = [
     "NormalInverseGaussian",
     "CoxIngersollRoss",
     "Heston",
+    "SDE",
 ]
