@@ -30,6 +30,7 @@ from probabilit_tpu.models.factories import (
 )
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
+from probabilit_tpu.engine.mlmc import mlmc_estimate
 from probabilit_tpu.engine.streaming import estimate_many
 from probabilit_tpu.models.processes import (
     BrownianMotion,
@@ -59,6 +60,7 @@ __all__ = [
     "sensitivity",
     "sobol_indices",
     "estimate_many",
+    "mlmc_estimate",
     "QuantileTransform",
     "ClaytonCopula",
     "GumbelCopula",
