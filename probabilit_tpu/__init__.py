@@ -30,6 +30,7 @@ from probabilit_tpu.models.factories import (
 )
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
+from probabilit_tpu.engine.american import american_price
 from probabilit_tpu.engine.mlmc import mlmc_estimate
 from probabilit_tpu.engine.streaming import estimate_many
 from probabilit_tpu.models.processes import (
@@ -61,6 +62,7 @@ __all__ = [
     "sobol_indices",
     "estimate_many",
     "mlmc_estimate",
+    "american_price",
     "QuantileTransform",
     "ClaytonCopula",
     "GumbelCopula",
