@@ -552,8 +552,21 @@ def estimate(
     replicates=None,
     correlator="imanconover",
     control=None,
+    where=None,
 ):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
+
+    ``where=node`` restricts every statistic to the samples where the
+    condition node is nonzero — conditional estimation
+    (``E[sink | where]``) in one streamed program, with the sink's
+    values OUTSIDE the condition never inspected (so e.g.
+    ``estimate(log(x), where=(x > 0))`` is finite-guard-clean even
+    though ``log(x)`` is NaN off-condition).  ``n`` becomes the
+    accepted count, ``n_total`` the draw count, and ``acceptance``
+    their ratio; ``sem`` is the conditional ``std/sqrt(n)``.  Composes
+    with ``method=`` and ``replicates=``; not with ``quantiles`` or
+    ``control`` (the row-sort quantile estimator and the control
+    regression both assume unmasked blocks — an explicit error).
 
     ``control=(node, known_mean)`` applies a regression control variate:
     ``node`` (any node of the same graph, sharing the sink's draws) is
@@ -624,6 +637,22 @@ def estimate(
         # final masked block and fabricate statistics of unrequested
         # samples under n=0.
         raise ValueError(f"size must be >= 1, got {size}.")
+    if where is not None:
+        from probabilit_tpu.models.graph import Node as _Node
+
+        if not isinstance(where, _Node):
+            raise ValueError(f"where must be a graph node, got {where!r}.")
+        if quantiles:
+            raise ValueError(
+                "where= does not compose with quantiles= (the row-sort "
+                "quantile estimator assumes unmasked blocks); estimate "
+                "the conditional quantiles from sample_streaming output."
+            )
+        if control is not None:
+            raise ValueError(
+                "where= does not compose with control= (the control "
+                "regression assumes unmasked blocks)."
+            )
     control_node, control_mu = None, None
     if control is not None:
         from probabilit_tpu.models.graph import Node
@@ -666,12 +695,13 @@ def estimate(
                     quantiles,
                     correlator,
                     control_node,
+                    where,
                 )
             )
             for r in range(reps)
         ]
         merged, rep_means = _merge_carries(carries, control_mu)
-        stats = _finalize_estimate(merged, size, quantiles, control_mu)
+        stats = _finalize_estimate(merged, size, quantiles, control_mu, where)
         rep = np.asarray(rep_means, np.float64)
         stats["sem"] = float(rep.std(ddof=1) / np.sqrt(reps))
         if control_mu is not None:
@@ -691,8 +721,9 @@ def estimate(
         quantiles,
         correlator,
         control_node,
+        where,
     )
-    return _finalize_estimate(carry, size, quantiles, control_mu)
+    return _finalize_estimate(carry, size, quantiles, control_mu, where)
 
 
 def _merge_carries(carries, control_mu=None):
@@ -719,12 +750,13 @@ def _merge_carries(carries, control_mu=None):
             )
             rep_means.append(adj)
         nn = total + t
+        nn_div = nn if nn else 1.0  # zero-accept prefix under where=
         delta = m - mean
         delta_y = float(my_) - my
-        w = total * t / nn
-        mean += delta * t / nn
+        w = total * t / nn_div
+        mean += delta * t / nn_div
         m2 += float(m2_) + delta * delta * w
-        my += delta_y * t / nn
+        my += delta_y * t / nn_div
         m2y += float(m2y_) + delta_y * delta_y * w
         cxy += float(cxy_) + delta * delta_y * w
         total = nn
@@ -746,6 +778,7 @@ def _estimate_carry(
     quantiles,
     correlator="imanconover",
     control_node=None,
+    where_node=None,
 ):
     """One randomised stream's raw moment carry (device values).
 
@@ -753,6 +786,8 @@ def _estimate_carry(
     keyed on block structure — not ``size`` or ``key`` — so replicate
     loops and size sweeps hit one compiled program.
     """
+    aux_node = control_node if control_node is not None else where_node
+    where_mode = where_node is not None
     plan, run = _block_program(
         sink,
         block_size,
@@ -760,7 +795,7 @@ def _estimate_carry(
         method,
         total_size=size,
         correlator=correlator,
-        extra=control_node,
+        extra=aux_node,
     )
     if plan.finalizers.get(sink._id) is not None:
         # e.g. a string-valued DiscreteDistribution: its device output is
@@ -801,6 +836,7 @@ def _estimate_carry(
         lhs_total,
         _compile.correlator_token(_compile.resolve_correlator(correlator)),
         None if control_node is None else control_node._id,
+        None if where_node is None else ("where", where_node._id),
         jnp.dtype(_config.float_dtype()).name,
         _compile._active_mesh_key(),
     )
@@ -831,12 +867,16 @@ def _estimate_carry(
             delta = bm - mean
             delta_y = bmy - my
             nn = n_prev + bn
-            w = n_prev * bn / nn
-            mean = mean + delta * bn / nn
+            # Under where= a block (or the whole prefix) can hold ZERO
+            # accepted samples; every numerator is 0 then, so a clamped
+            # denominator yields the correct no-op merge instead of NaN.
+            nn_div = jnp.maximum(nn, 1.0) if where_mode else nn
+            w = n_prev * bn / nn_div
+            mean = mean + delta * bn / nn_div
             m2 = m2 + bm2 + delta * delta * w
             # Bivariate Chan merge: the cross co-moment picks up the same
             # between-part correction with delta_x * delta_y.
-            my = my + delta_y * bn / nn
+            my = my + delta_y * bn / nn_div
             m2y = m2y + bm2y + delta_y * delta_y * w
             cxy = cxy + bcxy + delta * delta_y * w
             vmin = jnp.minimum(vmin, bmin)
@@ -876,9 +916,32 @@ def _estimate_carry(
                 jnp.sum(jnp.where(mask, (x - bm) * (y - bmy), 0.0)),
             )
 
+        def masked_stats(x, mask):
+            # Off-mask lanes are never inspected: the sink may be
+            # NaN/inf outside the condition by design (x * mask would
+            # poison sums through NaN * 0).
+            cntf = jnp.sum(mask.astype(jnp.float32))
+            safe = jnp.maximum(cntf, 1.0)
+            bm = jnp.sum(jnp.where(mask, x, 0.0)) / safe
+            bm2 = jnp.sum(jnp.where(mask, jnp.square(x - bm), 0.0))
+            return (
+                cntf,
+                bm,
+                bm2,
+                jnp.min(jnp.where(mask, x, jnp.float32(jnp.inf))),
+                jnp.max(jnp.where(mask, x, jnp.float32(-jnp.inf))),
+                jnp.all(jnp.where(mask, jnp.isfinite(x), True)),
+            )
+
         def body(b, carry):
             x, y = run(b, key)
             x = x.astype(jnp.float32)
+            if where_mode:
+                bn, bm, bm2, bmin, bmax, bfin = masked_stats(x, y != 0)
+                return merge(
+                    carry, bn, bm, bm2, bmin, bmax, bfin,
+                    qsum_full(x), ctl_full(x, None, bm),
+                )
             bn = jnp.float32(block_size)
             bm = jnp.mean(x)
             bm2 = jnp.sum(jnp.square(x - bm))
@@ -913,6 +976,12 @@ def _estimate_carry(
         x, y = run(nb1, key)
         x = x.astype(jnp.float32)
         mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
+        if where_mode:
+            bn, bm, bm2, bmin, bmax, bfin = masked_stats(x, mask & (y != 0))
+            return merge(
+                carry, bn, bm, bm2, bmin, bmax, bfin,
+                qsum_partial(x, mask, cnt), ctl_partial(x, None, mask, bn, bm),
+            )
         cntf = cnt.astype(jnp.float32)
         bm = jnp.sum(jnp.where(mask, x, 0.0)) / cntf
         bm2 = jnp.sum(jnp.where(mask, jnp.square(x - bm), 0.0))
@@ -950,7 +1019,7 @@ def _control_adjust(mx, m2x, my, m2y, cxy, mu):
     return mx - beta * (my - mu), 1.0 - rho2, beta, rho
 
 
-def _finalize_estimate(carry, size, quantiles, control_mu=None):
+def _finalize_estimate(carry, size, quantiles, control_mu=None, where=None):
     (
         total_,
         mean_,
@@ -972,9 +1041,15 @@ def _finalize_estimate(carry, size, quantiles, control_mu=None):
     )
     if not bool(finite_):
         raise ValueError("Sampling produced non-finite values.")
+    if where is not None and total <= 0:
+        raise ValueError(
+            f"where= condition never held across {size} draws; no "
+            "conditional statistics exist. Loosen the condition or "
+            "raise size."
+        )
     var = m2 / total if total else float("nan")
     stats = {
-        "n": size,
+        "n": int(round(total)) if where is not None else size,
         "mean": mean,
         "var": var,
         "std": var**0.5,
@@ -984,6 +1059,9 @@ def _finalize_estimate(carry, size, quantiles, control_mu=None):
         "min": vmin,
         "max": vmax,
     }
+    if where is not None:
+        stats["n_total"] = size
+        stats["acceptance"] = total / size
     if control_mu is not None:
         adj, factor, beta, rho = _control_adjust(
             mean, m2, float(my_), float(m2y_), float(cxy_), control_mu

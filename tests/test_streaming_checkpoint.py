@@ -946,3 +946,83 @@ class TestEstimateManyQuantiles:
         assert withq[a]["q0.25"] == pytest.approx(0.25, abs=0.02)
         with pytest.raises(ValueError, match="in \\(0, 1\\)"):
             streaming.estimate_many([a], 100, block_size=64, quantiles=(1.5,))
+
+
+class TestConditionalEstimate:
+    """estimate(..., where=cond): streamed conditional statistics."""
+
+    def test_halfnormal_conditional_mean(self):
+        x = Distribution("norm")
+        res = streaming.estimate(
+            x, 200_000, block_size=32_768, random_state=0, where=(x > 0)
+        )
+        assert res["mean"] == pytest.approx(np.sqrt(2 / np.pi), abs=0.01)
+        assert res["acceptance"] == pytest.approx(0.5, abs=0.01)
+        assert res["n"] + 0 == int(res["n"])  # integer accepted count
+        assert res["n_total"] == 200_000
+        assert res["min"] > 0.0
+        # Conditional variance of the half-normal: 1 - 2/pi.
+        assert res["var"] == pytest.approx(1 - 2 / np.pi, abs=0.01)
+
+    def test_sink_may_be_nonfinite_off_condition(self):
+        # log(x) is NaN for x < 0; masked lanes must never trip the
+        # finite guard nor poison the sums.
+        x = Distribution("norm")
+        from probabilit_tpu.models.graph import Log
+
+        res = streaming.estimate(
+            Log(x), 200_000, block_size=32_768, random_state=1, where=(x > 0)
+        )
+        # E[log|Z|] = -(gamma + log 2)/2 for standard normal.
+        want = -(np.euler_gamma + np.log(2)) / 2
+        assert res["mean"] == pytest.approx(want, abs=0.02)
+
+    def test_matches_direct_masked_computation(self):
+        # Deterministic under sobol: the streamed conditional moments
+        # must equal the host-side masked statistics of the same draws.
+        x = Distribution("norm", loc=1.0, scale=2.0)
+        cond = x > 2.0
+        size, bs = 40_000, 8_192  # partial final block (40000 % 8192 != 0)
+        res = streaming.estimate(
+            x, size, block_size=bs, random_state=3, method="sobol", where=cond
+        )
+        full = np.asarray(x.sample(size, random_state=3, method="sobol"))
+        kept = full[full > 2.0]
+        assert res["n"] == kept.size
+        assert res["mean"] == pytest.approx(kept.mean(), rel=1e-5)
+        assert res["var"] == pytest.approx(kept.var(), rel=1e-4)
+        assert res["min"] == pytest.approx(kept.min(), rel=1e-6)
+        assert res["max"] == pytest.approx(kept.max(), rel=1e-6)
+
+    def test_rare_condition_and_replicates(self):
+        # Rare tail (acceptance ~0.13%): early blocks may hold zero
+        # accepted samples; merges must stay NaN-free.  E[Z | Z > 3] =
+        # phi(3)/Phi(-3).
+        from scipy import stats as sps
+
+        x = Distribution("norm")
+        res = streaming.estimate(
+            x,
+            400_000,
+            block_size=16_384,
+            random_state=4,
+            where=(x > 3),
+            replicates=4,
+        )
+        want = sps.norm.pdf(3) / sps.norm.sf(3)
+        assert res["mean"] == pytest.approx(want, abs=0.03)
+        assert 0.0005 < res["acceptance"] < 0.0025
+        assert np.isfinite(res["sem"])
+
+    def test_validation_and_composition_errors(self):
+        x = Distribution("norm")
+        with pytest.raises(ValueError, match="graph node"):
+            streaming.estimate(x, 1000, where=True)
+        with pytest.raises(ValueError, match="quantiles"):
+            streaming.estimate(x, 1000, where=(x > 0), quantiles=(0.5,))
+        with pytest.raises(ValueError, match="control"):
+            streaming.estimate(x, 1000, where=(x > 0), control=(x, 0.0))
+        with pytest.raises(ValueError, match="never held"):
+            streaming.estimate(
+                x, 2_000, block_size=1_024, random_state=5, where=(x > 9)
+            )
