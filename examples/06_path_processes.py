@@ -10,11 +10,12 @@ error at the grid) through streamed estimation:
 * pathwise Greeks (delta/vega) of the Asian payoff via autodiff
   through the compiled sampling program.
 
-Path nodes draw from a column-seeded PRNG key, so ``method=``-level
-variance reduction (antithetic pairing, QMC) cannot reach their
-randomness — the streaming layer rejects that combination outright.
-Control variates and replicate error bars operate on the OUTPUT stream
-and work unchanged.
+Under ``method="sobol"`` (or any QMC/antithetic method) every path node
+owns one quantile dimension per driver, built through the
+Brownian-bridge construction, so low-discrepancy structure reaches the
+paths' dominant features; under ``method=None`` paths draw from a
+column-seeded PRNG key.  Control variates and replicate error bars
+operate on the OUTPUT stream and work with either mode.
 
 Run: python examples/06_path_processes.py
 """
