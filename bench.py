@@ -410,6 +410,43 @@ def bench_paths(n_paths=1 << 21, steps=252):
     return dt * 1e3
 
 
+def bench_american(n_paths=1 << 18, steps=50):
+    """Optimal stopping: Longstaff-Schwartz American put, two-pass.
+
+    2^18 paths x 50 exercise dates, each date an ITM-weighted cubic
+    regression (MXU Gram matmuls + 4x4 solve) inside one lax.scan, run
+    twice (fit + independent policy evaluation).
+    """
+    import jax.numpy as jnp
+
+    from probabilit_tpu import GeometricBrownianMotion
+    from probabilit_tpu.engine.american import american_price
+
+    gbm = GeometricBrownianMotion(s0=36.0, mu=0.06, sigma=0.2, T=1.0, steps=steps)
+
+    def payoff(s):
+        # One function object across calls: the compiled-program cache
+        # keys the payoff by identity.
+        return jnp.maximum(40.0 - s, 0.0)
+
+    def run(seed):
+        return american_price(
+            gbm, payoff, rate=0.06, size=n_paths, random_state=seed
+        )
+
+    t0 = time.perf_counter()
+    run(0)
+    log(f"american compile+first: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    res = run(1)
+    dt = time.perf_counter() - t0
+    log(
+        f"american-lsmc run: {dt * 1e3:.0f} ms -> price {res['price']:.4f} "
+        f"+/- {res['se']:.4f} (FD benchmark 4.478)"
+    )
+    return dt * 1e3
+
+
 def bench_streaming_1e9():
     """Full 1e9-draw estimation with a streamed p95 (single dispatch).
 
@@ -547,6 +584,8 @@ def main():
     _release_device_memory()
     paths_ms = bench_paths()
     _release_device_memory()
+    american_ms = bench_american()
+    _release_device_memory()
     table_ns = bench_large_table()
     _release_device_memory()
     sobol_ms = bench_sobol_indices()
@@ -573,6 +612,7 @@ def main():
                     "sobol_indices_20node_10x1m_ms": sobol_ms,
                     **dependence,
                     "gbm_barrier_2p21x252_ms": paths_ms,
+                    "american_lsmc_2p18x50_ms": american_ms,
                     "reference_cpu_samples_per_sec": ref_sps,
                     "target_samples_per_sec": 1e9,
                     "target_imanconover_ms": 100.0,

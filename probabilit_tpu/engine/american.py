@@ -51,6 +51,12 @@ from probabilit_tpu import config
 
 __all__ = ["american_price"]
 
+# Jitted (fit, evaluate) pairs cached across calls: a fresh closure per
+# call would retrace the 2x steps-long scan each time (seconds of
+# XLA compile per price).  Keyed on everything trace-relevant; payoff
+# enters by identity like every user callable in this package.
+_FN_CACHE = {}
+
 
 def _basis(x, degree):
     """Monomial features ``(n, degree + 1)`` of the scaled state."""
@@ -171,6 +177,11 @@ def american_price(
     in-sample backward-induction estimate (slight upward foresight
     bias, half the cost).
 
+    Compiled programs are cached across calls, keyed on the node's
+    static signature and the PAYOFF'S IDENTITY — pass the same function
+    object when repricing (a fresh inline lambda per call recompiles
+    the scan each time).
+
     Returns a dict: ``price`` (including immediate exercise at t=0),
     ``se``, ``exercise_fraction`` (paths stopped before T), and
     ``weights`` (per-date regression coefficients, forward order).
@@ -194,23 +205,39 @@ def american_price(
         if x0 is not None:
             break
 
-    @jax.jit
-    def fit(k):
-        paths = _sample_paths(node, k, size, dtype)
-        fitted = _fit_weights(paths, payoff, degree, disc, ridge)
-        # In-sample estimate: the fitted policy on the SAME paths
-        # (equals classic LSM, foresight bias included).
-        value, stopped = _apply_policy(paths, payoff, degree, disc, fitted)
-        return fitted, value, stopped
+    cache_key = (
+        node._static_signature(),
+        id(payoff),
+        size,
+        degree,
+        float(rate),
+        float(ridge),
+        jnp.dtype(dtype).name,
+    )
+    fns = _FN_CACHE.get(cache_key)
+    if fns is None:
 
-    fitted, value, stopped = fit(k_fit)
-    if two_pass:
+        @jax.jit
+        def fit(k):
+            paths = _sample_paths(node, k, size, dtype)
+            fitted = _fit_weights(paths, payoff, degree, disc, ridge)
+            # In-sample estimate: the fitted policy on the SAME paths
+            # (equals classic LSM, foresight bias included).
+            value, stopped = _apply_policy(paths, payoff, degree, disc, fitted)
+            return fitted, value, stopped
 
         @jax.jit
         def evaluate(k, fitted):
             paths = _sample_paths(node, k, size, dtype)
             return _apply_policy(paths, payoff, degree, disc, fitted)
 
+        if len(_FN_CACHE) > 32:
+            _FN_CACHE.pop(next(iter(_FN_CACHE)))
+        fns = _FN_CACHE[cache_key] = (fit, evaluate)
+
+    fit, evaluate = fns
+    fitted, value, stopped = fit(k_fit)
+    if two_pass:
         value, stopped = evaluate(k_eval, fitted)
 
     value = np.asarray(value)
