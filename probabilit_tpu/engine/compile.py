@@ -76,9 +76,21 @@ class EmitContext:
         return self._columns[node._id]
 
     def slab(self, node):
-        """The node's ``(n, width)`` quantile slab (quantile mode only)."""
-        start, width = self._slabs[node._id]
-        return jax.lax.slice_in_dim(self._quantiles, start, start + width, axis=1)
+        """The node's ``(n, _q_width)`` quantile slab (quantile mode only).
+
+        Dimension 0 is the node's OWN scalar column (the same one that
+        seeds its PRNG key under ``method=None``), so the node's
+        best-placed QMC dimension drives its dominant feature and no
+        quantile column is ever generated-but-unconsumed; the remaining
+        ``_q_width - 1`` driver columns live in the extra block past the
+        scalar columns.
+        """
+        own, start, extra = self._slabs[node._id]
+        col = jax.lax.slice_in_dim(self._quantiles, own, own + 1, axis=1)
+        if not extra:
+            return col
+        rest = jax.lax.slice_in_dim(self._quantiles, start, start + extra, axis=1)
+        return jnp.concatenate([col, rest], axis=1)
 
 
 class Plan:
@@ -115,19 +127,23 @@ class Plan:
         self.col_of = {n._id: i for i, n in enumerate(self.dist_nodes)}
         self.d = len(self.dist_nodes)
 
-        # Multi-column nodes (path processes declare ``_q_width > 1``)
-        # additionally own a contiguous SLAB of quantile columns past the
-        # scalar block, consumed in quantile mode (QMC methods /
-        # ``sample_from_quantiles``); ``d_total`` is the full matrix
-        # width.  The engine-generated PRNG path (``rng_inline``) never
-        # materialises the slabs — those programs stay (n, d).
+        # Multi-column nodes (path processes declare ``_q_width``) own a
+        # SLAB of quantile columns consumed in quantile mode (QMC methods
+        # / ``sample_from_quantiles``): dimension 0 is the node's own
+        # scalar column, the remaining ``_q_width - 1`` drivers sit in a
+        # contiguous extra block past the scalar columns (``d_total`` is
+        # the full matrix width; a width-1 node consumes just its own
+        # column).  The engine-generated PRNG path (``rng_inline``) never
+        # materialises the extras — those programs stay (n, d).
         self.slab_of = {}
         off = self.d
         for node in self.dist_nodes:
-            width = int(getattr(node, "_q_width", 1) or 1)
-            if width > 1:
-                self.slab_of[node._id] = (off, width)
-                off += width
+            width = getattr(node, "_q_width", None)
+            if width is None:
+                continue
+            extra = max(int(width) - 1, 0)
+            self.slab_of[node._id] = (self.col_of[node._id], off, extra)
+            off += extra
         self.d_total = off
 
         # Topo-ordered prefix needed before correlation induction: the ISNs
@@ -216,10 +232,25 @@ class Plan:
             _NCM_CACHE[cache_key] = cached
         self.corr_matrix = cached
 
+    def columns_of(self, node):
+        """Every quantile column the node's randomness consumes.
+
+        Scalar nodes: their one column.  Slab nodes (paths): the scalar
+        column plus the extra driver block — pick-freeze designs
+        (engine/sensitivity.py) must swap ALL of them together to
+        attribute the node's full variance contribution.
+        """
+        nid = node._id
+        cols = [self.col_of[nid]]
+        if nid in self.slab_of:
+            _, start, extra = self.slab_of[nid]
+            cols.extend(range(start, start + extra))
+        return tuple(cols)
+
     def signature(self):
         # Memoised: a Plan is immutable once built (get_plan invalidates
         # the whole Plan on graph mutation), and re-tupling a 12k-node
-        # graph per program-cache lookup is O(graph) Python per call.
+        # graph per program-cache lookup is O(graph) Python on every call.
         sig = self._signature
         if sig is None:
             rows = []

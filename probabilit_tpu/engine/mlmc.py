@@ -190,7 +190,11 @@ def mlmc_estimate(
 
     def make_level(level):
         steps_f = m0 * refine**level
-        rows = block_rows or max(4096, (1 << 22) // steps_f)
+        # Bounded per-dispatch footprint at ANY depth: rows * steps_f
+        # stays ~2^22 elements (16 MB f32) — a 4096-row floor would grow
+        # the block linearly with steps_f past 1024 steps and OOM at the
+        # deep levels max_levels permits.
+        rows = block_rows or max(8, (1 << 22) // max(steps_f, 1))
         kernel, steps_f = _level_kernel(
             drift, diffusion, payoff, x0, T, m0, refine, scheme, level, rows
         )

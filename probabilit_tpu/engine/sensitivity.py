@@ -538,7 +538,7 @@ def sobol_indices(
             if v._id in seen:
                 raise ValueError(f"{v!r} appears twice in wrt.")
             seen.add(v._id)
-    cols = tuple(plan.col_of[v._id] for v in variables)
+    cols = tuple(plan.columns_of(v) for v in variables)
 
     size = int(size)
     if size < 4:
@@ -584,14 +584,21 @@ def sobol_indices(
     )
 
 
-def _build_sobol_fn(plan, cols, size, method_name, pair_positions=()):
-    """Jitted ``key -> (mean, var, S, ST, closed_pairs)`` pick-freeze program."""
+def _build_sobol_fn(plan, col_sets, size, method_name, pair_positions=()):
+    """Jitted ``key -> (mean, var, S, ST, closed_pairs)`` pick-freeze program.
+
+    ``col_sets[i]`` is variable i's FULL set of quantile columns
+    (``Plan.columns_of``): one column for a scalar node, the scalar
+    column plus the driver slab for a path node — every column of a
+    factor swaps together, and the matrices span ``plan.d_total`` so
+    graphs containing path nodes evaluate in quantile mode correctly.
+    """
     from probabilit_tpu.ops import qmc as _qmc
     from probabilit_tpu.parallel import mesh as _par_mesh
 
     cache_key = (
         plan.signature(),
-        cols,
+        col_sets,
         size,
         method_name,
         pair_positions,
@@ -612,9 +619,11 @@ def _build_sobol_fn(plan, cols, size, method_name, pair_positions=()):
         generated_ok=False,
     )
     sharding = _par_mesh.sample_sharding(ndim=2)
-    d = plan.d
-    k = len(cols)
-    col_idx = jnp.asarray(cols, jnp.int32)
+    d = plan.d_total
+    k = len(col_sets)
+    hot_np = np.zeros((k, 1, d), np.float32)
+    for i, cs in enumerate(col_sets):
+        hot_np[i, 0, list(cs)] = 1.0
 
     def run(key):
         dtype = config.float_dtype()
@@ -628,23 +637,18 @@ def _build_sobol_fn(plan, cols, size, method_name, pair_positions=()):
             # (keeps the A/B pairing itself low-discrepancy).
             AB = _qmc.generate(method_name, key, size, 2 * d, dtype=dtype)
             A, B = AB[:, :d], AB[:, d:]
-        # (k, size, d): copy i replaces variable i's column with B's.
-        hot = jnp.zeros((k, 1, d), dtype).at[jnp.arange(k), 0, col_idx].set(1.0)
+        # (k, size, d): copy i replaces variable i's column set with B's.
+        hot = jnp.asarray(hot_np, dtype)
         AB_i = A[None, :, :] * (1.0 - hot) + B[None, :, :] * hot
         parts = [A[None], B[None], AB_i]
         n_pairs = len(pair_positions)
         if n_pairs:
-            # Saltelli-2002 closed pairs: A with BOTH columns of the
-            # pair taken from B, appended to the same batched program.
-            rows = jnp.asarray(
-                [p for pair in pair_positions for p in pair], jnp.int32
-            )
-            pair_rows = jnp.repeat(jnp.arange(n_pairs, dtype=jnp.int32), 2)
-            hot2 = (
-                jnp.zeros((n_pairs, 1, d), dtype)
-                .at[pair_rows, 0, col_idx[rows]]
-                .set(1.0)
-            )
+            # Saltelli-2002 closed pairs: A with BOTH variables' column
+            # sets taken from B, appended to the same batched program.
+            hot2_np = np.zeros((n_pairs, 1, d), np.float32)
+            for row, (i, j) in enumerate(pair_positions):
+                hot2_np[row, 0, list(col_sets[i]) + list(col_sets[j])] = 1.0
+            hot2 = jnp.asarray(hot2_np, dtype)
             parts.append(A[None, :, :] * (1.0 - hot2) + B[None, :, :] * hot2)
         stacked = jnp.concatenate(parts, axis=0)
         stacked = stacked.reshape((2 + k + n_pairs) * size, d)

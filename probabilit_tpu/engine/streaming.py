@@ -642,6 +642,12 @@ def estimate(
 
         if not isinstance(where, _Node):
             raise ValueError(f"where must be a graph node, got {where!r}.")
+        if getattr(where, "_vector_valued", False):
+            raise ValueError(
+                f"where condition {where!r} is vector-valued; condition "
+                "on a scalar functional of it instead (e.g. "
+                "path.terminal() > k)."
+            )
         if quantiles:
             raise ValueError(
                 "where= does not compose with quantiles= (the row-sort "
@@ -703,7 +709,15 @@ def estimate(
         merged, rep_means = _merge_carries(carries, control_mu)
         stats = _finalize_estimate(merged, size, quantiles, control_mu, where)
         rep = np.asarray(rep_means, np.float64)
-        stats["sem"] = float(rep.std(ddof=1) / np.sqrt(reps))
+        if rep.size < 2:
+            # Only possible under where=: zero-accept replicates carry no
+            # mean and are excluded from the spread.
+            raise ValueError(
+                f"Only {rep.size} of {reps} replicates accepted any "
+                "samples; the between-replicate sem needs >= 2. Loosen "
+                "the where condition, raise size, or drop replicates=."
+            )
+        stats["sem"] = float(rep.std(ddof=1) / np.sqrt(rep.size))
         if control_mu is not None:
             # The between-replicate spread of the ADJUSTED means already
             # prices the control; report their average as the estimate
@@ -742,6 +756,12 @@ def _merge_carries(carries, control_mu=None):
     rep_means = []
     for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_ in carries:
         t, m = float(t_), float(m_)
+        if t <= 0.0:
+            # A zero-accept replicate (possible under where= with a rare
+            # condition) has NO mean; its never-updated 0.0 init must not
+            # enter the between-replicate sem.  The pooled merge below is
+            # a no-op for it anyway.
+            continue
         if control_mu is None:
             rep_means.append(m)
         else:

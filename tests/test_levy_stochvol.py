@@ -227,11 +227,13 @@ class TestQuantilePlumbing:
     def test_q_widths(self):
         from probabilit_tpu.engine import compile as _compile
 
+        # d_total equals the node's total driver count: the scalar
+        # column doubles as slab dimension 0.
         vg = VarianceGamma(steps=8)
-        assert _compile.get_plan(vg.terminal()).d_total == 1 + 16
+        assert _compile.get_plan(vg.terminal()).d_total == 16
         nig = NormalInverseGaussian(steps=8)
-        assert _compile.get_plan(nig.terminal()).d_total == 1 + 16
+        assert _compile.get_plan(nig.terminal()).d_total == 16
         cir = CoxIngersollRoss(kappa=2.0, theta=0.04, sigma=0.3, steps=8)
-        assert _compile.get_plan(cir.terminal()).d_total == 1 + 16
+        assert _compile.get_plan(cir.terminal()).d_total == 16
         h = Heston(kappa=2.0, theta=0.04, sigma=0.3, steps=8)
-        assert _compile.get_plan(h.terminal()).d_total == 1 + 24
+        assert _compile.get_plan(h.terminal()).d_total == 24

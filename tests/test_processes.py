@@ -493,13 +493,23 @@ class TestPathQMC:
         sink = g.terminal() + x
         plan = _compile.get_plan(sink)
         assert plan.d == 2  # path seed column + norm
-        assert plan.d_total == 2 + 8
+        # The path's scalar column doubles as slab dim 0, so the total
+        # width is d + (steps - 1) extras: no wasted QMC dimension.
+        assert plan.d_total == 2 + 7
+        assert plan.columns_of(g) == (0, 2, 3, 4, 5, 6, 7, 8)
         with pytest.raises(ValueError, match="path-driver"):
             sample_from_quantiles(sink, np.random.default_rng(0).random((64, 2)))
         out = sample_from_quantiles(
-            sink, np.random.default_rng(0).random((64, 10))
+            sink, np.random.default_rng(0).random((64, 9))
         )
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_single_step_path_under_qmc(self):
+        # steps=1 means a width-1 slab (just the node's own column);
+        # regression: this used to KeyError in quantile mode.
+        w = BrownianMotion(x0=0.0, drift=0.0, diffusion=1.0, T=1.0, steps=1)
+        s = np.asarray(w.terminal().sample(4096, random_state=0, method="sobol"))
+        assert stats.kstest(s, "norm").pvalue > 0.01
 
     def test_estimate_streamed_sobol_quantiles(self):
         from probabilit_tpu.engine import streaming

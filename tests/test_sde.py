@@ -125,7 +125,9 @@ class TestPlumbing:
         node = SDE(drift, diff, x0=100.0, steps=8)
         plan = _compile.get_plan(node.terminal())
         assert plan.d == 1
-        assert plan.d_total == 1 + 8
+        # Slab dim 0 IS the node's scalar column, so d_total equals the
+        # total driver count (one per step here).
+        assert plan.d_total == 8
         assert node.terminal() is node.terminal()  # memoised
 
     def test_distinct_callables_distinct_signatures(self):

@@ -317,3 +317,37 @@ class TestQuantileStatistic:
         for bad in ("q1.5", "qabc", "q0", "q"):
             with pytest.raises(ValueError, match="statistic"):
                 sensitivity(x, wrt=x, size=4096, statistic=bad)
+
+
+class TestSobolPathNodes:
+    """Pick-freeze over path-node slabs (review regression: any path
+    node in the graph used to crash _build_sobol_fn, whose matrices
+    spanned plan.d instead of plan.d_total)."""
+
+    def test_path_node_as_factor(self):
+        import numpy as np
+
+        from probabilit_tpu import Distribution, GeometricBrownianMotion
+        from probabilit_tpu.engine.sensitivity import sobol_indices
+
+        g = GeometricBrownianMotion(s0=100, mu=0.05, sigma=0.2, steps=8)
+        x = Distribution("norm", scale=10.0)
+        res = sobol_indices(g.terminal() + x, size=8192, random_state=0)
+        # Var(GBM terminal) = s0^2 e^{2 mu T}(e^{sigma^2 T} - 1).
+        v_path = np.exp(0.1) * (np.exp(0.04) - 1.0) * 1e4
+        want = v_path / (v_path + 100.0)
+        assert abs(res.first_order[g] - want) < 0.05
+        assert abs(res.first_order[x] - (1.0 - want)) < 0.05
+        assert res.total_order[g] == pytest.approx(res.first_order[g], abs=0.06)
+
+    def test_path_node_merely_present(self):
+        from probabilit_tpu import Distribution, OrnsteinUhlenbeck
+        from probabilit_tpu.engine.sensitivity import sobol_indices
+
+        ou = OrnsteinUhlenbeck(x0=1.0, theta=2.0, mu=1.0, sigma=0.3, steps=4)
+        a = Distribution("norm", scale=2.0)
+        b = Distribution("norm", scale=1.0)
+        res = sobol_indices(
+            ou.terminal() * 0.0 + a + b, wrt=[a, b], size=4096, random_state=1
+        )
+        assert abs(res.first_order[a] - 0.8) < 0.06

@@ -1026,3 +1026,33 @@ class TestConditionalEstimate:
             streaming.estimate(
                 x, 2_000, block_size=1_024, random_state=5, where=(x > 9)
             )
+
+    def test_zero_accept_replicates_excluded_from_sem(self):
+        # Review regression: a replicate whose condition never held used
+        # to contribute its never-updated 0.0 init mean to rep_means,
+        # fabricating sem.  Zero-accept carries are excluded; if fewer
+        # than two replicates accepted anything, the sem is undefined
+        # and the call raises.
+        from probabilit_tpu.engine.streaming import _merge_carries
+
+        zero = (0.0, 0.0, 0.0, np.inf, -np.inf, True, np.zeros(0), 0, 0, 0)
+        live = (100.0, 3.7, 42.0, 1.0, 8.0, True, np.zeros(0), 0, 0, 0)
+        merged, rep_means = _merge_carries([zero, live, live])
+        assert rep_means == [3.7, 3.7]
+        assert merged[0] == 200.0 and merged[1] == pytest.approx(3.7)
+
+        # Seed picked so exactly ONE of the four replicate streams
+        # accepts samples: a valid mean exists but no spread does.
+        x = Distribution("norm")
+        with pytest.raises(ValueError, match="replicates accepted"):
+            streaming.estimate(
+                x, 4_000, block_size=512, random_state=1,
+                where=(x > 3.5), replicates=4,
+            )
+
+    def test_vector_valued_condition_rejected(self):
+        from probabilit_tpu import BrownianMotion
+
+        w = BrownianMotion(steps=4)
+        with pytest.raises(ValueError, match="vector-valued"):
+            streaming.estimate(w.terminal(), 1000, where=w)
