@@ -42,6 +42,7 @@ from probabilit_tpu.models.processes import (
     PoissonProcess,
 )
 from probabilit_tpu.models.levy import NormalInverseGaussian, VarianceGamma
+from probabilit_tpu.models.markov import MarkovChain, RegimeSwitchingGBM
 from probabilit_tpu.models.sde import SDE
 from probabilit_tpu.models.stochvol import CoxIngersollRoss, Heston
 
@@ -81,4 +82,6 @@ __all__ = [
     "CoxIngersollRoss",
     "Heston",
     "SDE",
+    "MarkovChain",
+    "RegimeSwitchingGBM",
 ]
