@@ -64,8 +64,21 @@ def _basis(x, degree):
 
 
 def _sample_paths(node, key, n, dtype):
-    """(n, steps) state paths drawn from the node's own driver law."""
-    return node._path_from_increments(node._increments(key, n, dtype))
+    """(n, steps) state paths drawn from the node's own driver law.
+
+    Under an active mesh the sample axis is pinned per chip (key-based
+    draws have no data dependence that would otherwise stop the SPMD
+    partitioner from replicating the matrix); the per-date Gram matmuls
+    then reduce with XLA-inserted psums and the backward induction runs
+    fully sharded.
+    """
+    from probabilit_tpu.parallel import mesh as _mesh
+
+    paths = node._path_from_increments(node._increments(key, n, dtype))
+    sharding = _mesh.sample_sharding(ndim=paths.ndim)
+    if sharding is not None:
+        paths = jax.lax.with_sharding_constraint(paths, sharding)
+    return paths
 
 
 def _standardize(s_k, itm, dtype):
@@ -205,6 +218,8 @@ def american_price(
         if x0 is not None:
             break
 
+    from probabilit_tpu.engine import compile as _compile
+
     cache_key = (
         node._static_signature(),
         id(payoff),
@@ -213,6 +228,7 @@ def american_price(
         float(rate),
         float(ridge),
         jnp.dtype(dtype).name,
+        _compile._active_mesh_key(),
     )
     fns = _FN_CACHE.get(cache_key)
     if fns is None:

@@ -75,7 +75,14 @@ def _level_kernel(drift, diffusion, payoff, x0, T, m0, refine, scheme, level, ro
 
     @jax.jit
     def run(key, count):
+        from probabilit_tpu.parallel import mesh as _mesh
+
         z = jax.random.normal(key, (rows, steps_f), dtype)
+        # Under an active mesh each chip owns its rows (key-based draws
+        # would otherwise replicate); reductions psum automatically.
+        sharding = _mesh.sample_sharding(ndim=2)
+        if sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, sharding)
         pf = payoff(fine._path_from_increments(z))
         if coarse is None:
             d = pf
@@ -193,8 +200,9 @@ def mlmc_estimate(
         # Bounded per-dispatch footprint at ANY depth: rows * steps_f
         # stays ~2^22 elements (16 MB f32) — a 4096-row floor would grow
         # the block linearly with steps_f past 1024 steps and OOM at the
-        # deep levels max_levels permits.
-        rows = block_rows or max(8, (1 << 22) // max(steps_f, 1))
+        # deep levels max_levels permits.  Rows stay a multiple of 64 so
+        # the sample axis divides any practical mesh.
+        rows = block_rows or max(64, ((1 << 22) // max(steps_f, 1)) // 64 * 64)
         kernel, steps_f = _level_kernel(
             drift, diffusion, payoff, x0, T, m0, refine, scheme, level, rows
         )

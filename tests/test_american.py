@@ -123,3 +123,22 @@ class TestValidation:
         one_step = GeometricBrownianMotion(s0=40.0, mu=0.06, sigma=0.2, steps=1)
         with pytest.raises(ValueError, match="steps"):
             american_price(one_step, _put(40.0))
+
+
+class TestMesh:
+    def test_american_mesh_matches_single_device(self):
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        gbm = GeometricBrownianMotion(s0=36.0, mu=0.06, sigma=0.2, T=1.0, steps=50)
+        payoff = _put(40.0)
+        base = american_price(gbm, payoff, rate=0.06, size=1 << 15, random_state=0)
+        with use_mesh(make_mesh()):
+            sharded = american_price(
+                gbm, payoff, rate=0.06, size=1 << 15, random_state=0
+            )
+        # Same draws; Gram psum reduction order can flip boundary
+        # exercise decisions, moving the price by O(se) at most.
+        assert sharded["price"] == pytest.approx(
+            base["price"], abs=3 * base["se"]
+        )
+        assert 0.0 < sharded["exercise_fraction"] < 1.0

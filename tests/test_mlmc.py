@@ -131,3 +131,17 @@ class TestCoupling:
             dt_c * np.arange(4)
         ).sum() * dt_c
         assert s1 / 64 == pytest.approx(want, abs=1e-6)
+
+
+class TestMesh:
+    def test_mlmc_mesh_matches_single_device(self):
+        from probabilit_tpu.parallel import make_mesh, use_mesh
+
+        drift, diff = _gbm()
+        kw = dict(x0=100.0, eps=0.1, random_state=0)
+        base = mlmc_estimate(drift, diff, _call, **kw)
+        with use_mesh(make_mesh()):
+            sharded = mlmc_estimate(drift, diff, _call, **kw)
+        # Identical counter-based draws; only reduction order may move.
+        assert sharded["n_per_level"] == base["n_per_level"]
+        assert sharded["mean"] == pytest.approx(base["mean"], rel=1e-4)
