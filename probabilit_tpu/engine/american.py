@@ -63,8 +63,14 @@ def _basis(x, degree):
     return jnp.stack([x**p for p in range(degree + 1)], axis=1)
 
 
-def _sample_paths(node, key, n, dtype):
+def _sample_paths(node, key, n, dtype, method=None):
     """(n, steps) state paths drawn from the node's own driver law.
+
+    ``method="sobol"/...`` drives the node through its quantile-slab
+    constructor (Brownian-bridge ordering for Gaussian drivers, exactly
+    as engine QMC sampling does), with the scramble keyed by ``key`` —
+    the fit and evaluation passes therefore get independent
+    randomisations of the same low-discrepancy sequence.
 
     Under an active mesh the sample axis is pinned per chip (key-based
     draws have no data dependence that would otherwise stop the SPMD
@@ -74,7 +80,14 @@ def _sample_paths(node, key, n, dtype):
     """
     from probabilit_tpu.parallel import mesh as _mesh
 
-    paths = node._path_from_increments(node._increments(key, n, dtype))
+    if method is None:
+        inc = node._increments(key, n, dtype)
+    else:
+        from probabilit_tpu.ops import qmc as _qmc
+
+        q = _qmc.generate(method, key, n, node._q_width, dtype=dtype)
+        inc = node._increments_from_slab(q, dtype)
+    paths = node._path_from_increments(inc)
     sharding = _mesh.sample_sharding(ndim=paths.ndim)
     if sharding is not None:
         paths = jax.lax.with_sharding_constraint(paths, sharding)
@@ -173,6 +186,7 @@ def american_price(
     random_state=0,
     two_pass=True,
     ridge=1e-6,
+    method=None,
 ):
     """Longstaff-Schwartz price of ``payoff`` exercisable on the grid.
 
@@ -190,6 +204,12 @@ def american_price(
     in-sample backward-induction estimate (slight upward foresight
     bias, half the cost).
 
+    ``method="sobol"`` (or halton/lhs/antithetic) drives the paths with
+    a low-discrepancy sequence through the node's Brownian-bridge slab
+    constructor — fit and evaluation passes use independently keyed
+    scrambles.  The reported ``se`` stays the iid formula, a
+    conservative overestimate under QMC.
+
     Compiled programs are cached across calls, keyed on the node's
     static signature and the PAYOFF'S IDENTITY — pass the same function
     object when repricing (a fresh inline lambda per call recompiles
@@ -199,6 +219,16 @@ def american_price(
     ``se``, ``exercise_fraction`` (paths stopped before T), and
     ``weights`` (per-date regression coefficients, forward order).
     """
+    if method is not None and str(method).lower().strip() not in (
+        "sobol",
+        "halton",
+        "lhs",
+        "antithetic",
+    ):
+        raise ValueError(
+            "method must be None, 'sobol', 'halton', 'lhs' or "
+            f"'antithetic', got {method!r}."
+        )
     if degree < 1:
         raise ValueError(f"degree must be >= 1, got {degree}.")
     if size < 2 * (degree + 1):
@@ -227,6 +257,7 @@ def american_price(
         degree,
         float(rate),
         float(ridge),
+        None if method is None else str(method).lower().strip(),
         jnp.dtype(dtype).name,
         _compile._active_mesh_key(),
     )
@@ -235,7 +266,7 @@ def american_price(
 
         @jax.jit
         def fit(k):
-            paths = _sample_paths(node, k, size, dtype)
+            paths = _sample_paths(node, k, size, dtype, method)
             fitted = _fit_weights(paths, payoff, degree, disc, ridge)
             # In-sample estimate: the fitted policy on the SAME paths
             # (equals classic LSM, foresight bias included).
@@ -244,7 +275,7 @@ def american_price(
 
         @jax.jit
         def evaluate(k, fitted):
-            paths = _sample_paths(node, k, size, dtype)
+            paths = _sample_paths(node, k, size, dtype, method)
             return _apply_policy(paths, payoff, degree, disc, fitted)
 
         if len(_FN_CACHE) > 32:

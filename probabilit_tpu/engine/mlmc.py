@@ -48,7 +48,9 @@ from probabilit_tpu import config
 __all__ = ["mlmc_estimate"]
 
 
-def _level_kernel(drift, diffusion, payoff, x0, T, m0, refine, scheme, level, rows):
+def _level_kernel(
+    drift, diffusion, payoff, x0, T, m0, refine, scheme, level, rows, method=None
+):
     """Jitted ``(key, count) -> (sum, sum_sq, fine_sum, fine_sum_sq)``.
 
     Level 0 samples the coarsest grid alone; level l >= 1 samples the
@@ -74,10 +76,23 @@ def _level_kernel(drift, diffusion, payoff, x0, T, m0, refine, scheme, level, ro
     inv_sqrt_r = 1.0 / math.sqrt(refine)
 
     @jax.jit
-    def run(key, count):
+    def run(key, count, start):
         from probabilit_tpu.parallel import mesh as _mesh
 
-        z = jax.random.normal(key, (rows, steps_f), dtype)
+        if method is None:
+            z = jax.random.normal(key, (rows, steps_f), dtype)
+        else:
+            # MLQMC (Giles-Waterhouse): one low-discrepancy sequence per
+            # level (scramble keyed per level, ``start`` continuing the
+            # stream across extend calls) through the Brownian-bridge, so
+            # QMC dimension 0 drives the fine path's terminal point.  The
+            # bridged z are the PHYSICAL iid increments, so the coarse
+            # coupling below (renormalised sums) is untouched.
+            from probabilit_tpu.ops import bridge as _bridge
+            from probabilit_tpu.ops import qmc as _qmc
+
+            u = _qmc.generate(method, key, rows, steps_f, dtype, offset=start)
+            z = _bridge.normal_increments(u, dtype)
         # Under an active mesh each chip owns its rows (key-based draws
         # would otherwise replicate); reductions psum automatically.
         sharding = _mesh.sample_sharding(ndim=2)
@@ -121,7 +136,11 @@ class _LevelState:
         while done < extra:
             b = min(self.rows, extra - done)
             k = jax.random.fold_in(key, self.n + done)
-            out = self.kernel(k, jnp.asarray(b, jnp.int32))
+            out = self.kernel(
+                k,
+                jnp.asarray(b, jnp.int32),
+                jnp.asarray(self.n + done, jnp.uint32),
+            )
             # One host sync per block fetches all four scalars.
             s1, s2, f1, f2 = (float(v) for v in np.asarray(jax.device_get(out)))
             self.s1 += s1
@@ -161,6 +180,7 @@ def mlmc_estimate(
     scheme="euler",
     random_state=0,
     block_rows=None,
+    method=None,
 ):
     """Adaptive multilevel Monte Carlo estimate of ``E[payoff(paths)]``.
 
@@ -178,12 +198,33 @@ def mlmc_estimate(
     ``|Y_L| / (refine^alpha - 1) < eps / sqrt(2)`` (``alpha`` the
     observed weak rate, floored at 0.5) passes on the last level.
 
+    ``method="sobol"/"halton"/"antithetic"`` switches each level to a
+    per-level-scrambled low-discrepancy stream through the
+    Brownian-bridge (MLQMC, Giles & Waterhouse 2009).  The allocation
+    still treats points as iid (V_l is the iid variance), so QMC gains
+    arrive as extra accuracy at equal cost rather than fewer samples —
+    conservative by construction.
+
     Returns a dict: ``mean`` (the estimate), ``eps``, ``levels``,
     per-level ``n_per_level``/``means``/``variances``/``steps``,
     ``cost`` (total step-evaluations), and ``cost_mc`` (the projected
     cost of plain MC at the same accuracy on the finest grid — the
     speedup denominator).
     """
+    if method is not None:
+        name = str(method).lower().strip()
+        if name == "lhs":
+            raise ValueError(
+                "method='lhs' stratifies over a FIXED total count, which "
+                "adaptive MLMC does not know upfront; use 'sobol', "
+                "'halton' or 'antithetic'."
+            )
+        if name not in ("sobol", "halton", "antithetic"):
+            raise ValueError(
+                "method must be None, 'sobol', 'halton' or 'antithetic', "
+                f"got {method!r}."
+            )
+        method = name
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}.")
     if refine < 2:
@@ -204,7 +245,8 @@ def mlmc_estimate(
         # the sample axis divides any practical mesh.
         rows = block_rows or max(64, ((1 << 22) // max(steps_f, 1)) // 64 * 64)
         kernel, steps_f = _level_kernel(
-            drift, diffusion, payoff, x0, T, m0, refine, scheme, level, rows
+            drift, diffusion, payoff, x0, T, m0, refine, scheme, level, rows,
+            method=method,
         )
         cost = steps_f + (steps_f // refine if level else 0)
         return _LevelState(kernel, steps_f, cost, rows)

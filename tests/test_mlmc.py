@@ -145,3 +145,26 @@ class TestMesh:
         # Identical counter-based draws; only reduction order may move.
         assert sharded["n_per_level"] == base["n_per_level"]
         assert sharded["mean"] == pytest.approx(base["mean"], rel=1e-4)
+
+
+class TestMLQMC:
+    def test_sobol_levels_beat_prng_accuracy(self):
+        # Same eps budget; QMC-within-levels (Giles-Waterhouse) must cut
+        # the realised error well below the PRNG run's.
+        drift, diff = _gbm()
+        sob = [
+            mlmc_estimate(
+                drift, diff, _call, x0=100.0, eps=0.05,
+                random_state=r, method="sobol",
+            )["mean"]
+            for r in range(4)
+        ]
+        err = np.abs(np.asarray(sob) - _CALL_TRUE)
+        assert err.max() < 0.02  # PRNG at eps=0.05 sits near 0.05
+
+    def test_method_validation(self):
+        drift, diff = _gbm()
+        with pytest.raises(ValueError, match="lhs"):
+            mlmc_estimate(drift, diff, _call, x0=100.0, method="lhs")
+        with pytest.raises(ValueError, match="method"):
+            mlmc_estimate(drift, diff, _call, x0=100.0, method="qmc")
