@@ -43,22 +43,30 @@ _ESTIMATE_CACHE = {}
 _TRACE_COUNT = 0
 
 
-def _quantile_accumulators(quantiles, block_size):
-    """(qsum_full, qsum_partial): per-block quantile numerators.
+def _quantile_accumulators(quantiles, block_size, cvar=()):
+    """(qsum_full, qsum_partial): per-block quantile/CVaR numerators.
 
     Shared by ``estimate`` and ``estimate_many``.  ``qsum_full(x)`` is a
-    FULL block's contribution to the count-weighted quantile numerator;
-    ``qsum_partial(x, mask, cnt)`` handles the final block with a traced
-    valid count.  Levels within 1/2^17 of the endpoints fall back to one
-    exact full-block sort (ADVICE r2: a q=0.999999 request must not
-    silently estimate ~q=0.999992).
+    FULL block's contribution to the count-weighted numerator vector —
+    ``len(quantiles)`` quantile entries followed by ``len(cvar)``
+    expected-shortfall entries; ``qsum_partial(x, mask, cnt)`` handles
+    the final block with a traced valid count.  Levels within 1/2^17 of
+    the endpoints fall back to one exact full-block sort (ADVICE r2: a
+    q=0.999999 request must not silently estimate ~q=0.999992).
+
+    CVaR (expected shortfall) at level q uses the Rockafellar-Uryasev
+    identity ``ES_q = v + E[max(X - v, 0)] / (1 - q)`` with ``v`` the
+    same linearly-interpolated empirical quantile the quantile entries
+    report — one extra relu-sum per level over the ALREADY-sorted data,
+    so CVaR rides the quantile sorts for free.
     """
     cols = 1 << 17
+    levels = tuple(quantiles) + tuple(cvar)
     rows_ok = (
-        bool(quantiles)
+        bool(levels)
         and block_size % cols == 0
         and block_size > cols
-        and all(1.0 / cols <= q <= 1.0 - 1.0 / cols for q in quantiles)
+        and all(1.0 / cols <= q <= 1.0 - 1.0 / cols for q in levels)
     )
 
     def qsum_full(x):
@@ -66,7 +74,7 @@ def _quantile_accumulators(quantiles, block_size):
         # between the bracketing statistics — flooring to a bare index
         # would quantize the level to a 1/m rank grid (a 53%
         # tail-probability error at q=0.99999 with 2^17 rows).
-        if not quantiles:
+        if not levels:
             return jnp.zeros((0,), jnp.float32)
         if rows_ok:
             xs = jax.lax.sort(
@@ -75,34 +83,50 @@ def _quantile_accumulators(quantiles, block_size):
                 is_stable=False,
             )
             out = []
-            for q in quantiles:
+            for i, q in enumerate(levels):
                 pos = q * (cols - 1)
                 lo = min(int(pos), cols - 2)
                 frac = jnp.float32(pos - lo)
                 a = xs[:, lo]
                 b = xs[:, lo + 1]
-                out.append(jnp.sum(a + frac * (b - a)) * cols)
+                v = a + frac * (b - a)
+                if i < len(quantiles):
+                    out.append(jnp.sum(v) * cols)
+                else:
+                    tail = jnp.sum(jnp.maximum(xs - v[:, None], 0.0), axis=1)
+                    es = v + tail / jnp.float32(cols * (1.0 - q))
+                    out.append(jnp.sum(es) * cols)
             return jnp.stack(out)
         xs = jax.lax.sort(x, is_stable=False)
         m = block_size
         out = []
-        for q in quantiles:
+        for i, q in enumerate(levels):
             pos = q * (m - 1)
             lo = min(int(pos), m - 2) if m > 1 else 0
             frac = jnp.float32(pos - lo)
             a = xs[lo]
             b = xs[min(lo + 1, m - 1)]
-            out.append((a + frac * (b - a)) * m)
+            v = a + frac * (b - a)
+            if i < len(quantiles):
+                out.append(v * m)
+            else:
+                es = v + jnp.sum(jnp.maximum(xs - v, 0.0)) / jnp.float32(
+                    m * (1.0 - q)
+                )
+                out.append(es * m)
         return jnp.stack(out)
 
     def qsum_partial(x, mask, cnt):
         # Final-block contribution: invalid lanes sort to +inf, full
         # rows use the static positions, the boundary row interpolates
-        # at traced positions.
-        if not quantiles:
+        # at traced positions.  With CVaR levels the final block always
+        # takes the exact full-sort branch: the +inf pad lanes would
+        # poison per-row relu tail sums, and one extra full sort per RUN
+        # is noise.
+        if not levels:
             return jnp.zeros((0,), jnp.float32)
         xinf = jnp.where(mask, x, jnp.float32(jnp.inf))
-        if rows_ok:
+        if rows_ok and not cvar:
             nrows = block_size // cols
             xs = jax.lax.sort(
                 xinf.reshape(nrows, cols), dimension=1, is_stable=False
@@ -143,8 +167,9 @@ def _quantile_accumulators(quantiles, block_size):
             return jnp.stack(out)
         xs = jax.lax.sort(xinf, is_stable=False)
         cntf = cnt.astype(jnp.float32)
+        valid = jnp.arange(block_size, dtype=jnp.int32) < cnt
         out = []
-        for q in quantiles:
+        for i, q in enumerate(levels):
             pos = q * (cntf - 1.0)
             lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, block_size - 2)
             frac = pos - lo.astype(jnp.float32)
@@ -152,10 +177,63 @@ def _quantile_accumulators(quantiles, block_size):
             b = jax.lax.dynamic_index_in_dim(
                 xs, jnp.minimum(lo + 1, cnt - 1), keepdims=False
             )
-            out.append((a + frac * (b - a)) * cntf)
+            v = a + frac * (b - a)
+            if i < len(quantiles):
+                out.append(v * cntf)
+            else:
+                # Position mask, not value mask: the pad lanes sorted to
+                # +inf and max(inf - v, 0) would poison the tail sum.
+                tail = jnp.sum(
+                    jnp.where(valid, jnp.maximum(xs - v, 0.0), 0.0)
+                )
+                es = v + tail / (cntf * jnp.float32(1.0 - q))
+                out.append(es * cntf)
         return jnp.stack(out)
 
     return qsum_full, qsum_partial
+
+
+_HISTOGRAM_MAX_BINS = 512
+
+
+def _histogram_accumulators(histogram):
+    """(hist_full, hist_partial): per-block fixed-bin count vectors.
+
+    ``histogram=(lo, hi, bins)`` buckets each block into ``bins`` equal
+    bins over ``[lo, hi)`` plus underflow/overflow slots — layout
+    ``[underflow, bin_0 .. bin_{bins-1}, overflow]`` (values ``>= hi``
+    count as overflow; half-open bins, unlike ``np.histogram``'s closed
+    last bin).  Counts come from ``bins + 2`` fused compare-and-reduce
+    passes over the block — per-element scatter-add (``bincount`` /
+    ``segment_sum`` shapes) costs 2-4x a full SORT on TPU, so no
+    scatter is ever emitted.
+    """
+    if histogram is None:
+        empty = jnp.zeros((0,), jnp.float32)
+        return (lambda x, mask=None: empty), (lambda x, mask: empty)
+    lo, hi, bins = histogram
+    scale = bins / (hi - lo)
+
+    def counts(x, mask=None):
+        # clip BEFORE the int cast: 1e38 * scale overflows int32.
+        idx = (
+            jnp.clip(jnp.floor((x - lo) * scale), -1.0, float(bins)).astype(
+                jnp.int32
+            )
+            + 1
+        )
+        out = []
+        for j in range(bins + 2):
+            eq = idx == j
+            if mask is not None:
+                # Mask the COUNT, not the input: off-mask lanes may be
+                # NaN by design under where= and their int cast is
+                # implementation-defined garbage.
+                eq = jnp.logical_and(eq, mask)
+            out.append(jnp.sum(eq.astype(jnp.float32)))
+        return jnp.stack(out)
+
+    return counts, counts
 
 
 _UNION_SINK_CACHE = {}
@@ -549,6 +627,8 @@ def estimate(
     executor="auto",
     method=None,
     quantiles=None,
+    cvar=None,
+    histogram=None,
     replicates=None,
     correlator="imanconover",
     control=None,
@@ -605,6 +685,28 @@ def estimate(
     cannot produce quantiles at these sizes at all: it must materialise
     every sample.)
 
+    ``cvar`` (e.g. ``(0.95, 0.99)``) adds streamed expected-shortfall
+    estimates ``cvar<level>`` — the mean of the samples ABOVE the level
+    quantile (upper-tail CVaR, the loss convention: pass the negated
+    sink for the lower tail).  Each level is evaluated through the
+    Rockafellar-Uryasev identity ``ES_q = v_q + E[max(X - v_q, 0)]
+    / (1 - q)`` on the same per-row sorts the quantile path uses, so
+    requesting CVaR alongside quantiles costs one relu-reduction per
+    level and zero extra sorts.  Same estimator caveats as
+    ``quantiles`` (row-averaged, O(1/n_row) bias; endpoint levels fall
+    back to exact full-block sorts); same composition rules (not with
+    ``where=``).
+
+    ``histogram=(lo, hi, bins)`` (bins <= 512) accumulates an exact
+    fixed-bin histogram of the sink across the whole stream: ``bins``
+    equal bins on ``[lo, hi)`` plus underflow/overflow, returned as
+    ``stats["histogram"] = {"edges", "counts", "underflow",
+    "overflow"}``.  Unlike quantiles it composes with ``where=``
+    (off-condition samples are simply not counted).  Counts accumulate
+    in float32 like every other carry — exact below 2^24 per merge
+    step, ~2^-24 relative beyond (far below MC noise in any bin worth
+    reading).
+
     The compiled whole-run program is cached across calls (keyed on graph
     structure, block size, quantile levels, executor, and method — NOT on
     ``size``, which is a traced loop bound: a size sweep reuses one
@@ -632,6 +734,32 @@ def estimate(
     for q in quantiles:
         if not 0.0 < q < 1.0:
             raise ValueError(f"Quantile levels must be in (0, 1), got {q}.")
+    cvar = tuple(float(q) for q in cvar) if cvar else ()
+    for q in cvar:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"CVaR levels must be in (0, 1), got {q}.")
+    if histogram is not None:
+        try:
+            h_lo, h_hi, h_bins = histogram
+        except (TypeError, ValueError):
+            raise ValueError(
+                "histogram must be a (lo, hi, bins) triple, e.g. "
+                "histogram=(-5.0, 5.0, 100)."
+            ) from None
+        h_lo, h_hi, h_bins = float(h_lo), float(h_hi), int(h_bins)
+        if not (np.isfinite(h_lo) and np.isfinite(h_hi) and h_lo < h_hi):
+            raise ValueError(
+                f"histogram range must be finite with lo < hi, got "
+                f"({h_lo}, {h_hi})."
+            )
+        if not 1 <= h_bins <= _HISTOGRAM_MAX_BINS:
+            # Each bin is one fused compare-and-reduce pass over every
+            # block; the cap keeps the program size and HBM traffic sane.
+            raise ValueError(
+                f"histogram bins must be in [1, {_HISTOGRAM_MAX_BINS}], "
+                f"got {h_bins}."
+            )
+        histogram = (h_lo, h_hi, h_bins)
     if size < 1:
         # size=0 would send block index -1 (uint32-wrapped) into the
         # final masked block and fabricate statistics of unrequested
@@ -648,10 +776,10 @@ def estimate(
                 "on a scalar functional of it instead (e.g. "
                 "path.terminal() > k)."
             )
-        if quantiles:
+        if quantiles or cvar:
             raise ValueError(
-                "where= does not compose with quantiles= (the row-sort "
-                "quantile estimator assumes unmasked blocks); estimate "
+                "where= does not compose with quantiles=/cvar= (the "
+                "row-sort estimators assume unmasked blocks); estimate "
                 "the conditional quantiles from sample_streaming output."
             )
         if control is not None:
@@ -702,12 +830,16 @@ def estimate(
                     correlator,
                     control_node,
                     where,
+                    cvar=cvar,
+                    histogram=histogram,
                 )
             )
             for r in range(reps)
         ]
         merged, rep_means = _merge_carries(carries, control_mu)
-        stats = _finalize_estimate(merged, size, quantiles, control_mu, where)
+        stats = _finalize_estimate(
+            merged, size, quantiles, control_mu, where, cvar, histogram
+        )
         rep = np.asarray(rep_means, np.float64)
         if rep.size < 2:
             # Only possible under where=: zero-accept replicates carry no
@@ -736,8 +868,12 @@ def estimate(
         correlator,
         control_node,
         where,
+        cvar=cvar,
+        histogram=histogram,
     )
-    return _finalize_estimate(carry, size, quantiles, control_mu, where)
+    return _finalize_estimate(
+        carry, size, quantiles, control_mu, where, cvar, histogram
+    )
 
 
 def _merge_carries(carries, control_mu=None):
@@ -752,9 +888,9 @@ def _merge_carries(carries, control_mu=None):
     total, mean, m2 = 0.0, 0.0, 0.0
     my, m2y, cxy = 0.0, 0.0, 0.0
     vmin, vmax, finite = float("inf"), float("-inf"), True
-    qsum = None
+    qsum, hsum = None, None
     rep_means = []
-    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_ in carries:
+    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_, h_ in carries:
         t, m = float(t_), float(m_)
         if t <= 0.0:
             # A zero-accept replicate (possible under where= with a rare
@@ -785,7 +921,12 @@ def _merge_carries(carries, control_mu=None):
         finite = finite and bool(f_)
         q = np.asarray(q_, np.float64)
         qsum = q if qsum is None else qsum + q
-    return (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy), rep_means
+        h = np.asarray(h_, np.float64)
+        hsum = h if hsum is None else hsum + h
+    return (
+        (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum),
+        rep_means,
+    )
 
 
 def _estimate_carry(
@@ -799,6 +940,8 @@ def _estimate_carry(
     correlator="imanconover",
     control_node=None,
     where_node=None,
+    cvar=(),
+    histogram=None,
 ):
     """One randomised stream's raw moment carry (device values).
 
@@ -851,6 +994,8 @@ def _estimate_carry(
         plan.signature(),
         block_size,
         quantiles,
+        cvar,
+        histogram,
         executor,
         method,
         lhs_total,
@@ -864,7 +1009,9 @@ def _estimate_carry(
     if cached is not None:
         return cached(key, n_blocks, last_count)
 
-    qsum_full, qsum_partial = _quantile_accumulators(quantiles, block_size)
+    qsum_full, qsum_partial = _quantile_accumulators(quantiles, block_size, cvar)
+    hist_full, hist_partial = _histogram_accumulators(histogram)
+    hist_len = 0 if histogram is None else histogram[2] + 2
 
     @jax.jit
     def all_blocks(key, n_blocks, last_count):
@@ -881,8 +1028,10 @@ def _estimate_carry(
 
         zero = jnp.float32(0.0)
 
-        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl):
-            n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy = carry
+        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum):
+            (
+                n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum,
+            ) = carry
             bmy, bm2y, bcxy = bctl
             delta = bm - mean
             delta_y = bmy - my
@@ -912,6 +1061,7 @@ def _estimate_carry(
                 my,
                 m2y,
                 cxy,
+                hsum + bhsum,
             )
 
         def ctl_full(x, y, bm):
@@ -957,10 +1107,11 @@ def _estimate_carry(
             x, y = run(b, key)
             x = x.astype(jnp.float32)
             if where_mode:
-                bn, bm, bm2, bmin, bmax, bfin = masked_stats(x, y != 0)
+                cond = y != 0
+                bn, bm, bm2, bmin, bmax, bfin = masked_stats(x, cond)
                 return merge(
                     carry, bn, bm, bm2, bmin, bmax, bfin,
-                    qsum_full(x), ctl_full(x, None, bm),
+                    qsum_full(x), ctl_full(x, None, bm), hist_full(x, cond),
                 )
             bn = jnp.float32(block_size)
             bm = jnp.mean(x)
@@ -975,6 +1126,7 @@ def _estimate_carry(
                 jnp.all(jnp.isfinite(x)),
                 qsum_full(x),
                 ctl_full(x, y, bm),
+                hist_full(x),
             )
 
         init = (
@@ -984,10 +1136,11 @@ def _estimate_carry(
             jnp.float32(jnp.inf),
             jnp.float32(-jnp.inf),
             jnp.bool_(True),
-            jnp.zeros((len(quantiles),), jnp.float32),
+            jnp.zeros((len(quantiles) + len(cvar),), jnp.float32),
             zero,
             zero,
             zero,
+            jnp.zeros((hist_len,), jnp.float32),
         )
         nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
         carry = jax.lax.fori_loop(0, nb1, body, init)
@@ -997,10 +1150,12 @@ def _estimate_carry(
         x = x.astype(jnp.float32)
         mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
         if where_mode:
-            bn, bm, bm2, bmin, bmax, bfin = masked_stats(x, mask & (y != 0))
+            cond = mask & (y != 0)
+            bn, bm, bm2, bmin, bmax, bfin = masked_stats(x, cond)
             return merge(
                 carry, bn, bm, bm2, bmin, bmax, bfin,
                 qsum_partial(x, mask, cnt), ctl_partial(x, None, mask, bn, bm),
+                hist_partial(x, cond),
             )
         cntf = cnt.astype(jnp.float32)
         bm = jnp.sum(jnp.where(mask, x, 0.0)) / cntf
@@ -1015,6 +1170,7 @@ def _estimate_carry(
             jnp.all(jnp.where(mask, jnp.isfinite(x), True)),
             qsum_partial(x, mask, cnt),
             ctl_partial(x, y, mask, cntf, bm),
+            hist_partial(x, mask),
         )
 
     if len(_ESTIMATE_CACHE) > 32:
@@ -1039,7 +1195,9 @@ def _control_adjust(mx, m2x, my, m2y, cxy, mu):
     return mx - beta * (my - mu), 1.0 - rho2, beta, rho
 
 
-def _finalize_estimate(carry, size, quantiles, control_mu=None, where=None):
+def _finalize_estimate(
+    carry, size, quantiles, control_mu=None, where=None, cvar=(), histogram=None
+):
     (
         total_,
         mean_,
@@ -1051,6 +1209,7 @@ def _finalize_estimate(carry, size, quantiles, control_mu=None, where=None):
         my_,
         m2y_,
         cxy_,
+        hsum_,
     ) = jax.device_get(carry)
     total, mean, m2, vmin, vmax = (
         float(total_),
@@ -1094,8 +1253,20 @@ def _finalize_estimate(carry, size, quantiles, control_mu=None, where=None):
         stats["control_beta"] = beta
         stats["control_rho"] = rho
         stats["control_mean"] = float(my_)
-    for level, qs in zip(quantiles, np.asarray(qsum_, np.float64)):
+    tails = np.asarray(qsum_, np.float64)
+    for level, qs in zip(quantiles, tails[: len(quantiles)]):
         stats[f"q{level:g}"] = float(qs / total)
+    for level, es in zip(cvar, tails[len(quantiles) :]):
+        stats[f"cvar{level:g}"] = float(es / total)
+    if histogram is not None:
+        h_lo, h_hi, h_bins = histogram
+        counts = np.rint(np.asarray(hsum_, np.float64)).astype(np.int64)
+        stats["histogram"] = {
+            "edges": np.linspace(h_lo, h_hi, h_bins + 1),
+            "counts": counts[1:-1],
+            "underflow": int(counts[0]),
+            "overflow": int(counts[-1]),
+        }
     return stats
 
 

@@ -85,6 +85,121 @@ class TestStreaming:
         with pytest.raises(ValueError, match="in \\(0, 1\\)"):
             streaming.estimate(model, 1000, quantiles=(0.0,))
 
+    def test_streamed_cvar_exact_on_single_block(self):
+        # One full block: the streamed Rockafellar-Uryasev ES must equal
+        # the same identity evaluated on the materialised stream.
+        model = Distribution("norm")
+        n = 32_768
+        st = streaming.estimate(
+            model, n, block_size=n, random_state=3, executor="xla",
+            cvar=(0.95, 0.99),
+        )
+        xs = np.sort(
+            np.asarray(
+                streaming.sample_streaming(
+                    model, n, block_size=n, random_state=3, executor="xla"
+                )
+            )
+        )
+        for q in (0.95, 0.99):
+            pos = q * (n - 1)
+            lo = int(pos)
+            v = xs[lo] + (pos - lo) * (xs[lo + 1] - xs[lo])
+            es = v + np.maximum(xs - v, 0.0).sum() / (n * (1 - q))
+            assert np.isclose(st[f"cvar{q:g}"], es, rtol=1e-5), q
+
+    def test_streamed_cvar_rows_path_matches_analytic(self):
+        import scipy.stats
+
+        # block_size > 2^17 and a multiple of it: the per-row sort path.
+        model = Distribution("norm")
+        bs = 1 << 18
+        st = streaming.estimate(
+            model, 2 * bs, block_size=bs, random_state=11, executor="xla",
+            quantiles=(0.9,), cvar=(0.95,),
+        )
+        z = scipy.stats.norm.ppf(0.95)
+        exact_es = scipy.stats.norm.pdf(z) / 0.05
+        assert np.isclose(st["cvar0.95"], exact_es, atol=0.02)
+        assert st["cvar0.95"] > st["q0.9"]
+
+    def test_streamed_histogram_exact_counts(self):
+        # Counts (incl. under/overflow and a partial final block) must
+        # exactly bucket the materialised stream by the documented
+        # half-open convention.
+        model = Distribution("norm")
+        n, lo, hi, bins = 10_001, -2.0, 2.0, 16
+        st = streaming.estimate(
+            model, n, block_size=1024, random_state=7, executor="xla",
+            histogram=(lo, hi, bins),
+        )
+        xs = np.asarray(
+            streaming.sample_streaming(
+                model, n, block_size=1024, random_state=7, executor="xla"
+            )
+        )
+        idx = (
+            np.clip(np.floor((xs - lo) * bins / (hi - lo)), -1, bins).astype(
+                int
+            )
+            + 1
+        )
+        exp = np.bincount(idx, minlength=bins + 2)
+        h = st["histogram"]
+        np.testing.assert_array_equal(h["counts"], exp[1:-1])
+        assert h["underflow"] == exp[0] and h["overflow"] == exp[-1]
+        np.testing.assert_allclose(h["edges"], np.linspace(lo, hi, bins + 1))
+        assert h["counts"].sum() + h["underflow"] + h["overflow"] == n
+
+    def test_streamed_histogram_composes_with_where(self):
+        x = Distribution("norm")
+        st = streaming.estimate(
+            x, 5_000, block_size=1024, random_state=7, executor="xla",
+            where=(x > 0), histogram=(-3.0, 3.0, 12),
+        )
+        h = st["histogram"]
+        counted = h["counts"].sum() + h["underflow"] + h["overflow"]
+        assert counted == st["n"] < 5_000
+        # Nothing below zero may be counted when the condition is x > 0.
+        assert h["underflow"] == 0 and h["counts"][:6].sum() == 0
+
+    def test_cvar_histogram_validation(self):
+        x = Distribution("norm")
+        with pytest.raises(ValueError, match="CVaR levels"):
+            streaming.estimate(x, 100, block_size=64, cvar=(1.0,))
+        with pytest.raises(ValueError, match="lo < hi"):
+            streaming.estimate(x, 100, block_size=64, histogram=(1.0, 0.0, 5))
+        with pytest.raises(ValueError, match="bins must be"):
+            streaming.estimate(x, 100, block_size=64, histogram=(0, 1, 9999))
+        with pytest.raises(ValueError, match="triple"):
+            streaming.estimate(x, 100, block_size=64, histogram=(0, 1))
+        with pytest.raises(ValueError, match="does not compose"):
+            streaming.estimate(
+                x, 100, block_size=64, where=(x > 0), cvar=(0.9,)
+            )
+
+    def test_cvar_histogram_size_sweep_no_retrace(self):
+        x = Distribution("norm") + 1.0
+        kw = dict(block_size=512, cvar=(0.9,), histogram=(-3, 5, 6))
+        streaming.estimate(x, 3_000, random_state=0, **kw)
+        before = streaming._TRACE_COUNT
+        st = streaming.estimate(x, 7_777, random_state=1, **kw)
+        assert streaming._TRACE_COUNT == before
+        assert st["histogram"]["counts"].sum() + st["histogram"][
+            "underflow"
+        ] + st["histogram"]["overflow"] == 7_777
+
+    def test_cvar_composes_with_replicates(self):
+        x = Distribution("norm")
+        st = streaming.estimate(
+            x, 8_192, block_size=1_024, random_state=2, method="sobol",
+            replicates=4, cvar=(0.9,), histogram=(-3, 3, 6),
+        )
+        # Pooled count-weighted CVaR and summed replicate histograms.
+        assert 1.6 < st["cvar0.9"] < 1.9
+        h = st["histogram"]
+        assert h["counts"].sum() + h["underflow"] + h["overflow"] == 8_192
+
     def test_correlated_estimate(self):
         a, b = Distribution("norm"), Distribution("norm")
         expr = (a + b).correlate(a, b, corr_mat=np.array([[1, -0.7], [-0.7, 1]]))
@@ -1035,8 +1150,14 @@ class TestConditionalEstimate:
         # and the call raises.
         from probabilit_tpu.engine.streaming import _merge_carries
 
-        zero = (0.0, 0.0, 0.0, np.inf, -np.inf, True, np.zeros(0), 0, 0, 0)
-        live = (100.0, 3.7, 42.0, 1.0, 8.0, True, np.zeros(0), 0, 0, 0)
+        zero = (
+            0.0, 0.0, 0.0, np.inf, -np.inf, True, np.zeros(0), 0, 0, 0,
+            np.zeros(0),
+        )
+        live = (
+            100.0, 3.7, 42.0, 1.0, 8.0, True, np.zeros(0), 0, 0, 0,
+            np.zeros(0),
+        )
         merged, rep_means = _merge_carries([zero, live, live])
         assert rep_means == [3.7, 3.7]
         assert merged[0] == 200.0 and merged[1] == pytest.approx(3.7)
