@@ -33,6 +33,7 @@ from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
 from probabilit_tpu.engine.american import american_price
 from probabilit_tpu.engine.mlmc import mlmc_estimate
 from probabilit_tpu.engine.streaming import estimate_many
+from probabilit_tpu.engine.importance import suggest_tilt, tilted
 from probabilit_tpu.models.processes import (
     BrownianMotion,
     CorrelatedGBM,
@@ -64,6 +65,8 @@ __all__ = [
     "estimate_many",
     "mlmc_estimate",
     "american_price",
+    "tilted",
+    "suggest_tilt",
     "QuantileTransform",
     "ClaytonCopula",
     "GumbelCopula",

@@ -1,0 +1,146 @@
+"""Importance sampling via quantile-space exponential tilting.
+
+Framework extension (no reference counterpart — the NumPy/SciPy
+reference at /root/reference/src/probabilit/ has no variance-reduction
+machinery at all): rare-event estimation with unbiased likelihood-ratio
+weights, built ENTIRELY from existing graph primitives, so it composes
+with everything else in the framework for free — ``estimate()``
+streaming at any size, QMC methods, replicated error bars, device
+meshes, checkpointing.
+
+The design is TPU-first and pdf-free.  Every distribution node in this
+framework draws ``x = F^{-1}(u)`` from a uniform quantile ``u`` — so
+instead of tilting ``x`` (which needs the target pdf, a proposal pdf,
+and family-specific math), we tilt the QUANTILE: draw ``u`` from a
+polynomial proposal on (0, 1) whose density we know in closed form, and
+weight by its reciprocal.  For any integrable ``h``::
+
+    E[h(X)] = int_0^1 h(F^{-1}(u)) du = E_g[h(F^{-1}(U)) / g(U)]
+
+with ``U ~ g``.  One formula covers EVERY family the framework ships —
+no per-family tilting theory, no normalising constants, and the whole
+thing is a handful of elementwise ops that XLA fuses into the existing
+sampling program.
+
+Proposals (``k >= 1`` concentrates samples into the tail; ``k = 1`` is
+plain Monte Carlo):
+
+- ``tail="lower"``:  ``U = 1 - (1-V)^{1/k}``, density
+  ``g(u) = k (1-u)^{k-1}`` — mass piles up near ``u = 0``.
+- ``tail="upper"``:  ``U = V^{1/k}``, density ``g(u) = k u^{k-1}`` —
+  mass piles up near ``u = 1``.
+
+Numerical note: the lower tilt is computed as
+``u = -expm1(log1p(-v)/k)``, which stays exact down to denormals — in
+float32 it resolves tail probabilities to ~1e-38, far beyond anything
+float64 sampling could brute-force.  The upper tilt necessarily
+represents ``u`` NEAR ONE, where float32 quantises at 2^-24: upper-tail
+events rarer than ~1e-6 need ``config.set_float_dtype("float64")`` or,
+better, a lower-tail reformulation of the model (negate the driver).
+"""
+
+import math
+
+import numpy as np
+
+__all__ = ["tilted", "suggest_tilt"]
+
+
+def tilted(distr, k, *args, tail="lower", **kwargs):
+    """(x, w): a tilted draw from ``distr`` and its unbiased IS weight.
+
+    ``x`` follows the PROPOSAL law (its quantile is drawn from the
+    polynomial tilt above instead of uniformly); ``w`` is the
+    likelihood ratio such that ``E[h(x_target)] = E[h(x) * w]`` exactly
+    for every integrable ``h``.  Estimate any tail functional as::
+
+        x, w = tilted("norm", k=suggest_tilt(1e-9), tail="lower")
+        p = estimate((x < -6.0) * w, 10**6)["mean"]   # P(X < -6)
+
+    Plain Monte Carlo needs ~1/p draws to SEE the event once; at the
+    suggested ``k`` the tilted estimator's relative variance is ~0.54
+    per draw regardless of how small ``p`` is (see ``suggest_tilt``),
+    so a million draws give a ~0.1% error bar on a 1e-9 probability.
+
+    ``distr``/``*args``/``**kwargs`` name a scipy.stats-style family
+    exactly like ``Distribution`` (node-valued parameters included).
+    ``w`` integrates to one: ``estimate(w, n)["mean"] ~= 1`` — a useful
+    diagnostic, as is the effective sample size
+    ``n * E[w]^2 / E[w^2]``.
+
+    The weight math in quantile space: with ``v`` the underlying
+    uniform, the lower tilt has ``1-u = (1-v)^{1/k}`` so
+    ``w = (1-u)^{1-k}/k = exp(log1p(-v) * (1-k)/k) / k`` — evaluated in
+    log space from ``v`` directly, with no cancellation at any depth of
+    tail.  The upper tilt mirrors it with ``log(v)``.
+    """
+    from probabilit_tpu.models.distributions import (
+        Distribution,
+        QuantileTransform,
+    )
+    from probabilit_tpu.models.graph import Exp, Expm1, Log, Log1p
+
+    k = float(k)
+    if not (math.isfinite(k) and k > 0.0):
+        raise ValueError(f"tilt exponent k must be finite and > 0, got {k}.")
+    if tail not in ("lower", "upper"):
+        raise ValueError(f"tail must be 'lower' or 'upper', got {tail!r}.")
+    v = Distribution("uniform")
+    if tail == "lower":
+        log_tail = Log1p(-v)  # log(1 - v), exact for v near 0
+        u = -Expm1(log_tail / k)  # 1 - (1-v)^{1/k}, exact near u = 0
+    else:
+        log_tail = Log(v)
+        u = Exp(log_tail / k)  # v^{1/k}
+    w = Exp(log_tail * ((1.0 - k) / k)) / k
+    x = QuantileTransform(u, distr, *args, **kwargs)
+    return x, w
+
+
+def suggest_tilt(p):
+    """Variance-optimal tilt exponent ``k`` for a tail probability ~p.
+
+    For the unbiased estimator ``Z = 1{tail} * w`` of a quantile-space
+    tail of mass ``p``, the second moment under the tilt-k proposal is
+    closed-form (``a = -log(1-p)``)::
+
+        m(k) = E_g[Z^2] = (e^{a(k-2)} - 1) / (k (k-2)),   m(2) = a/2
+
+    This returns the argmin.  In the small-p limit the optimum is
+    ``k* ~= c*/p`` with ``c*`` the root of ``(c-2) e^c + 2 = 0``
+    (c* = 1.5936), where the relative second moment
+    ``m/p^2 = (e^{c*} - 1)/c*^2 ~= 1.54`` — i.e. the estimator's
+    per-draw relative variance is ~0.54 NO MATTER HOW RARE the event,
+    versus ``1/p`` for plain Monte Carlo (a 1.9e9-fold variance
+    reduction at p = 1e-9).
+
+    The returned value only sets estimator efficiency, not
+    correctness — any ``k > 0`` is unbiased — so a rough guess of ``p``
+    is fine: the penalty for being off by 10x in either direction is
+    under 3x in variance.
+    """
+    p = float(p)
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be a probability in (0, 1), got {p}.")
+    a = -math.log1p(-p)
+
+    def second_moment(k):
+        x = a * (k - 2.0)
+        if abs(x) < 1e-12:
+            return a / 2.0 * (1.0 + x / 2.0)
+        return math.expm1(x) / (k * (k - 2.0))
+
+    # Unimodal in k on (0, inf); bracket around the asymptotic c*/a
+    # optimum and golden-section down.
+    ks = np.geomspace(max(1.0, 0.01 / a), 100.0 / a, 400)
+    coarse = ks[int(np.argmin([second_moment(float(k)) for k in ks]))]
+    lo, hi = coarse / 1.5, coarse * 1.5
+    phi = (math.sqrt(5.0) - 1.0) / 2.0
+    for _ in range(60):
+        m1 = hi - phi * (hi - lo)
+        m2 = lo + phi * (hi - lo)
+        if second_moment(m1) <= second_moment(m2):
+            hi = m2
+        else:
+            lo = m1
+    return (lo + hi) / 2.0

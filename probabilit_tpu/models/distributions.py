@@ -560,10 +560,14 @@ class QuantileTransform(Transform):
     >>> x = QuantileTransform(u1, "lognorm", s=0.5)  # doctest: +SKIP
 
     Parameters may be numbers or other nodes, like ``Distribution``.
-    Values are clamped to the open unit interval before inversion (the
-    same guard every sampling path applies, ``ops/qmc.clamp_open_unit``);
-    values OUTSIDE [0, 1] are a modeling error and produce the same
-    non-finite-sample failure any invalid transform does.
+    Values are clamped to the open unit interval before inversion — at
+    the WIDE floor (~1e-37 f32, ``ops/qmc.clamp_open_unit_wide``), not
+    the 2^-24 RNG grid, so deliberately-tiny derived quantiles
+    (importance tilts, survival windows) keep their depth; families
+    with a wide kernel (norm, lognorm — ``ops.ppf.call_wide``) resolve
+    them exactly.  Values OUTSIDE [0, 1] are a modeling error and
+    produce the same non-finite-sample failure any invalid transform
+    does.
 
     >>> from probabilit_tpu.modeling import Distribution
     >>> QuantileTransform(Distribution("uniform"), "norm", loc=1)
@@ -614,17 +618,21 @@ class QuantileTransform(Transform):
         return ("QuantileTransform", self.distr, sig_args, sig_kwargs)
 
     def _emit(self, ctx):
-        from probabilit_tpu.ops.qmc import clamp_open_unit
+        from probabilit_tpu.ops.qmc import clamp_open_unit_wide
 
         def unpack(arg):
             return ctx.value(arg) if isinstance(arg, Node) else arg
 
-        u = clamp_open_unit(
+        # Wide clamp + wide kernels: a DERIVED quantile (importance
+        # tilt, survival-space window) is legitimately far below the
+        # 2^-24 RNG grid; families with a wide variant resolve it down
+        # to ~1e-37 (f32).
+        u = clamp_open_unit_wide(
             jnp.asarray(ctx.value(self.node), config.float_dtype())
         )
         args = tuple(unpack(a) for a in self.args)
         kwargs = {k: unpack(v) for k, v in self.kwargs.items()}
-        return ppf.call(self.distr, u, *args, **kwargs)
+        return ppf.call_wide(self.distr, u, *args, **kwargs)
 
 
 def MultivariateDistribution(distr, *args, **kwargs):

@@ -96,6 +96,8 @@ __all__ = [
     "Arcsinh",
     "Arccosh",
     "Arctanh",
+    "Log1p",
+    "Expm1",
 ]
 
 
@@ -789,6 +791,21 @@ class Arccosh(UnaryTransform):
 
 class Arctanh(UnaryTransform):
     op = staticmethod(jnp.arctanh)
+
+
+class Log1p(UnaryTransform):
+    """log(1 + x), exact for |x| near 0 (framework extension: the
+    importance-tilting weights need deep-tail quantile precision that a
+    literal ``Log(1 + x)`` loses to float rounding)."""
+
+    op = staticmethod(jnp.log1p)
+
+
+class Expm1(UnaryTransform):
+    """exp(x) - 1, exact for |x| near 0 (framework extension, paired
+    with ``Log1p``)."""
+
+    op = staticmethod(jnp.expm1)
 
 
 class ScalarFunctionTransform(Transform):

@@ -42,7 +42,14 @@ from jax.scipy.special import betainc, gammaincc
 from probabilit_tpu import config
 from probabilit_tpu.ops import special
 
-__all__ = ["register", "lookup", "call", "scipy_fallback_ppf", "is_multivariate"]
+__all__ = [
+    "register",
+    "lookup",
+    "call",
+    "call_wide",
+    "scipy_fallback_ppf",
+    "is_multivariate",
+]
 
 _REGISTRY = {}
 
@@ -57,6 +64,36 @@ def register(name):
 
 def lookup(name):
     return _REGISTRY.get(name)
+
+
+# Deep-tail kernel variants for DERIVED quantiles.  The hot sampling
+# path feeds RNG/QMC uniforms, which cannot fall below the 2^-24 f32
+# grid, so its kernels (e.g. ndtri_fast) are allowed to saturate there.
+# Quantile nodes computed by the user — importance tilts, survival-space
+# windows — are legitimately far smaller; families registered here get a
+# variant accurate down to the float's normal range (~1e-37 f32).
+_WIDE_REGISTRY = {}
+
+
+def register_wide(name):
+    def deco(fn):
+        _WIDE_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def call_wide(name, q, *args, **kwargs):
+    """``call``, preferring a deep-tail-accurate kernel when one exists.
+
+    Families without a wide variant use their standard kernel: correct
+    over the RNG-resolvable range, saturating (with the right sign)
+    beyond each kernel's documented tail validity.
+    """
+    kernel = _WIDE_REGISTRY.get(name)
+    if kernel is not None:
+        return kernel(q, *args, **kwargs)
+    return call(name, q, *args, **kwargs)
 
 
 def call(name, q, *args, **kwargs):
@@ -161,6 +198,18 @@ def expon(q, loc=0.0, scale=1.0):
 @register("lognorm")
 def lognorm(q, s, loc=0.0, scale=1.0):
     return _f(loc) + _f(scale) * jnp.exp(_f(s) * special.ndtri_fast(_f(q)))
+
+
+@register_wide("norm")
+def norm_wide(q, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * special.ndtri_fast_wide(_f(q))
+
+
+@register_wide("lognorm")
+def lognorm_wide(q, s, loc=0.0, scale=1.0):
+    return _f(loc) + _f(scale) * jnp.exp(
+        _f(s) * special.ndtri_fast_wide(_f(q))
+    )
 
 
 @register("triang")

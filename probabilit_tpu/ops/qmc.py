@@ -205,6 +205,23 @@ def clamp_open_unit(q):
     return jnp.clip(q, tiny, 1.0 - tiny)
 
 
+def clamp_open_unit_wide(q):
+    """Clamp to (0, 1) at the float's NORMAL-range floor, not the RNG grid.
+
+    ``clamp_open_unit``'s 2^-24 floor is the resolution of generated
+    float32 uniforms; quantiles COMPUTED by user graphs — importance
+    tilts, survival-space windows — are legitimately far smaller and the
+    wide ppf kernels (``ops.ppf.call_wide``) resolve them down to ~1e-37.
+    The floor stays in the normal range because XLA flushes f32
+    subnormals to zero, which would reintroduce -inf at q = 0.  The
+    upper side is representation-limited either way (the largest f32
+    below 1 is 1 - 2^-24).
+    """
+    if q.dtype == jnp.float32:
+        return jnp.clip(q, jnp.float32(1e-37), jnp.float32(1.0 - 2.0**-24))
+    return jnp.clip(q, 1e-300, 1.0 - 2.0**-53)
+
+
 # =====================================================================
 # Generators
 # =====================================================================

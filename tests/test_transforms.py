@@ -1,5 +1,6 @@
 """Exhaustive transform coverage: every one of the 43 concrete node types
-(reference modeling.py:933-1169) evaluated against its NumPy semantics.
+(reference modeling.py:933-1169) evaluated against its NumPy semantics,
+plus the framework-extension transforms (Log1p, Expm1).
 """
 
 import numpy as np
@@ -39,6 +40,9 @@ UNARY_CASES = [
     (m.Arcsinh, np.arcsinh, (-3, 3)),
     (m.Arccosh, np.arccosh, (1.01, 5)),
     (m.Arctanh, np.arctanh, (-0.9, 0.9)),
+    # Framework extensions (no reference counterpart): stable near 0.
+    (m.Log1p, np.log1p, (-0.9, 3)),
+    (m.Expm1, np.expm1, (-2, 2)),
 ]
 
 
