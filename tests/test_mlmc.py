@@ -125,7 +125,7 @@ class TestCoupling:
             1,
             64,
         )
-        s1, _, _, _ = (float(v) for v in np.asarray(kernel(jax.random.PRNGKey(0), 64)))
+        s1, _, _, _ = (float(v) for v in np.asarray(kernel(jax.random.PRNGKey(0), 64, 0)))
         dt_f, dt_c = 1 / 16, 1 / 4
         want = np.cos(dt_f * np.arange(16)).sum() * dt_f - np.cos(
             dt_c * np.arange(4)
