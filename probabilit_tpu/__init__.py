@@ -32,7 +32,7 @@ from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
 from probabilit_tpu.engine.american import american_price
 from probabilit_tpu.engine.mlmc import mlmc_estimate
-from probabilit_tpu.engine.streaming import estimate_many
+from probabilit_tpu.engine.streaming import estimate, estimate_many, sample_streaming
 from probabilit_tpu.engine.importance import suggest_tilt, tilted
 from probabilit_tpu.models.processes import (
     BrownianMotion,
@@ -62,7 +62,9 @@ __all__ = [
     "plot",
     "sensitivity",
     "sobol_indices",
+    "estimate",
     "estimate_many",
+    "sample_streaming",
     "mlmc_estimate",
     "american_price",
     "tilted",

@@ -31,19 +31,42 @@ plain Monte Carlo):
   mass piles up near ``u = 1``.
 
 Numerical note: the lower tilt is computed as
-``u = -expm1(log1p(-v)/k)``, which stays exact down to denormals — in
+``u = -expm1(log(1-v)/k)``, which stays exact down to denormals — in
 float32 it resolves tail probabilities to ~1e-38, far beyond anything
-float64 sampling could brute-force.  The upper tilt necessarily
+float64 sampling could brute-force.  Its exponential depth variable
+``a = -log(1-v)`` is built from TWO stacked uniforms (a ~48-bit-deep
+1-v), so ``a`` reaches ~33.3 before saturating: the tilt stays unbiased
+as long as ``k * p_true < ~30`` (i.e. don't overshoot ``suggest_tilt``'s
+optimum by more than ~20x toward deeper).  The upper tilt necessarily
 represents ``u`` NEAR ONE, where float32 quantises at 2^-24: upper-tail
-events rarer than ~1e-6 need ``config.set_float_dtype("float64")`` or,
+events rarer than ~1e-6 need ``config.set_dtype("float64")`` or,
 better, a lower-tail reformulation of the model (negate the driver).
 """
 
 import math
+import warnings
 
 import numpy as np
 
-__all__ = ["tilted", "suggest_tilt"]
+__all__ = ["tilted", "suggest_tilt", "wide_families"]
+
+# A tilt exponent k concentrates the proposal's quantiles at depth
+# ~1/k.  Below 2^-24 the float32 uniform grid (upper tail) and the
+# standard saturating ppf kernels (non-wide families) both break down,
+# so deep tilts past this point need the wide kernels and/or float64.
+_F32_DEPTH_LIMIT = 2.0**24
+
+
+def wide_families():
+    """Names of the families with deep-tail-accurate ppf kernels.
+
+    Only these families give correct values for quantiles below the
+    ~2^-24 resolution of the standard kernels; ``tilted`` warns when a
+    deep tilt (k > 2^24) targets any other family.
+    """
+    from probabilit_tpu.ops import ppf
+
+    return sorted(ppf._WIDE_REGISTRY)
 
 
 def tilted(distr, k, *args, tail="lower", **kwargs):
@@ -70,27 +93,72 @@ def tilted(distr, k, *args, tail="lower", **kwargs):
 
     The weight math in quantile space: with ``v`` the underlying
     uniform, the lower tilt has ``1-u = (1-v)^{1/k}`` so
-    ``w = (1-u)^{1-k}/k = exp(log1p(-v) * (1-k)/k) / k`` — evaluated in
-    log space from ``v`` directly, with no cancellation at any depth of
-    tail.  The upper tilt mirrors it with ``log(v)``.
+    ``w = (1-u)^{1-k}/k = exp(log(1-v) * (1-k)/k) / k`` — evaluated in
+    log space from the stacked-uniform depth directly, with no
+    cancellation at any depth of tail.  The upper tilt mirrors it with
+    ``log(v)``.
+
+    Choosing ``k``: any ``k > 0`` is unbiased in exact arithmetic, but
+    in float32 the lower tilt's depth variable saturates at ~33.3
+    e-folds, so an overshot tilt with ``k * p_true > ~30`` truncates
+    the event region and biases LOW.  When the rarity guess is
+    uncertain, err toward the COMMON side (smaller k): undershooting
+    only costs variance, never bias.
     """
     from probabilit_tpu.models.distributions import (
         Distribution,
         QuantileTransform,
     )
-    from probabilit_tpu.models.graph import Exp, Expm1, Log, Log1p
+    from probabilit_tpu.models.graph import Exp, Expm1, Floor, Log
 
     k = float(k)
     if not (math.isfinite(k) and k > 0.0):
         raise ValueError(f"tilt exponent k must be finite and > 0, got {k}.")
     if tail not in ("lower", "upper"):
         raise ValueError(f"tail must be 'lower' or 'upper', got {tail!r}.")
-    v = Distribution("uniform")
+    if k > _F32_DEPTH_LIMIT:
+        from probabilit_tpu import config
+        from probabilit_tpu.ops import ppf as _ppf
+
+        if tail == "upper" and config.np_float_dtype() == np.float32:
+            warnings.warn(
+                f"tilted(tail='upper', k={k:.3g}) targets quantile depths"
+                f" below the float32 grid near u = 1 (~2^-24): the tilted"
+                f" uniforms quantise and the estimate is silently biased"
+                f" (the E[w] ~ 1 diagnostic degenerates too).  Use"
+                f" config.set_dtype('float64'), or reformulate as a"
+                f" lower-tail tilt by negating/inverting the driver"
+                f" (exact to ~1e-38 in float32).",
+                stacklevel=2,
+            )
+        if distr not in _ppf._WIDE_REGISTRY:
+            warnings.warn(
+                f"tilted('{distr}', k={k:.3g}): this family has no"
+                f" deep-tail ppf kernel, and its standard kernel returns"
+                f" silently wrong values for quantiles below ~2^-24 —"
+                f" tail estimates this deep are unreliable.  Families"
+                f" with wide kernels: {wide_families()}.",
+                stacklevel=2,
+            )
     if tail == "lower":
-        log_tail = Log1p(-v)  # log(1 - v), exact for v near 0
+        # The depth variable a = -log(1-V) ~ Exp(1) drives both the
+        # tilted quantile and the weight.  A single float32 uniform
+        # resolves 1-V only to 2^-24, capping a at ln(2^24) ~ 16.6 — if
+        # the tilt overshoots the event (k * p_true > 16.6) that cap
+        # TRUNCATES the event region and silently biases the estimate
+        # low.  Build a ~48-bit-deep uniform from TWO draws instead:
+        # 1-V = (J + V2) * 2^-24 with J = floor(V1 * (2^24 - 1)) a
+        # uniform integer (the -1 keeps J >= 0 under the generators'
+        # open-interval clamp), so a reaches ~33.3 — double the
+        # overshoot margin, with O(2^-24) relative law distortion (the
+        # same order as the clamp itself).  Only log(J + V2) is ever
+        # formed, so no cancellation at any depth.
+        v1 = Distribution("uniform")
+        v2 = Distribution("uniform")
+        log_tail = Log(Floor(v1 * (2.0**24 - 1.0)) + v2) - 24.0 * math.log(2.0)
         u = -Expm1(log_tail / k)  # 1 - (1-v)^{1/k}, exact near u = 0
     else:
-        log_tail = Log(v)
+        log_tail = Log(Distribution("uniform"))
         u = Exp(log_tail / k)  # v^{1/k}
     w = Exp(log_tail * ((1.0 - k) / k)) / k
     x = QuantileTransform(u, distr, *args, **kwargs)
@@ -117,7 +185,11 @@ def suggest_tilt(p):
     The returned value only sets estimator efficiency, not
     correctness — any ``k > 0`` is unbiased — so a rough guess of ``p``
     is fine: the penalty for being off by 10x in either direction is
-    under 3x in variance.
+    under 3x in variance.  One float32 asymmetry (see ``tilted``):
+    guessing ``p`` far too SMALL (k too large, ``k * p_true > ~30``)
+    saturates the lower tilt's depth resolution and biases low, while
+    guessing too large only costs variance — when unsure, round the
+    guess toward common.
     """
     p = float(p)
     if not 0.0 < p < 1.0:

@@ -56,7 +56,9 @@ class Lognormal(Distribution):
     """
 
     def __init__(self, mean, std):
-        variance = Sign(std) * std**2  # Square but keep sign so negative fails
+        # Sign-preserving square: a negative std stays negative and is
+        # rejected downstream by the lognorm parameter validation.
+        variance = Sign(std) * std**2
         sigma_squared = Log(1 + variance / (mean**2))
         sigma = (sigma_squared) ** (1 / 2)
         mu = Log(mean) - sigma_squared / 2

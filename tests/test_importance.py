@@ -118,6 +118,35 @@ class TestTilted:
         with pytest.raises(ValueError, match="tail must be"):
             tilted("norm", k=2.0, tail="mid")
 
+    def test_deep_tilt_warnings(self):
+        import warnings
+
+        # Upper tail beyond the f32 grid near u = 1: silent-bias hazard.
+        with pytest.warns(UserWarning, match="below the float32 grid"):
+            tilted("norm", k=2.0**25, tail="upper")
+        # Non-wide family at depths its standard kernel cannot resolve.
+        with pytest.warns(UserWarning, match="no deep-tail ppf kernel"):
+            tilted("t", k=2.0**25, tail="lower", df=5)
+        # Wide-family lower tilts at any depth are fine: no warning.
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            tilted("norm", k=2.0**30, tail="lower")
+            tilted("lognorm", k=2.0**30, tail="lower", s=0.5)
+            tilted("t", k=100.0, tail="lower", df=5)  # shallow: fine
+
+    def test_depth_variable_is_exponential(self):
+        # The lower tilt's proposal depth a = -log(1-V) is built from
+        # TWO stacked uniforms (48-bit-deep 1-V); recover a from the
+        # weight node (w = exp(a (k-1)/k) / k) and KS-test it against
+        # Exp(1) — validating the stacked-uniform law end to end.
+        k = 64.0
+        _, w = tilted("norm", k=k, tail="lower")
+        ws = np.asarray(w.sample(2**16, random_state=7), np.float64)
+        a = np.log(ws * k) * k / (k - 1.0)
+        assert a.min() > 0.0
+        ks = scipy.stats.kstest(a, "expon")
+        assert ks.pvalue > 1e-3, (ks, a.mean(), a.max())
+
 
 class TestWideKernels:
     def test_ndtri_wide_deep_tail_accuracy(self):
