@@ -222,9 +222,14 @@ def _histogram_accumulators(histogram):
             )
             + 1
         )
+        # NaN survives the clip and its int cast is implementation-
+        # defined (lands in bin_0 on TPU/CPU): exclude NaN lanes from
+        # every slot.  +/-inf clip to finite under/overflow indices and
+        # count there as intended.
+        not_nan = jnp.logical_not(jnp.isnan(x))
         out = []
         for j in range(bins + 2):
-            eq = idx == j
+            eq = jnp.logical_and(idx == j, not_nan)
             if mask is not None:
                 # Mask the COUNT, not the input: off-mask lanes may be
                 # NaN by design under where= and their int cast is
@@ -264,26 +269,29 @@ def _union_sink(sink, extras):
 
 
 
-def _quantile_accumulators_many(quantiles, block_size):
+def _quantile_accumulators_many(quantiles, block_size, cvar=()):
     """Batched (M, block) variants of ``_quantile_accumulators``.
 
     ONE sort per block covers every node: XLA sorts cost ~230 ms fixed
     per call at 1e7 elements plus ~11 ms per extra batched row
     (CLAUDE.md), so M per-node sorts in the hot fori_loop body would pay
     the fixed cost M times.  Returns (qsum_full_many(y) -> (M, L),
-    qsum_partial_many(y, mask, cnt) -> (M, L)).
+    qsum_partial_many(y, mask, cnt) -> (M, L)) with L =
+    ``len(quantiles) + len(cvar)`` — CVaR columns ride the same sorts
+    via Rockafellar-Uryasev, exactly as in ``_quantile_accumulators``.
     """
     cols = 1 << 17
+    levels = tuple(quantiles) + tuple(cvar)
     rows_ok = (
-        bool(quantiles)
+        bool(levels)
         and block_size % cols == 0
         and block_size > cols
-        and all(1.0 / cols <= q <= 1.0 - 1.0 / cols for q in quantiles)
+        and all(1.0 / cols <= q <= 1.0 - 1.0 / cols for q in levels)
     )
 
     def qsum_full_many(y):
         m = y.shape[0]
-        if not quantiles:
+        if not levels:
             return jnp.zeros((m, 0), jnp.float32)
         if rows_ok:
             nrows = block_size // cols
@@ -291,31 +299,45 @@ def _quantile_accumulators_many(quantiles, block_size):
                 y.reshape(m * nrows, cols), dimension=1, is_stable=False
             )
             out = []
-            for q in quantiles:
+            for i, q in enumerate(levels):
                 pos = q * (cols - 1)
                 lo = min(int(pos), cols - 2)
                 frac = jnp.float32(pos - lo)
                 v = xs[:, lo] + frac * (xs[:, lo + 1] - xs[:, lo])
-                out.append(jnp.sum(v.reshape(m, nrows), axis=1) * cols)
+                if i < len(quantiles):
+                    out.append(jnp.sum(v.reshape(m, nrows), axis=1) * cols)
+                else:
+                    tail = jnp.sum(jnp.maximum(xs - v[:, None], 0.0), axis=1)
+                    es = v + tail / jnp.float32(cols * (1.0 - q))
+                    out.append(jnp.sum(es.reshape(m, nrows), axis=1) * cols)
             return jnp.stack(out, axis=1)
         xs = jax.lax.sort(y, dimension=1, is_stable=False)
         out = []
-        for q in quantiles:
+        for i, q in enumerate(levels):
             pos = q * (block_size - 1)
             lo = min(int(pos), block_size - 2) if block_size > 1 else 0
             frac = jnp.float32(pos - lo)
             a = xs[:, lo]
             b = xs[:, min(lo + 1, block_size - 1)]
-            out.append((a + frac * (b - a)) * block_size)
+            v = a + frac * (b - a)
+            if i < len(quantiles):
+                out.append(v * block_size)
+            else:
+                tail = jnp.sum(jnp.maximum(xs - v[:, None], 0.0), axis=1)
+                es = v + tail / jnp.float32(block_size * (1.0 - q))
+                out.append(es * block_size)
         return jnp.stack(out, axis=1)
 
     def qsum_partial_many(y, mask, cnt):
+        # With CVaR levels the final block always takes the exact
+        # full-sort branch (as in the single-sink version): +inf pad
+        # lanes would poison per-row relu tail sums.
         m = y.shape[0]
-        if not quantiles:
+        if not levels:
             return jnp.zeros((m, 0), jnp.float32)
         yinf = jnp.where(mask[None, :], y, jnp.float32(jnp.inf))
         cntf = cnt.astype(jnp.float32)
-        if rows_ok:
+        if rows_ok and not cvar:
             nrows = block_size // cols
             xs = jax.lax.sort(
                 yinf.reshape(m * nrows, cols), dimension=1, is_stable=False
@@ -353,8 +375,9 @@ def _quantile_accumulators_many(quantiles, block_size):
                 )
             return jnp.stack(out, axis=1)
         xs = jax.lax.sort(yinf, dimension=1, is_stable=False)
+        valid = (jnp.arange(block_size, dtype=jnp.int32) < cnt)[None, :]
         out = []
-        for q in quantiles:
+        for i, q in enumerate(levels):
             pos = q * (cntf - 1.0)
             lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, block_size - 2)
             frac = pos - lo.astype(jnp.float32)
@@ -362,10 +385,55 @@ def _quantile_accumulators_many(quantiles, block_size):
             b = jax.lax.dynamic_slice_in_dim(
                 xs, jnp.minimum(lo + 1, cnt - 1), 1, axis=1
             )[:, 0]
-            out.append((a + frac * (b - a)) * cntf)
+            v = a + frac * (b - a)
+            if i < len(quantiles):
+                out.append(v * cntf)
+            else:
+                # Position mask, not value mask: the pad lanes sorted to
+                # +inf and max(inf - v, 0) would poison the tail sum.
+                tail = jnp.sum(
+                    jnp.where(valid, jnp.maximum(xs - v[:, None], 0.0), 0.0),
+                    axis=1,
+                )
+                es = v + tail / (cntf * jnp.float32(1.0 - q))
+                out.append(es * cntf)
         return jnp.stack(out, axis=1)
 
     return qsum_full_many, qsum_partial_many
+
+
+def _histogram_accumulators_many(histogram):
+    """Batched (M, block) variant of ``_histogram_accumulators``.
+
+    Returns one ``counts(y, mask=None) -> (M, bins + 2)`` function used
+    for both full and partial blocks; ``mask`` is a shared (block,)
+    valid/condition mask applied to every node's counts.
+    """
+    if histogram is None:
+        def empty(y, mask=None):
+            return jnp.zeros((y.shape[0], 0), jnp.float32)
+
+        return empty
+    lo, hi, bins = histogram
+    scale = bins / (hi - lo)
+
+    def counts(y, mask=None):
+        idx = (
+            jnp.clip(jnp.floor((y - lo) * scale), -1.0, float(bins)).astype(
+                jnp.int32
+            )
+            + 1
+        )
+        not_nan = jnp.logical_not(jnp.isnan(y))
+        out = []
+        for j in range(bins + 2):
+            eq = jnp.logical_and(idx == j, not_nan)
+            if mask is not None:
+                eq = jnp.logical_and(eq, mask[None, :])
+            out.append(jnp.sum(eq.astype(jnp.float32), axis=1))
+        return jnp.stack(out, axis=1)
+
+    return counts
 
 
 def _find_key_seeded(plan):
@@ -702,10 +770,11 @@ def estimate(
     equal bins on ``[lo, hi)`` plus underflow/overflow, returned as
     ``stats["histogram"] = {"edges", "counts", "underflow",
     "overflow"}``.  Unlike quantiles it composes with ``where=``
-    (off-condition samples are simply not counted).  Counts accumulate
-    in float32 like every other carry — exact below 2^24 per merge
-    step, ~2^-24 relative beyond (far below MC noise in any bin worth
-    reading).
+    (off-condition samples are simply not counted).  Counts carry as
+    two f32 words per bin (hi/lo split at 2^23), so totals are exact
+    integers up to 2^47 per bin for any ``block_size <= 2^24``; NaN
+    samples are excluded from every slot, while +/-inf count as
+    underflow/overflow.
 
     The compiled whole-run program is cached across calls (keyed on graph
     structure, block size, quantile levels, executor, and method — NOT on
@@ -1032,6 +1101,16 @@ def _estimate_carry(
             (
                 n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum,
             ) = carry
+            # Histogram counts carry as TWO f32 words per bin (hi in
+            # units of 2^23, lo < 2^23): a single f32 total loses
+            # integer exactness past 2^24 counts/bin.  Per-block counts
+            # are <= block_size <= 2^24 so every add/floor below is
+            # exact; the pair stays exact to 2^47 counts per bin.
+            hC = jnp.float32(2.0**23)
+            bc = jnp.floor(bhsum / hC)
+            lo_new = hsum[1] + (bhsum - bc * hC)
+            c2 = jnp.floor(lo_new / hC)
+            hsum = jnp.stack([hsum[0] + bc + c2, lo_new - c2 * hC])
             bmy, bm2y, bcxy = bctl
             delta = bm - mean
             delta_y = bmy - my
@@ -1061,7 +1140,7 @@ def _estimate_carry(
                 my,
                 m2y,
                 cxy,
-                hsum + bhsum,
+                hsum,
             )
 
         def ctl_full(x, y, bm):
@@ -1140,7 +1219,7 @@ def _estimate_carry(
             zero,
             zero,
             zero,
-            jnp.zeros((hist_len,), jnp.float32),
+            jnp.zeros((2, hist_len), jnp.float32),
         )
         nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
         carry = jax.lax.fori_loop(0, nb1, body, init)
@@ -1260,7 +1339,8 @@ def _finalize_estimate(
         stats[f"cvar{level:g}"] = float(es / total)
     if histogram is not None:
         h_lo, h_hi, h_bins = histogram
-        counts = np.rint(np.asarray(hsum_, np.float64)).astype(np.int64)
+        pair = np.asarray(hsum_, np.float64)
+        counts = np.rint(pair[0] * 2.0**23 + pair[1]).astype(np.int64)
         stats["histogram"] = {
             "edges": np.linspace(h_lo, h_hi, h_bins + 1),
             "counts": counts[1:-1],
@@ -1282,6 +1362,11 @@ def estimate_many(
     method=None,
     correlator="imanconover",
     quantiles=None,
+    cvar=None,
+    histogram=None,
+    replicates=None,
+    control=None,
+    where=None,
 ):
     """One-pass streamed moments for SEVERAL nodes of one model.
 
@@ -1295,14 +1380,32 @@ def estimate_many(
     O(block) memory; carries are (M,)-vector Chan merges, so cost is
     independent of how many nodes are watched.
 
-    ``sem`` is the iid formula per node (see ``estimate``);
-    ``quantiles=(0.5, 0.95, ...)`` adds streamed per-node quantile
-    estimates (same estimator as ``estimate``, one row-sort per node
-    per block).  Replicates and control variates remain single-sink
-    features.
+    Every single-sink ``estimate()`` feature composes here, per node,
+    from the same joint stream and under the same composition rules:
+
+    - ``quantiles=(0.5, 0.95, ...)`` / ``cvar=(0.95, ...)``: streamed
+      per-node quantile and expected-shortfall estimates (one batched
+      row-sort per block covers every node and every level; CVaR rides
+      the same sorts via Rockafellar-Uryasev).  A desk+total VaR/CVaR
+      profile therefore comes internally consistent from one program.
+    - ``histogram=(lo, hi, bins)``: one exact fixed-bin histogram per
+      node (two-word f32 count carries, see ``estimate``).
+    - ``where=node``: conditional statistics ``E[node_i | cond]`` with a
+      SHARED condition — ``n`` is the accepted count, ``n_total``/
+      ``acceptance`` reported per node.  Not with quantiles/cvar/control
+      (same rule as ``estimate``).
+    - ``control=(node, known_mean)``: one control variate regresses
+      EVERY watched node's mean (per-node beta against the shared
+      control, ``control_beta``/``control_rho`` per node).
+    - ``replicates=R``: R independently randomised streams; each node's
+      ``sem`` becomes its between-replicate spread — the valid QMC /
+      antithetic error bar, jointly consistent across nodes because all
+      R streams are shared.
+
+    ``sem`` without replicates is the iid formula per node (see
+    ``estimate`` for when that is and is not meaningful).
     """
-    from probabilit_tpu import config as _config
-    from probabilit_tpu.models.graph import Node, NoOp
+    from probabilit_tpu.models.graph import Node
 
     nodes = list(nodes)
     if not nodes:
@@ -1325,16 +1428,170 @@ def estimate_many(
     for q in quantiles:
         if not 0.0 < q < 1.0:
             raise ValueError(f"Quantile levels must be in (0, 1), got {q}.")
+    cvar = tuple(float(q) for q in cvar) if cvar else ()
+    for q in cvar:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"CVaR levels must be in (0, 1), got {q}.")
+    if histogram is not None:
+        try:
+            h_lo, h_hi, h_bins = histogram
+        except (TypeError, ValueError):
+            raise ValueError(
+                "histogram must be a (lo, hi, bins) triple, e.g. "
+                "histogram=(-5.0, 5.0, 100)."
+            ) from None
+        h_lo, h_hi, h_bins = float(h_lo), float(h_hi), int(h_bins)
+        if not (np.isfinite(h_lo) and np.isfinite(h_hi) and h_lo < h_hi):
+            raise ValueError(
+                f"histogram range must be finite with lo < hi, got "
+                f"({h_lo}, {h_hi})."
+            )
+        if not 1 <= h_bins <= _HISTOGRAM_MAX_BINS:
+            raise ValueError(
+                f"histogram bins must be in [1, {_HISTOGRAM_MAX_BINS}], "
+                f"got {h_bins}."
+            )
+        histogram = (h_lo, h_hi, h_bins)
+    if where is not None:
+        if not isinstance(where, Node):
+            raise ValueError(f"where must be a graph node, got {where!r}.")
+        if getattr(where, "_vector_valued", False):
+            raise ValueError(
+                f"where condition {where!r} is vector-valued; condition "
+                "on a scalar functional of it instead."
+            )
+        if quantiles or cvar:
+            raise ValueError(
+                "where= does not compose with quantiles=/cvar= (the "
+                "row-sort estimators assume unmasked blocks); estimate "
+                "the conditional quantiles from sample_streaming output."
+            )
+        if control is not None:
+            raise ValueError(
+                "where= does not compose with control= (the control "
+                "regression assumes unmasked blocks)."
+            )
+    control_node, control_mu = None, None
+    if control is not None:
+        try:
+            control_node, control_mu = control
+        except (TypeError, ValueError):
+            raise ValueError(
+                "control must be a (node, known_mean) pair, e.g. "
+                "control=(cheap_part, analytic_mean)."
+            ) from None
+        if not isinstance(control_node, Node):
+            raise ValueError(
+                f"control[0] must be a graph node, got {control_node!r}."
+            )
+        control_mu = float(control_mu)
     key = resolve_key(random_state)
+    if replicates is not None:
+        reps = int(replicates)
+        if reps < 2:
+            raise ValueError(
+                f"replicates must be >= 2 (got {reps}): a single stream "
+                "has no between-replicate variance to estimate sem from."
+            )
+        if size % reps:
+            raise ValueError(
+                f"size ({size}) must be divisible by replicates ({reps}) "
+                "so every randomisation carries equal weight."
+            )
+        sub = size // reps
+        carries = [
+            jax.device_get(
+                _many_carry(
+                    nodes,
+                    sub,
+                    block_size,
+                    jax.random.fold_in(key, r),
+                    executor,
+                    method,
+                    quantiles,
+                    cvar,
+                    histogram,
+                    correlator,
+                    control_node,
+                    where,
+                )
+            )
+            for r in range(reps)
+        ]
+        merged, rep_means = _merge_many_carries(carries, control_mu)
+        out = _finalize_many(
+            nodes, merged, size, quantiles, cvar, histogram, control_mu, where
+        )
+        rep = np.asarray(rep_means, np.float64)  # (R_kept, M)
+        if rep.ndim != 2 or rep.shape[0] < 2:
+            raise ValueError(
+                f"Only {0 if rep.ndim != 2 else rep.shape[0]} of {reps} "
+                "replicates accepted any samples; the between-replicate "
+                "sem needs >= 2. Loosen the where condition, raise size, "
+                "or drop replicates=."
+            )
+        for i, node in enumerate(nodes):
+            out[node]["sem"] = float(
+                rep[:, i].std(ddof=1) / np.sqrt(rep.shape[0])
+            )
+            if control_mu is not None:
+                out[node]["mean"] = float(rep[:, i].mean())
+            out[node]["replicates"] = reps
+        return out
+    carry = _many_carry(
+        nodes,
+        size,
+        block_size,
+        key,
+        executor,
+        method,
+        quantiles,
+        cvar,
+        histogram,
+        correlator,
+        control_node,
+        where,
+    )
+    return _finalize_many(
+        nodes, carry, size, quantiles, cvar, histogram, control_mu, where
+    )
+
+
+def _many_carry(
+    nodes,
+    size,
+    block_size,
+    key,
+    executor,
+    method,
+    quantiles,
+    cvar,
+    histogram,
+    correlator,
+    control_node,
+    where_node,
+):
+    """One randomised stream's (M,)-vector moment carry (device values).
+
+    The multi-node analogue of ``_estimate_carry``: carries are
+    vectorised over the M watched nodes — (M,) mean/M2/min/max/cxy,
+    (M, L) quantile+CVaR numerators, (2, M, bins+2) two-word histogram
+    counts — while the count, control moments, and finite flag stay
+    scalar (the condition and control are SHARED across nodes).
+    """
+    from probabilit_tpu import config as _config
+    from probabilit_tpu.models import graph as _graph
+    from probabilit_tpu.models.graph import NoOp
+
+    m = len(nodes)
+    aux_node = control_node if control_node is not None else where_node
+    where_mode = where_node is not None
     n_blocks = -(-size // block_size)
     last_count = size - (n_blocks - 1) * block_size
-    m = len(nodes)
 
     lhs_total = (
         size if method is not None and method.lower().strip() == "lhs" else None
     )
-    from probabilit_tpu.models import graph as _graph
-
     cache_key = (
         tuple(node._id for node in nodes),
         # Graph mutations (a later correlate(), say) must not hit a
@@ -1345,21 +1602,24 @@ def estimate_many(
         executor,
         method,
         quantiles,
+        cvar,
+        histogram,
         lhs_total,
         _compile.correlator_token(_compile.resolve_correlator(correlator)),
+        None if control_node is None else control_node._id,
+        None if where_node is None else ("where", where_node._id),
         jnp.dtype(_config.float_dtype()).name,
         _compile._active_mesh_key(),
     )
     cached = _MANY_CACHE.get(cache_key)
     if cached is not None:
-        return _finalize_many(
-            nodes, cached(key, n_blocks, last_count), size, quantiles
-        )
+        return cached(key, n_blocks, last_count)
 
     # A NoOp roots all requested nodes in ONE plan (the reference's own
     # multi-variable trick, inspection.py:35-36); its output is None and
     # ignored — the block runner returns the kept extras.
-    sink = NoOp(*nodes)
+    extras = tuple(nodes) + (() if aux_node is None else (aux_node,))
+    sink = NoOp(*extras)
     plan, run = _block_program(
         sink,
         block_size,
@@ -1367,7 +1627,7 @@ def estimate_many(
         method,
         total_size=size,
         correlator=correlator,
-        extra=tuple(nodes),
+        extra=extras,
     )
     for node in nodes:
         if plan.finalizers.get(node._id) is not None:
@@ -1377,21 +1637,41 @@ def estimate_many(
             )
 
     qsum_full_many, qsum_partial_many = _quantile_accumulators_many(
-        quantiles, block_size
+        quantiles, block_size, cvar
     )
+    hist_many = _histogram_accumulators_many(histogram)
+    hist_len = 0 if histogram is None else histogram[2] + 2
+    n_levels = len(quantiles) + len(cvar)
 
     @jax.jit
     def all_blocks(key, n_blocks, last_count):
         global _TRACE_COUNT
         _TRACE_COUNT += 1
 
-        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum):
-            n_prev, mean, m2, vmin, vmax, finite, qsum = carry
+        zero = jnp.float32(0.0)
+        czeros = jnp.zeros((m,), jnp.float32)
+
+        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum):
+            (
+                n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum,
+            ) = carry
+            bmy, bm2y, bcxy = bctl
             delta = bm - mean
+            delta_y = bmy - my
             nn = n_prev + bn
-            w = n_prev * bn / nn
-            mean = mean + delta * bn / nn
+            nn_div = jnp.maximum(nn, 1.0) if where_mode else nn
+            w = n_prev * bn / nn_div
+            mean = mean + delta * bn / nn_div
             m2 = m2 + bm2 + delta * delta * w
+            my = my + delta_y * bn / nn_div
+            m2y = m2y + bm2y + delta_y * delta_y * w
+            cxy = cxy + bcxy + delta * delta_y * w
+            # Two-word exact histogram counts (see _estimate_carry).
+            hC = jnp.float32(2.0**23)
+            bc = jnp.floor(bhsum / hC)
+            lo_new = hsum[1] + (bhsum - bc * hC)
+            c2 = jnp.floor(lo_new / hC)
+            hsum = jnp.stack([hsum[0] + bc + c2, lo_new - c2 * hC])
             return (
                 nn,
                 mean,
@@ -1400,11 +1680,76 @@ def estimate_many(
                 jnp.maximum(vmax, bmax),
                 finite & bfinite,
                 qsum + bqsum,
+                my,
+                m2y,
+                cxy,
+                hsum,
             )
+
+        def ctl_full(y, yc, bm):
+            if yc is None:
+                return (zero, zero, czeros)
+            yc = yc.astype(jnp.float32)
+            bmy = jnp.mean(yc)
+            return (
+                bmy,
+                jnp.sum(jnp.square(yc - bmy)),
+                jnp.sum((y - bm[:, None]) * (yc - bmy)[None, :], axis=1),
+            )
+
+        def ctl_partial(y, yc, mask, cntf, bm):
+            if yc is None:
+                return (zero, zero, czeros)
+            yc = yc.astype(jnp.float32)
+            bmy = jnp.sum(jnp.where(mask, yc, 0.0)) / cntf
+            return (
+                bmy,
+                jnp.sum(jnp.where(mask, jnp.square(yc - bmy), 0.0)),
+                jnp.sum(
+                    jnp.where(
+                        mask[None, :],
+                        (y - bm[:, None]) * (yc - bmy)[None, :],
+                        0.0,
+                    ),
+                    axis=1,
+                ),
+            )
+
+        def masked_stats(y, cond):
+            # Off-condition lanes are never inspected (NaN by design is
+            # allowed there, as in the single-sink path).
+            condM = cond[None, :]
+            cntf = jnp.sum(cond.astype(jnp.float32))
+            safe = jnp.maximum(cntf, 1.0)
+            bm = jnp.sum(jnp.where(condM, y, 0.0), axis=1) / safe
+            bm2 = jnp.sum(
+                jnp.where(condM, jnp.square(y - bm[:, None]), 0.0), axis=1
+            )
+            return (
+                cntf,
+                bm,
+                bm2,
+                jnp.min(jnp.where(condM, y, jnp.float32(jnp.inf)), axis=1),
+                jnp.max(jnp.where(condM, y, jnp.float32(-jnp.inf)), axis=1),
+                jnp.all(jnp.where(condM, jnp.isfinite(y), True)),
+            )
+
+        def split(ys):
+            y = jnp.stack([v.astype(jnp.float32) for v in ys[:m]])
+            aux = ys[m] if aux_node is not None else None
+            return y, aux
 
         def body(b, carry):
             _, ys = run(b, key)
-            y = jnp.stack([v.astype(jnp.float32) for v in ys])  # (M, block)
+            y, aux = split(ys)
+            if where_mode:
+                cond = aux != 0
+                bn, bm, bm2, bmin, bmax, bfin = masked_stats(y, cond)
+                return merge(
+                    carry, bn, bm, bm2, bmin, bmax, bfin,
+                    qsum_full_many(y), (zero, zero, czeros),
+                    hist_many(y, cond),
+                )
             bm = jnp.mean(y, axis=1)
             bm2 = jnp.sum(jnp.square(y - bm[:, None]), axis=1)
             return merge(
@@ -1416,6 +1761,8 @@ def estimate_many(
                 jnp.max(y, axis=1),
                 jnp.all(jnp.isfinite(y)),
                 qsum_full_many(y),
+                ctl_full(y, aux, bm),
+                hist_many(y),
             )
 
         init = (
@@ -1425,56 +1772,193 @@ def estimate_many(
             jnp.full((m,), jnp.inf, jnp.float32),
             jnp.full((m,), -jnp.inf, jnp.float32),
             jnp.bool_(True),
-            jnp.zeros((m, len(quantiles)), jnp.float32),
+            jnp.zeros((m, n_levels), jnp.float32),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.zeros((m,), jnp.float32),
+            jnp.zeros((2, m, hist_len), jnp.float32),
         )
         nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
         carry = jax.lax.fori_loop(0, nb1, body, init)
 
         cnt = jnp.asarray(last_count, jnp.int32)
         _, ys = run(nb1, key)
-        y = jnp.stack([v.astype(jnp.float32) for v in ys])
-        mask = (jnp.arange(block_size, dtype=jnp.int32) < cnt)[None, :]
+        y, aux = split(ys)
+        mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
+        if where_mode:
+            cond = mask & (aux != 0)
+            bn, bm, bm2, bmin, bmax, bfin = masked_stats(y, cond)
+            return merge(
+                carry, bn, bm, bm2, bmin, bmax, bfin,
+                qsum_partial_many(y, mask, cnt), (zero, zero, czeros),
+                hist_many(y, cond),
+            )
+        maskM = mask[None, :]
         cntf = cnt.astype(jnp.float32)
-        bm = jnp.sum(jnp.where(mask, y, 0.0), axis=1) / cntf
-        bm2 = jnp.sum(jnp.where(mask, jnp.square(y - bm[:, None]), 0.0), axis=1)
+        bm = jnp.sum(jnp.where(maskM, y, 0.0), axis=1) / cntf
+        bm2 = jnp.sum(
+            jnp.where(maskM, jnp.square(y - bm[:, None]), 0.0), axis=1
+        )
         return merge(
             carry,
             cntf,
             bm,
             bm2,
-            jnp.min(jnp.where(mask, y, jnp.float32(jnp.inf)), axis=1),
-            jnp.max(jnp.where(mask, y, jnp.float32(-jnp.inf)), axis=1),
-            jnp.all(jnp.where(mask, jnp.isfinite(y), True)),
-            qsum_partial_many(y, mask[0], cnt),
+            jnp.min(jnp.where(maskM, y, jnp.float32(jnp.inf)), axis=1),
+            jnp.max(jnp.where(maskM, y, jnp.float32(-jnp.inf)), axis=1),
+            jnp.all(jnp.where(maskM, jnp.isfinite(y), True)),
+            qsum_partial_many(y, mask, cnt),
+            ctl_partial(y, aux, mask, cntf, bm),
+            hist_many(y, mask),
         )
 
     if len(_MANY_CACHE) > 32:
         _MANY_CACHE.pop(next(iter(_MANY_CACHE)))
     _MANY_CACHE[cache_key] = all_blocks
-    return _finalize_many(
-        nodes, all_blocks(key, n_blocks, last_count), size, quantiles
+    return all_blocks(key, n_blocks, last_count)
+
+
+def _merge_many_carries(carries, control_mu=None):
+    """Chan-merge replicate (M,)-vector carries host-side (float64).
+
+    The multi-node analogue of ``_merge_carries``: returns the pooled
+    carry plus the per-replicate (M,) mean vectors (control-adjusted
+    when a control is active, so the between-replicate sem prices the
+    adjusted estimator per node).
+    """
+    total, my, m2y = 0.0, 0.0, 0.0
+    mean = m2 = cxy = vmin = vmax = qsum = hsum = None
+    finite = True
+    rep_means = []
+    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_, h_ in carries:
+        t = float(t_)
+        if t <= 0.0:
+            continue
+        mv = np.asarray(m_, np.float64)
+        m2v = np.asarray(m2_, np.float64)
+        cxyv = np.asarray(cxy_, np.float64)
+        if mean is None:
+            mean = np.zeros_like(mv)
+            m2 = np.zeros_like(mv)
+            cxy = np.zeros_like(mv)
+            vmin = np.full_like(mv, np.inf)
+            vmax = np.full_like(mv, -np.inf)
+        if control_mu is None:
+            rep_means.append(mv)
+        else:
+            rep_means.append(
+                np.array(
+                    [
+                        _control_adjust(
+                            mv[i], m2v[i], float(my_), float(m2y_),
+                            cxyv[i], control_mu,
+                        )[0]
+                        for i in range(mv.size)
+                    ]
+                )
+            )
+        nn = total + t
+        delta = mv - mean
+        delta_y = float(my_) - my
+        w = total * t / nn
+        mean = mean + delta * t / nn
+        m2 = m2 + m2v + delta * delta * w
+        my += delta_y * t / nn
+        m2y += float(m2y_) + delta_y * delta_y * w
+        cxy = cxy + cxyv + delta * delta_y * w
+        total = nn
+        vmin = np.minimum(vmin, np.asarray(lo_, np.float64))
+        vmax = np.maximum(vmax, np.asarray(hi_, np.float64))
+        finite = finite and bool(f_)
+        q = np.asarray(q_, np.float64)
+        qsum = q if qsum is None else qsum + q
+        h = np.asarray(h_, np.float64)
+        hsum = h if hsum is None else hsum + h
+    return (
+        (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum),
+        rep_means,
     )
 
 
-def _finalize_many(nodes, carry, size, quantiles=()):
-    total_, mean_, m2_, vmin_, vmax_, finite_, qsum_ = jax.device_get(carry)
+def _finalize_many(
+    nodes,
+    carry,
+    size,
+    quantiles=(),
+    cvar=(),
+    histogram=None,
+    control_mu=None,
+    where=None,
+):
+    (
+        total_,
+        mean_,
+        m2_,
+        vmin_,
+        vmax_,
+        finite_,
+        qsum_,
+        my_,
+        m2y_,
+        cxy_,
+        hsum_,
+    ) = jax.device_get(carry)
     if not bool(finite_):
         raise ValueError("Sampling produced non-finite values.")
     total = float(total_)
+    if where is not None and total <= 0:
+        raise ValueError(
+            f"where= condition never held across {size} draws; no "
+            "conditional statistics exist. Loosen the condition or "
+            "raise size."
+        )
     qsum = np.asarray(qsum_, np.float64)
+    if histogram is not None:
+        pair = np.asarray(hsum_, np.float64)  # (2, M, bins + 2)
+        all_counts = np.rint(pair[0] * 2.0**23 + pair[1]).astype(np.int64)
     out = {}
     for i, node in enumerate(nodes):
-        var = float(m2_[i]) / total if total else float("nan")
+        var = float(np.asarray(m2_)[i]) / total if total else float("nan")
         stats = {
-            "n": size,
-            "mean": float(mean_[i]),
+            "n": int(round(total)) if where is not None else size,
+            "mean": float(np.asarray(mean_)[i]),
             "var": var,
             "std": var**0.5,
             "sem": (var / total) ** 0.5 if total else float("nan"),
-            "min": float(vmin_[i]),
-            "max": float(vmax_[i]),
+            "min": float(np.asarray(vmin_)[i]),
+            "max": float(np.asarray(vmax_)[i]),
         }
+        if where is not None:
+            stats["n_total"] = size
+            stats["acceptance"] = total / size
+        if control_mu is not None:
+            adj, factor, beta, rho = _control_adjust(
+                stats["mean"],
+                float(np.asarray(m2_)[i]),
+                float(my_),
+                float(m2y_),
+                float(np.asarray(cxy_)[i]),
+                control_mu,
+            )
+            stats["mean"] = adj
+            stats["sem"] = stats["sem"] * factor**0.5
+            stats["control_beta"] = beta
+            stats["control_rho"] = rho
+            stats["control_mean"] = float(my_)
         for j, level in enumerate(quantiles):
             stats[f"q{level:g}"] = float(qsum[i, j] / total)
+        for j, level in enumerate(cvar):
+            stats[f"cvar{level:g}"] = float(
+                qsum[i, len(quantiles) + j] / total
+            )
+        if histogram is not None:
+            h_lo, h_hi, h_bins = histogram
+            counts = all_counts[i]
+            stats["histogram"] = {
+                "edges": np.linspace(h_lo, h_hi, h_bins + 1),
+                "counts": counts[1:-1],
+                "underflow": int(counts[0]),
+                "overflow": int(counts[-1]),
+            }
         out[node] = stats
     return out
