@@ -86,12 +86,18 @@ class SensitivityResult:
     """Statistic value + gradients, keyed by ``(node, parameter)``.
 
     ``gradients`` maps ``(node, name_or_position)`` to the float
-    derivative of the statistic with respect to that parameter.
+    derivative of the statistic with respect to that parameter.  With
+    ``replicates=R``, ``sems`` holds the between-replicate standard
+    error of each gradient (the valid error bar under QMC/antithetic
+    streams) and ``value_sem`` that of the statistic itself; both are
+    ``None`` otherwise.
     """
 
-    def __init__(self, value, gradients):
+    def __init__(self, value, gradients, sems=None, value_sem=None):
         self.value = value
         self.gradients = gradients
+        self.sems = sems
+        self.value_sem = value_sem
 
     def __getitem__(self, key):
         return self.gradients[key]
@@ -231,6 +237,9 @@ def _write_slot(node, slot, value):
         node.kwargs[slot] = value
 
 
+_QMC_METHODS = ("sobol", "halton", "lhs", "antithetic")
+
+
 def sensitivity(
     sink,
     wrt,
@@ -238,6 +247,9 @@ def sensitivity(
     random_state=None,
     statistic="mean",
     correlator="imanconover",
+    method=None,
+    block_size=None,
+    replicates=None,
 ):
     """Pathwise derivative of ``statistic(sink samples)`` w.r.t. parameters.
 
@@ -265,12 +277,36 @@ def sensitivity(
     correlator : str | Correlator class
         Correlation-induction method for graphs with declared
         correlations, as in ``sample()``.
+    method : None | "sobol" | "halton" | "lhs" | "antithetic"
+        Quantile generator for the underlying draws.  QMC gradients
+        converge like QMC means for smooth sinks; pair with
+        ``replicates`` for a valid error bar.
+    block_size : None | int
+        Streamed gradients: fold the run in device-sized blocks, exactly
+        as ``estimate()`` does, accumulating per-block ``jax.vjp``
+        cotangents — the gradient of the Chan-merged mean is the
+        count-weighted mean of per-block gradients, so the streamed
+        result is exact (not an approximation) and ``size`` may be 1e9+.
+        Requires ``statistic="mean"`` (only the mean's gradient
+        decomposes blockwise) and a correlation-free graph.  Device
+        memory stays O(block_size); the whole fold (value AND gradient)
+        is ONE jitted program with ``size`` a traced loop bound, so size
+        sweeps reuse one compiled program.
+    replicates : None | int
+        Split the run into R independently randomised streams (fresh
+        Owen scrambles / rotations / keys) and report the
+        between-replicate standard error of every gradient — the valid
+        QMC/antithetic error bar (``result.sems``, ``result.value_sem``);
+        the reported value/gradients become the replicate averages.
+        ``size`` must be divisible by R.
 
     Returns
     -------
     SensitivityResult
         ``.value`` — the statistic estimate; ``.gradients`` — dict of
-        ``(node, slot) -> d statistic / d parameter``.
+        ``(node, slot) -> d statistic / d parameter``; ``.sems`` /
+        ``.value_sem`` — between-replicate standard errors (with
+        ``replicates`` only).
 
     >>> import probabilit_tpu as pt
     >>> x = pt.Distribution("norm", loc=2.0, scale=3.0)
@@ -291,38 +327,141 @@ def sensitivity(
         raise ValueError(f"size={size} is too small to estimate a statistic.")
 
     stat_fn, stat_key = _resolve_statistic(statistic)
+    method_name = None if method is None else str(method).lower().strip()
+    if method_name is not None:
+        if method_name not in _QMC_METHODS:
+            raise ValueError(
+                f"method must be one of {_QMC_METHODS} or None, got "
+                f"{method!r}."
+            )
+        from probabilit_tpu.engine.streaming import _find_key_seeded
+
+        seeded = _find_key_seeded(plan)
+        if seeded is not None:
+            raise ValueError(
+                f"method={method!r} drives the run from an explicit "
+                f"quantile matrix, but {seeded!r} draws from a "
+                "column-seeded PRNG key; use method=None for this graph."
+            )
+        if plan.corr_matrix is not None:
+            raise ValueError(
+                "QMC sensitivities require a correlation-free graph "
+                "(low-discrepancy structure does not survive correlation "
+                "induction); use method=None."
+            )
+    if replicates is not None:
+        reps = int(replicates)
+        if reps < 2:
+            raise ValueError(
+                f"replicates must be >= 2 (got {reps}): a single stream "
+                "has no between-replicate variance to estimate sems from."
+            )
+        if size % reps:
+            raise ValueError(
+                f"size ({size}) must be divisible by replicates ({reps})."
+            )
+        sub = size // reps
+    else:
+        reps, sub = None, size
 
     correlator_cls = _compile.resolve_correlator(correlator)
     slot_key = tuple((node._id, slot) for node, slot in pairs)
-    cache_key = (
-        plan.signature(),
-        slot_key,
-        stat_key,
-        size,
-        _compile.correlator_token(correlator_cls),
-        jnp.dtype(config.float_dtype()).name,
-        _compile._active_mesh_key(),
-    )
-    grad_fn = _GRAD_CACHE.get(cache_key)
-    if grad_fn is None:
-        grad_fn = _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls)
-        if len(_GRAD_CACHE) >= _CACHE_LIMIT:
-            _GRAD_CACHE.pop(next(iter(_GRAD_CACHE)))
-        _GRAD_CACHE[cache_key] = grad_fn
-
     dtype = config.float_dtype()
     theta0 = jnp.asarray([float(_read_slot(n, s)) for n, s in pairs], dtype)
     key = resolve_key(random_state)
+
+    if block_size is not None:
+        block_size = int(block_size)
+        if stat_key != "mean":
+            raise ValueError(
+                "block_size= (streamed gradients) requires "
+                "statistic='mean': only the mean's gradient decomposes "
+                "exactly across blocks (quantile/variance gradients need "
+                "the full sample vector — drop block_size for those)."
+            )
+        if plan.corr_matrix is not None:
+            raise ValueError(
+                "Streamed sensitivities require a correlation-free graph "
+                "(per-block recoloring would make block gradients "
+                "inconsistent); drop block_size= to differentiate the "
+                "single-shot correlated program."
+            )
+        lhs_total = sub if method_name == "lhs" else None
+        cache_key = (
+            plan.signature(),
+            slot_key,
+            "stream-mean",
+            block_size,
+            method_name,
+            lhs_total,
+            jnp.dtype(dtype).name,
+            _compile._active_mesh_key(),
+        )
+        grad_fn = _GRAD_CACHE.get(cache_key)
+        if grad_fn is None:
+            grad_fn = _build_stream_grad_fn(
+                plan, pairs, block_size, method_name, lhs_total,
+                correlator_cls,
+            )
+            if len(_GRAD_CACHE) >= _CACHE_LIMIT:
+                _GRAD_CACHE.pop(next(iter(_GRAD_CACHE)))
+            _GRAD_CACHE[cache_key] = grad_fn
+        n_blocks = -(-sub // block_size)
+        last_count = sub - (n_blocks - 1) * block_size
+
+        def run_one(k):
+            return grad_fn(theta0, k, n_blocks, last_count)
+
+    else:
+        cache_key = (
+            plan.signature(),
+            slot_key,
+            stat_key,
+            sub,
+            method_name,
+            _compile.correlator_token(correlator_cls),
+            jnp.dtype(dtype).name,
+            _compile._active_mesh_key(),
+        )
+        grad_fn = _GRAD_CACHE.get(cache_key)
+        if grad_fn is None:
+            grad_fn = _build_grad_fn(
+                plan, pairs, stat_fn, sub, correlator_cls, method_name
+            )
+            if len(_GRAD_CACHE) >= _CACHE_LIMIT:
+                _GRAD_CACHE.pop(next(iter(_GRAD_CACHE)))
+            _GRAD_CACHE[cache_key] = grad_fn
+
+        def run_one(k):
+            return grad_fn(theta0, k)
+
     try:
-        value, grads = grad_fn(theta0, key)
+        if reps is None:
+            value, grads = run_one(key)
+            value = float(value)
+            grads = np.asarray(grads, np.float64)
+            sems, value_sem = None, None
+        else:
+            vs, gs = [], []
+            for r in range(reps):
+                v, g = run_one(jax.random.fold_in(key, r))
+                vs.append(float(v))
+                gs.append(np.asarray(g, np.float64))
+            vs = np.asarray(vs)
+            gs = np.stack(gs)  # (R, P)
+            value = float(vs.mean())
+            grads = gs.mean(axis=0)
+            value_sem = float(vs.std(ddof=1) / np.sqrt(reps))
+            gsem = gs.std(axis=0, ddof=1) / np.sqrt(reps)
+            sems = {
+                pair: float(s) for pair, s in zip(pairs, gsem)
+            }
     except jax.errors.TracerBoolConversionError as exc:  # pragma: no cover
         raise ValueError(
             "A targeted parameter reaches a ppf kernel that branches on its "
             "concrete value, so it cannot be traced for differentiation: "
             f"{exc}"
         ) from None
-    value = float(value)
-    grads = np.asarray(grads, np.float64)
     if not np.all(np.isfinite(grads)) or not np.isfinite(value):
         raise FloatingPointError(
             "Non-finite sensitivity estimate (value "
@@ -330,12 +469,16 @@ def sensitivity(
             "kernel is not differentiable at the current parameters."
         )
     return SensitivityResult(
-        value, {pair: float(g) for pair, g in zip(pairs, grads)}
+        value,
+        {pair: float(g) for pair, g in zip(pairs, grads)},
+        sems=sems,
+        value_sem=value_sem,
     )
 
 
-def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls):
+def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls, method_name=None):
     """Jitted ``value_and_grad`` of the statistic over the sampling body."""
+    from probabilit_tpu.ops import qmc as _qmc
     from probabilit_tpu.parallel import mesh as _par_mesh
 
     sink_id = plan.sink._id
@@ -353,6 +496,8 @@ def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls):
     )
     sharding = _par_mesh.sample_sharding(ndim=2)
     d = plan.d
+    d_total = plan.d_total
+    lhs_total = size if method_name == "lhs" else None
 
     def value_of(theta, rng_key):
         # Swap the targeted parameters for traced scalars for the duration
@@ -363,15 +508,28 @@ def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls):
         try:
             for (node, slot), th in zip(pairs, theta):
                 _write_slot(node, slot, th)
-            # Identical draw semantics to sample(method=None)'s in-program
-            # RNG path (compile.get_program): same fold_in tag, so the
-            # correlated fast path sees the same stream.
-            gen_key = jax.random.fold_in(rng_key, 0x0D0E5)
-            quantiles = clamp_open_unit(
-                jax.random.uniform(
-                    rng_key, (size, d), dtype=config.float_dtype()
+            if method_name is None:
+                # Identical draw semantics to sample(method=None)'s
+                # in-program RNG path (compile.get_program): same fold_in
+                # tag, so the correlated fast path sees the same stream.
+                gen_key = jax.random.fold_in(rng_key, 0x0D0E5)
+                quantiles = clamp_open_unit(
+                    jax.random.uniform(
+                        rng_key, (size, d), dtype=config.float_dtype()
+                    )
                 )
-            )
+            else:
+                # QMC quantile matrix spans d_total so path-node driver
+                # slabs are consumed in quantile mode (as in sample()).
+                gen_key = None
+                quantiles = _qmc.generate(
+                    method_name,
+                    rng_key,
+                    size,
+                    d_total,
+                    config.float_dtype(),
+                    total=lhs_total,
+                )
             if sharding is not None:
                 quantiles = jax.lax.with_sharding_constraint(quantiles, sharding)
             outputs, _ = body(quantiles, gen_key=gen_key)
@@ -387,6 +545,112 @@ def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls):
                 _write_slot(node, slot, orig)
 
     return jax.jit(jax.value_and_grad(value_of, argnums=0))
+
+
+def _build_stream_grad_fn(
+    plan, pairs, block_size, method_name, lhs_total, correlator_cls
+):
+    """Jitted streamed ``(mean, grad)`` fold over device-sized blocks.
+
+    The gradient of a Chan-merged mean is the count-weighted mean of the
+    per-block gradients, so each loop iteration runs ``jax.value_and_grad``
+    of the BLOCK mean (reverse-mode differentiation never crosses the
+    ``fori_loop`` boundary — which XLA could not differentiate with a
+    traced trip count) and the merge itself is plain arithmetic.  Exact
+    for ``statistic="mean"`` at any ``size``; memory stays O(block).
+
+    Draw semantics match ``estimate()``'s XLA executor exactly:
+    ``method=None`` folds per-block threefry keys through the same
+    ``fold_in`` tags as ``compile.get_program``'s in-program RNG, QMC
+    methods slice the index-addressable sequence at block offsets — so
+    streamed values agree with ``estimate()`` and streamed QMC gradients
+    at overlapping sizes are bitwise-consistent with single-shot QMC runs
+    of the same prefix.
+    """
+    from probabilit_tpu.ops import qmc as _qmc
+    from probabilit_tpu.parallel import mesh as _par_mesh
+
+    sink_id = plan.sink._id
+    body = _compile.build_body(
+        plan,
+        correlator_cls,
+        keep_ids=frozenset([sink_id]),
+        check_finite=False,
+        generated_ok=False,
+    )
+    sharding = _par_mesh.sample_sharding(ndim=2)
+    d = plan.d
+    d_total = plan.d_total
+    n_pairs = len(pairs)
+
+    def block_mean(theta, key, b, cnt):
+        saved = [(_read_slot(n, s)) for n, s in pairs]
+        try:
+            for (node, slot), th in zip(pairs, theta):
+                _write_slot(node, slot, th)
+            dtype = config.float_dtype()
+            if method_name is None:
+                rk = jax.random.fold_in(key, b)
+                gen_key = jax.random.fold_in(rk, 0x0D0E5)
+                q = clamp_open_unit(
+                    jax.random.uniform(rk, (block_size, d), dtype=dtype)
+                )
+            else:
+                gen_key = None
+                offset = jnp.asarray(b, jnp.uint32) * jnp.uint32(block_size)
+                q = _qmc.generate(
+                    method_name,
+                    key,
+                    block_size,
+                    d_total,
+                    dtype,
+                    offset=offset,
+                    total=lhs_total,
+                )
+            if sharding is not None:
+                q = jax.lax.with_sharding_constraint(q, sharding)
+            outputs, _ = body(q, gen_key=gen_key)
+            s = outputs[sink_id]
+            if not jnp.issubdtype(s.dtype, jnp.inexact):
+                raise ValueError(
+                    "The sampled node is integer-valued; its statistic has "
+                    "no parameter derivative."
+                )
+            s = s.astype(jnp.float32)
+            mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
+            return jnp.sum(jnp.where(mask, s, 0.0)) / cnt.astype(jnp.float32)
+        finally:
+            for (node, slot), orig in zip(pairs, saved):
+                _write_slot(node, slot, orig)
+
+    vg = jax.value_and_grad(block_mean, argnums=0)
+
+    @jax.jit
+    def run(theta, key, n_blocks, last_count):
+        def fold(carry, bn, bv, bg):
+            n_prev, mv, mg = carry
+            nn = n_prev + bn
+            return (nn, mv + (bv - mv) * bn / nn, mg + (bg - mg) * bn / nn)
+
+        full = jnp.int32(block_size)
+
+        def body_fn(b, carry):
+            bv, bg = vg(theta, key, b, full)
+            return fold(carry, jnp.float32(block_size), bv, bg)
+
+        init = (
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.zeros((n_pairs,), theta.dtype),
+        )
+        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(0, nb1, body_fn, init)
+        cnt = jnp.asarray(last_count, jnp.int32)
+        bv, bg = vg(theta, key, nb1, cnt)
+        _, mv, mg = fold(carry, cnt.astype(jnp.float32), bv, bg)
+        return mv, mg
+
+    return run
 
 
 # =====================================================================

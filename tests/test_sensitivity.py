@@ -102,6 +102,103 @@ class TestContracts:
         assert "d/d(" in repr(res) and "value=" in repr(res)
 
 
+class TestStreamedSensitivity:
+    """block_size=: exact blockwise gradient accumulation at any size."""
+
+    def test_streamed_matches_analytic_and_estimate_value(self):
+        from probabilit_tpu.engine import streaming
+
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        y = 5 * x + 1
+        res = sensitivity(y, wrt=x, size=2**16, random_state=0,
+                          block_size=2**13)
+        assert res[(x, "loc")] == pytest.approx(5.0, abs=1e-3)
+        assert abs(res[(x, "scale")]) < 0.1
+        # Identical draw semantics to estimate()'s XLA executor: the
+        # streamed VALUE matches exactly (same keys, same Chan merge).
+        est = streaming.estimate(
+            y, 2**16, block_size=2**13, random_state=0, executor="xla"
+        )
+        assert res.value == pytest.approx(est["mean"], abs=1e-4)
+
+    def test_partial_last_block(self):
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        y = 5 * x + 1
+        res = sensitivity(y, wrt=x, size=2**13 + 137, random_state=1,
+                          block_size=2**13)
+        assert res[(x, "loc")] == pytest.approx(5.0, abs=1e-3)
+
+    def test_streamed_gbm_greeks(self):
+        # E[S_T] = s0 e^{mu T}: delta = e^{mu T}, d/dmu = s0 T e^{mu T},
+        # d/dsigma = 0.
+        from probabilit_tpu import GeometricBrownianMotion
+
+        gbm = GeometricBrownianMotion(
+            s0=100.0, mu=0.05, sigma=0.2, T=1.0, steps=8
+        )
+        res = sensitivity(
+            gbm.terminal(), wrt={gbm: ["s0", "mu", "sigma"]}, size=2**16,
+            random_state=0, block_size=2**13,
+        )
+        assert res[(gbm, "s0")] == pytest.approx(np.exp(0.05), rel=0.01)
+        assert res[(gbm, "mu")] == pytest.approx(100 * np.exp(0.05), rel=0.01)
+        assert abs(res[(gbm, "sigma")]) < 3.0
+
+    def test_streamed_qmc_bitwise_matches_single_shot(self):
+        # Index-addressable sobol blocks concatenate to the single-shot
+        # sequence, so the streamed QMC gradient IS the single-shot one.
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        y = (x - 1.0) ** 2
+        ss = sensitivity(y, wrt=x, size=2**13, random_state=3, method="sobol")
+        st = sensitivity(y, wrt=x, size=2**13, random_state=3,
+                         method="sobol", block_size=2**11)
+        assert st.value == pytest.approx(ss.value, abs=1e-4)
+        for pair in ss.gradients:
+            assert st[pair] == pytest.approx(ss[pair], abs=1e-4)
+
+    def test_replicates_gradient_error_bars(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        y = pt.models.graph.Exp(x)  # E = e^{1/2}; d/dloc = e^{1/2}
+        res = sensitivity(y, wrt={x: ["loc"]}, size=2**16, random_state=2,
+                          method="sobol", replicates=4, block_size=2**13)
+        want = np.exp(0.5)
+        assert res[(x, "loc")] == pytest.approx(want, rel=0.01)
+        sem = res.sems[(x, "loc")]
+        assert 0.0 <= sem < 0.02
+        assert res.value_sem is not None
+        assert res[(x, "loc")] == pytest.approx(want, abs=5 * sem + 5e-3)
+
+    def test_size_sweep_reuses_program(self):
+        # n_blocks/last_count are traced: a size sweep must not retrace
+        # (verified via timing-free identity — the cached callable).
+        from probabilit_tpu.engine import sensitivity as S
+
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        y = 3 * x
+        sensitivity(y, wrt=x, size=2**13, random_state=0, block_size=2**11)
+        n_cached = len(S._GRAD_CACHE)
+        sensitivity(y, wrt=x, size=2**14, random_state=1, block_size=2**11)
+        assert len(S._GRAD_CACHE) == n_cached
+
+    def test_validation(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        with pytest.raises(ValueError, match="statistic='mean'"):
+            sensitivity(x, wrt=x, size=2**12, block_size=2**10,
+                        statistic="q0.95")
+        a = pt.Distribution("norm", loc=0.0, scale=1.0)
+        b = pt.Distribution("norm", loc=1.0, scale=1.0)
+        s = a + b
+        s.correlate(a, b, corr_mat=np.array([[1.0, 0.5], [0.5, 1.0]]))
+        with pytest.raises(ValueError, match="correlation-free"):
+            sensitivity(s, wrt=b, size=2**12, block_size=2**10)
+        with pytest.raises(ValueError, match="replicates must be"):
+            sensitivity(x, wrt=x, size=2**12, replicates=1)
+        with pytest.raises(ValueError, match="divisible"):
+            sensitivity(x, wrt=x, size=1001, replicates=4)
+        with pytest.raises(ValueError, match="method must be"):
+            sensitivity(x, wrt=x, size=2**12, method="fourier")
+
+
 class TestValidation:
     def test_discrete_rejected(self):
         p = pt.Distribution("poisson", 4.0)
