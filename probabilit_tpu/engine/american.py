@@ -10,7 +10,7 @@ state, fitted over in-the-money paths.
 
 TPU shape: the whole backward induction is ONE ``lax.scan`` over
 reversed time whose body is a ``(B, n) @ (n, B)`` Gram matmul, a
-``B x B`` ridge solve (B = degree + 1, so the solve is trivially small
+``B x B`` ridge solve (B = the polynomial basis size, trivially small
 while the matmuls ride the MXU), and elementwise exercise selects on
 the ``(n,)`` value carry — no per-date Python, no host round trips.
 The regression state is STANDARDISED per date over the ITM paths
@@ -26,9 +26,21 @@ path sample (one forward scan) — removing the foresight (look-ahead)
 bias of in-sample LSMC, so the reported price is a genuine lower-bound
 estimator with a valid standard error.
 
-For multi-factor nodes (Heston) the regression state is the asset path
-alone — the classical LSM approximation; richer bases over the joint
-Markov state are a documented extension point.
+Multi-factor nodes regress on their FULL per-date Markov state by
+default: Heston exposes ``(asset, variance)`` through
+``_state_paths_from_increments`` and the continuation fit uses all
+total-degree monomials of the standardised joint state — with a hidden
+variance factor the asset-only basis is strictly coarser than the true
+state and its two-pass lower bound is systematically loose.  Pass
+``state="asset"`` for the classical single-factor basis, or a callable
+for arbitrary per-date feature tuples.
+
+``american_greeks`` differentiates the two-pass value pathwise with the
+exercise policy FROZEN (weights/means/stds as constants): by the
+envelope argument the value is first-order insensitive to shifts of an
+(approximately) optimal boundary, so the frozen-policy pathwise
+delta/vega/rho is consistent; the indicator's jump contributes only on
+a measure-zero boundary set for continuous path laws.
 
 >>> from probabilit_tpu import GeometricBrownianMotion
 >>> import jax.numpy as jnp
@@ -49,22 +61,65 @@ import numpy as np
 
 from probabilit_tpu import config
 
-__all__ = ["american_price"]
+__all__ = ["american_price", "american_greeks"]
 
 # Jitted (fit, evaluate) pairs cached across calls: a fresh closure per
 # call would retrace the 2x steps-long scan each time (seconds of
 # XLA compile per price).  Keyed on everything trace-relevant; payoff
 # enters by identity like every user callable in this package.
 _FN_CACHE = {}
+_GREEK_CACHE = {}
 
 
-def _basis(x, degree):
-    """Monomial features ``(n, degree + 1)`` of the scaled state."""
-    return jnp.stack([x**p for p in range(degree + 1)], axis=1)
+def _monomial_powers(n_states, degree):
+    """Exponent tuples of all total-degree-<= ``degree`` monomials.
+
+    One state: ``(0,), (1,), ..., (degree,)`` — the classical LSM basis.
+    Two states at degree 3: ten terms ``1, s, v, s^2, s v, v^2, ...`` —
+    the standard joint basis for stochastic-volatility LSMC.
+    """
+    out = []
+
+    def rec(prefix, remaining, budget):
+        if remaining == 0:
+            out.append(tuple(prefix))
+            return
+        for p in range(budget + 1):
+            rec(prefix + [p], remaining - 1, budget - p)
+
+    rec([], n_states, degree)
+    out.sort(key=lambda t: (sum(t), tuple(-p for p in t)))
+    return tuple(out)
 
 
-def _sample_paths(node, key, n, dtype, method=None):
-    """(n, steps) state paths drawn from the node's own driver law.
+def _basis(x, powers):
+    """Monomial features ``(n, B)`` of the standardised ``(n, S)`` state."""
+    feats = []
+    for pw in powers:
+        f = jnp.ones_like(x[:, 0])
+        for j, p in enumerate(pw):
+            if p:
+                f = f * x[:, j] ** p
+        feats.append(f)
+    return jnp.stack(feats, axis=1)
+
+
+def _resolve_state(node, state):
+    """-> (mode tag for the cache key, feature-select callable)."""
+    if state in (None, "auto", "joint"):
+        return "joint", None
+    if state == "asset":
+        return "asset", None
+    if callable(state):
+        return ("custom", id(state)), state
+    raise ValueError(
+        f"state must be 'auto'/'joint', 'asset', or a callable mapping "
+        f"the node's state tuple to feature paths; got {state!r}."
+    )
+
+
+def _sample_states(node, key, n, dtype, method, mode, state_fn):
+    """(asset (n, steps), features (n, steps, S)) from the node's law.
 
     ``method="sobol"/...`` drives the node through its quantile-slab
     constructor (Brownian-bridge ordering for Gaussian drivers, exactly
@@ -87,15 +142,26 @@ def _sample_paths(node, key, n, dtype, method=None):
 
         q = _qmc.generate(method, key, n, node._q_width, dtype=dtype)
         inc = node._increments_from_slab(q, dtype)
-    paths = node._path_from_increments(inc)
-    sharding = _mesh.sample_sharding(ndim=paths.ndim)
+    states = node._state_paths_from_increments(inc)
+    asset = states[0]
+    if state_fn is not None:
+        feats = tuple(state_fn(*states))
+    elif mode == "asset":
+        feats = (asset,)
+    else:
+        feats = states
+    stacked = jnp.stack(feats, axis=2)  # (n, steps, S)
+    sharding = _mesh.sample_sharding(ndim=2)
     if sharding is not None:
-        paths = jax.lax.with_sharding_constraint(paths, sharding)
-    return paths
+        asset = jax.lax.with_sharding_constraint(asset, sharding)
+    sharding3 = _mesh.sample_sharding(ndim=3)
+    if sharding3 is not None:
+        stacked = jax.lax.with_sharding_constraint(stacked, sharding3)
+    return asset, stacked
 
 
 def _standardize(s_k, itm, dtype):
-    """Per-date ITM mean/std of the state (guarded against empty ITM).
+    """Per-date ITM mean/std of each state dim (guarded against empty ITM).
 
     Standardising the regression state per exercise date is what keeps
     the monomial Gram matrix well-conditioned in float32: raw monomials
@@ -105,37 +171,39 @@ def _standardize(s_k, itm, dtype):
     unit-variance state bring the condition number down to O(10).
     """
     cnt = jnp.maximum(itm.sum(), 1.0)
-    mu = (s_k * itm).sum() / cnt
-    var = (itm * (s_k - mu) ** 2).sum() / cnt
+    mu = (s_k * itm[:, None]).sum(axis=0) / cnt
+    var = (itm[:, None] * (s_k - mu[None, :]) ** 2).sum(axis=0) / cnt
     sd = jnp.sqrt(var + jnp.asarray(1e-12, dtype))
     return mu, jnp.maximum(sd, jnp.asarray(1e-6, dtype))
 
 
-def _fit_weights(paths, payoff, degree, disc, ridge):
-    """Backward induction -> per-date ``(weights, mean, std)``.
+def _fit_weights(asset, feats, payoff, powers, disc, ridge):
+    """Backward induction -> per-date ``(weights, means, stds)``.
 
     The carry is the value vector "cashflow discounted to the CURRENT
     date"; each scan step regresses it (ITM-weighted) on the basis of
     the per-date STANDARDISED state, then replaces it where immediate
     exercise beats the fitted continuation.  Scanned over reversed
     interior dates; the terminal date exercises intrinsically and seeds
-    the carry.  The fit-time (mean, std) travel with the weights — the
+    the carry.  The fit-time (means, stds) travel with the weights — the
     policy's features are defined relative to them.
     """
-    dtype = paths.dtype
-    v = payoff(paths[:, -1])
-    eye = jnp.eye(degree + 1, dtype=dtype)
+    dtype = asset.dtype
+    nb = len(powers)
+    v = payoff(asset[:, -1])
+    eye = jnp.eye(nb, dtype=dtype)
 
-    def step(v, s_k):
+    def step(v, inp):
+        a_k, s_k = inp  # (n,), (n, S)
         v = disc * v
-        ex = payoff(s_k)
+        ex = payoff(a_k)
         itm = (ex > 0).astype(dtype)
         mu, sd = _standardize(s_k, itm, dtype)
-        phi = _basis((s_k - mu) / sd, degree)
+        phi = _basis((s_k - mu[None, :]) / sd[None, :], powers)
         phiw = phi * itm[:, None]
         with jax.default_matmul_precision("float32"):
             g = phiw.T @ phi
-            g = g + (ridge * jnp.trace(g) / (degree + 1)) * eye
+            g = g + (ridge * jnp.trace(g) / nb) * eye
             b = phiw.T @ (v * itm)
             w = jnp.linalg.solve(g, b)
             cont = phi @ w
@@ -143,20 +211,24 @@ def _fit_weights(paths, payoff, degree, disc, ridge):
         return v, (w, mu, sd)
 
     # Interior dates steps-2 .. 0 (reverse time order).
-    _, (ws, mus, sds) = jax.lax.scan(step, v, paths[:, :-1].T[::-1])
+    xs = (
+        asset[:, :-1].T[::-1],
+        jnp.transpose(feats[:, :-1, :], (1, 0, 2))[::-1],
+    )
+    _, (ws, mus, sds) = jax.lax.scan(step, v, xs)
     return ws[::-1], mus[::-1], sds[::-1]  # forward date order
 
 
-def _apply_policy(paths, payoff, degree, disc, fit):
+def _apply_policy(asset, feats, payoff, powers, disc, fit):
     """Forward pass: exercise the FITTED policy on independent paths."""
     ws, mus, sds = fit
-    n, steps = paths.shape
+    n = asset.shape[0]
 
     def step(carry, inp):
         stopped, value, df = carry
-        s_k, w, mu, sd = inp
-        ex = payoff(s_k)
-        phi = _basis((s_k - mu) / sd, degree)
+        a_k, s_k, w, mu, sd = inp
+        ex = payoff(a_k)
+        phi = _basis((s_k - mu[None, :]) / sd[None, :], powers)
         with jax.default_matmul_precision("float32"):
             cont = phi @ w
         take = (~stopped) & (ex > 0) & (ex > cont)
@@ -165,15 +237,57 @@ def _apply_policy(paths, payoff, degree, disc, fit):
 
     init = (
         jnp.zeros((n,), bool),
-        jnp.zeros((n,), paths.dtype),
-        jnp.asarray(disc, paths.dtype),
+        jnp.zeros((n,), asset.dtype),
+        jnp.asarray(disc, asset.dtype),
     )
-    (stopped, value, df), _ = jax.lax.scan(
-        step, init, (paths[:, :-1].T, ws, mus, sds)
+    xs = (
+        asset[:, :-1].T,
+        jnp.transpose(feats[:, :-1, :], (1, 0, 2)),
+        ws,
+        mus,
+        sds,
     )
+    (stopped, value, df), _ = jax.lax.scan(step, init, xs)
     # Unexercised paths cash the terminal intrinsic value.
-    value = jnp.where(stopped, value, df * payoff(paths[:, -1]))
+    value = jnp.where(stopped, value, df * payoff(asset[:, -1]))
     return value, stopped
+
+
+def _validate_common(node, payoff, degree, size, method):
+    if method is not None and str(method).lower().strip() not in (
+        "sobol",
+        "halton",
+        "lhs",
+        "antithetic",
+    ):
+        raise ValueError(
+            "method must be None, 'sobol', 'halton', 'lhs' or "
+            f"'antithetic', got {method!r}."
+        )
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}.")
+    if size < 2 * (degree + 1):
+        raise ValueError(f"size={size} is too small for degree {degree}.")
+    if node.steps < 2:
+        raise ValueError("American exercise needs a grid with steps >= 2.")
+
+
+def _n_states(node, mode, state_fn):
+    if state_fn is not None or mode == "joint":
+        # Probe the state arity cheaply via abstract evaluation: one
+        # tiny increment draw at trace level only.
+        dtype = config.float_dtype()
+        states = jax.eval_shape(
+            lambda k: node._state_paths_from_increments(
+                node._increments(k, 2, dtype)
+            ),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+        )
+        n = len(states)
+        if state_fn is not None:
+            return None  # determined inside the trace
+        return n
+    return 1
 
 
 def american_price(
@@ -187,6 +301,7 @@ def american_price(
     two_pass=True,
     ridge=1e-6,
     method=None,
+    state="auto",
 ):
     """Longstaff-Schwartz price of ``payoff`` exercisable on the grid.
 
@@ -204,6 +319,15 @@ def american_price(
     in-sample backward-induction estimate (slight upward foresight
     bias, half the cost).
 
+    ``state`` selects the continuation-regression state: ``"auto"`` /
+    ``"joint"`` (default) uses the node's full per-date Markov state —
+    for Heston the (asset, variance) pair with all total-degree
+    monomial cross terms; ``"asset"`` forces the classical asset-only
+    basis; a callable receives the node's state paths (each
+    ``(n, steps)``) and returns a tuple of feature paths (arbitrary
+    user state, e.g. ``lambda s, v: (s, v, s * v)``).  The payoff
+    always applies to the node's observable path.
+
     ``method="sobol"`` (or halton/lhs/antithetic) drives the paths with
     a low-discrepancy sequence through the node's Brownian-bridge slab
     constructor — fit and evaluation passes use independently keyed
@@ -219,28 +343,15 @@ def american_price(
     ``se``, ``exercise_fraction`` (paths stopped before T), and
     ``weights`` (per-date regression coefficients, forward order).
     """
-    if method is not None and str(method).lower().strip() not in (
-        "sobol",
-        "halton",
-        "lhs",
-        "antithetic",
-    ):
-        raise ValueError(
-            "method must be None, 'sobol', 'halton', 'lhs' or "
-            f"'antithetic', got {method!r}."
-        )
-    if degree < 1:
-        raise ValueError(f"degree must be >= 1, got {degree}.")
-    if size < 2 * (degree + 1):
-        raise ValueError(f"size={size} is too small for degree {degree}.")
+    _validate_common(node, payoff, degree, size, method)
+    mode, state_fn = _resolve_state(node, state)
     steps = node.steps
-    if steps < 2:
-        raise ValueError("American exercise needs a grid with steps >= 2.")
     dtype = config.float_dtype()
     dt = node.T / steps
     disc = math.exp(-float(rate) * dt)
     key = jax.random.PRNGKey(int(random_state))
     k_fit, k_eval = jax.random.split(key)
+    method = None if method is None else str(method).lower().strip()
 
     x0 = None
     for attr in ("s0", "x0", "v0"):
@@ -255,9 +366,10 @@ def american_price(
         id(payoff),
         size,
         degree,
+        mode,
         float(rate),
         float(ridge),
-        None if method is None else str(method).lower().strip(),
+        method,
         jnp.dtype(dtype).name,
         _compile._active_mesh_key(),
     )
@@ -266,17 +378,25 @@ def american_price(
 
         @jax.jit
         def fit(k):
-            paths = _sample_paths(node, k, size, dtype, method)
-            fitted = _fit_weights(paths, payoff, degree, disc, ridge)
+            asset, feats = _sample_states(
+                node, k, size, dtype, method, mode, state_fn
+            )
+            powers = _monomial_powers(feats.shape[2], degree)
+            fitted = _fit_weights(asset, feats, payoff, powers, disc, ridge)
             # In-sample estimate: the fitted policy on the SAME paths
             # (equals classic LSM, foresight bias included).
-            value, stopped = _apply_policy(paths, payoff, degree, disc, fitted)
+            value, stopped = _apply_policy(
+                asset, feats, payoff, powers, disc, fitted
+            )
             return fitted, value, stopped
 
         @jax.jit
         def evaluate(k, fitted):
-            paths = _sample_paths(node, k, size, dtype, method)
-            return _apply_policy(paths, payoff, degree, disc, fitted)
+            asset, feats = _sample_states(
+                node, k, size, dtype, method, mode, state_fn
+            )
+            powers = _monomial_powers(feats.shape[2], degree)
+            return _apply_policy(asset, feats, payoff, powers, disc, fitted)
 
         if len(_FN_CACHE) > 32:
             _FN_CACHE.pop(next(iter(_FN_CACHE)))
@@ -297,3 +417,159 @@ def american_price(
         "exercise_fraction": float(np.asarray(stopped).mean()),
         "weights": np.asarray(fitted[0]),
     }
+
+
+def american_greeks(
+    node,
+    payoff,
+    *,
+    rate=0.0,
+    wrt=None,
+    size=1 << 17,
+    degree=3,
+    random_state=0,
+    ridge=1e-6,
+    method=None,
+    state="auto",
+):
+    """Pathwise Greeks of the two-pass LSMC price under a FROZEN policy.
+
+    Fits the exercise policy at the current parameters (pass 1, exactly
+    as ``american_price``), freezes it (``stop_gradient`` on the
+    per-date weights/means/stds), and differentiates the second-pass
+    value — the fitted policy applied to an independent path sample —
+    pathwise with respect to the node's differentiable parameters and
+    the discount ``rate``.
+
+    Validity: with the policy frozen, the two-pass value is an ordinary
+    smooth pathwise expectation except on the measure-zero set where a
+    path touches the exercise boundary; and by the envelope argument the
+    price of an OPTIMALLY exercised claim is first-order insensitive to
+    boundary perturbations, so freezing an approximately-optimal policy
+    leaves the Greeks consistent to the same order as the price itself
+    (the standard frozen-boundary argument for LSMC sensitivities).
+
+    ``wrt`` defaults to every differentiable slot of the node
+    (``_param_slots``: GBM s0/mu/sigma; Heston s0/mu/rho/v0) plus
+    ``"rate"``.  Returns a dict ``{"price", "se", slot: gradient, ...}``
+    where ``price`` is the two-pass mean (NO max with immediate
+    exercise — the max kink has no derivative; compare against
+    ``american_price``'s value when the option is deep ITM at t=0).
+
+    >>> from probabilit_tpu import GeometricBrownianMotion
+    >>> import jax.numpy as jnp
+    >>> gbm = GeometricBrownianMotion(s0=40.0, mu=0.06, sigma=0.2, T=1.0,
+    ...                               steps=16)
+    >>> g = american_greeks(gbm, lambda s: jnp.maximum(40.0 - s, 0.0),
+    ...                     rate=0.06, size=2**14, random_state=0)
+    >>> bool(-1.0 < g["s0"] < 0.0)   # ATM American put delta
+    True
+    """
+    _validate_common(node, payoff, degree, size, method)
+    mode, state_fn = _resolve_state(node, state)
+    slots = list(getattr(node, "_param_slots", ()))
+    if wrt is None:
+        wrt = slots + ["rate"]
+    wrt = list(wrt)
+    if not wrt:
+        raise ValueError("wrt is empty.")
+    for s in wrt:
+        if s != "rate" and s not in slots:
+            raise ValueError(
+                f"{type(node).__name__} has no differentiable parameter "
+                f"{s!r}; available: {slots + ['rate']}."
+            )
+    steps = node.steps
+    dtype = config.float_dtype()
+    dt = node.T / steps
+    key = jax.random.PRNGKey(int(random_state))
+    k_fit, k_eval = jax.random.split(key)
+    method = None if method is None else str(method).lower().strip()
+
+    # Pass 1: fit the policy at the current parameters (shares
+    # american_price's cached fit program via the same cache key shape).
+    res = american_price(
+        node,
+        payoff,
+        rate=rate,
+        size=size,
+        degree=degree,
+        random_state=random_state,
+        two_pass=False,
+        ridge=ridge,
+        method=method,
+        state=state,
+    )
+    # Re-fit to obtain the full fitted tuple (weights/means/stds): the
+    # cached fit program returns it without recompiling.
+    from probabilit_tpu.engine import compile as _compile
+
+    cache_key = (
+        node._static_signature(),
+        id(payoff),
+        size,
+        degree,
+        mode,
+        float(rate),
+        float(ridge),
+        method,
+        jnp.dtype(dtype).name,
+        _compile._active_mesh_key(),
+    )
+    fit, _ = _FN_CACHE[cache_key]
+    fitted, _, _ = fit(k_fit)
+    fitted = jax.tree_util.tree_map(jax.lax.stop_gradient, fitted)
+
+    slot_key = tuple(wrt)
+    gkey = cache_key + (slot_key, "greeks")
+    vg = _GREEK_CACHE.get(gkey)
+    if vg is None:
+
+        def value_of(theta, k, fitted_in):
+            saved = [
+                getattr(node, s) for s in wrt if s != "rate"
+            ]
+            try:
+                rate_term = jnp.asarray(float(rate), dtype)
+                for s, th in zip(wrt, theta):
+                    if s == "rate":
+                        rate_term = th
+                    else:
+                        setattr(node, s, th)
+                asset, feats = _sample_states(
+                    node, k, size, dtype, method, mode, state_fn
+                )
+                powers = _monomial_powers(feats.shape[2], degree)
+                disc_t = jnp.exp(-rate_term * jnp.asarray(dt, dtype))
+                value, _ = _apply_policy(
+                    asset, feats, payoff, powers, disc_t, fitted_in
+                )
+                return jnp.mean(value)
+            finally:
+                it = iter(saved)
+                for s in wrt:
+                    if s != "rate":
+                        setattr(node, s, next(it))
+
+        vg = jax.jit(jax.value_and_grad(value_of, argnums=0))
+        if len(_GREEK_CACHE) > 32:
+            _GREEK_CACHE.pop(next(iter(_GREEK_CACHE)))
+        _GREEK_CACHE[gkey] = vg
+
+    theta0 = jnp.asarray(
+        [
+            float(rate) if s == "rate" else float(getattr(node, s))
+            for s in wrt
+        ],
+        dtype,
+    )
+    value, grads = vg(theta0, k_eval, fitted)
+    grads = np.asarray(grads, np.float64)
+    if not np.all(np.isfinite(grads)):
+        raise FloatingPointError(
+            f"Non-finite American greeks: {grads.tolist()}."
+        )
+    out = {"price": float(value), "se": res["se"]}
+    for s, g in zip(wrt, grads):
+        out[s] = float(g)
+    return out

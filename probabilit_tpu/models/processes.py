@@ -148,6 +148,43 @@ class PathDistribution(PathFunctionalMixin, AbstractDistribution):
     def _increments_from_slab(self, slab, dtype):
         raise NotImplementedError
 
+    def _state_paths_from_increments(self, inc):
+        """Full per-date Markov state: a tuple of ``(n, steps)`` arrays.
+
+        Entry 0 is the node's observable path (what ``_emit`` returns).
+        Multi-factor families override this to expose their hidden
+        factors (Heston: the variance path) so state-aware consumers —
+        the joint-basis LSMC regression in ``engine/american.py`` — can
+        condition on the complete state instead of the asset alone.
+        """
+        return (self._path_from_increments(inc),)
+
+    def _regrid(self, steps):
+        """Same family/parameters on a ``steps``-point grid.
+
+        Exact-law families override this (with ``_increments_from_normals``)
+        so multilevel Monte Carlo (engine/mlmc.py) can couple grid
+        hierarchies through shared Brownian drivers.
+        """
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support grid refinement; "
+            "multilevel estimation needs an SDE node or an exact-law "
+            "Gaussian-driven family (Brownian/GBM/OU)."
+        )
+
+    def _increments_from_normals(self, z, dtype):
+        """Per-step increments from iid N(0,1) drivers ``z`` (n, steps).
+
+        The exact-law MLMC coupling hook: fine and coarse grids share
+        one Brownian path by renormalised sums of ``z``.  Only defined
+        for families whose per-step randomness is exactly one standard
+        normal.
+        """
+        raise NotImplementedError(
+            f"{type(self).__name__} is not driven by one standard normal "
+            "per step; no exact-law grid coupling exists."
+        )
+
     def _bridge_z(self, slab, dtype):
         """Uniform slab -> iid N(0,1) increments, Brownian-bridge ordered.
 
@@ -227,15 +264,22 @@ class BrownianPath(PathDistribution):
             self.steps,
         )
 
-    def _increments(self, key, n, dtype):
+    def _increments_from_normals(self, z, dtype):
         dt = self.T / self.steps
-        z = jax.random.normal(key, (n, self.steps), dtype)
         return self.drift * dt + self.diffusion * (dt**0.5) * z
 
+    def _regrid(self, steps):
+        return BrownianPath(
+            x0=self.x0, drift=self.drift, diffusion=self.diffusion,
+            T=self.T, steps=steps,
+        )
+
+    def _increments(self, key, n, dtype):
+        z = jax.random.normal(key, (n, self.steps), dtype)
+        return self._increments_from_normals(z, dtype)
+
     def _increments_from_slab(self, slab, dtype):
-        dt = self.T / self.steps
-        z = self._bridge_z(slab, dtype)
-        return self.drift * dt + self.diffusion * (dt**0.5) * z
+        return self._increments_from_normals(self._bridge_z(slab, dtype), dtype)
 
     def _path_from_increments(self, inc):
         return self.x0 + jnp.cumsum(inc, axis=1)
@@ -272,19 +316,23 @@ class GBMPath(PathDistribution):
     def _static_signature(self):
         return ("GBMPath", self.s0, self.mu, self.sigma, self.T, self.steps)
 
-    def _increments(self, key, n, dtype):
+    def _increments_from_normals(self, z, dtype):
         dt = self.T / self.steps
-        z = jax.random.normal(key, (n, self.steps), dtype)
         return (self.mu - 0.5 * self.sigma**2) * dt + self.sigma * (
             dt**0.5
         ) * z
 
+    def _regrid(self, steps):
+        return GBMPath(
+            s0=self.s0, mu=self.mu, sigma=self.sigma, T=self.T, steps=steps
+        )
+
+    def _increments(self, key, n, dtype):
+        z = jax.random.normal(key, (n, self.steps), dtype)
+        return self._increments_from_normals(z, dtype)
+
     def _increments_from_slab(self, slab, dtype):
-        dt = self.T / self.steps
-        z = self._bridge_z(slab, dtype)
-        return (self.mu - 0.5 * self.sigma**2) * dt + self.sigma * (
-            dt**0.5
-        ) * z
+        return self._increments_from_normals(self._bridge_z(slab, dtype), dtype)
 
     def _path_from_increments(self, inc):
         return self.s0 * jnp.exp(jnp.cumsum(inc, axis=1))
@@ -341,21 +389,27 @@ class OUPath(PathDistribution):
         theta = jnp.asarray(self.theta, dtype)
         return jnp.exp(-theta * (self.T / self.steps)), theta
 
-    def _increments(self, key, n, dtype):
+    def _increments_from_normals(self, z, dtype):
         a, theta = self._decay(dtype)
         b = self.mu * (1.0 - a)
         c = self.sigma * jnp.sqrt((1.0 - a * a) / (2.0 * theta))
-        z = jax.random.normal(key, (n, self.steps), dtype)
         return b + c * z
+
+    def _regrid(self, steps):
+        return OUPath(
+            x0=self.x0, theta=self.theta, mu=self.mu, sigma=self.sigma,
+            T=self.T, steps=steps,
+        )
+
+    def _increments(self, key, n, dtype):
+        z = jax.random.normal(key, (n, self.steps), dtype)
+        return self._increments_from_normals(z, dtype)
 
     def _increments_from_slab(self, slab, dtype):
         # Bridge ordering still helps: the OU path is a decay-weighted
         # accumulation of these iid innovations, so the terminal-first
         # ordering keeps most of the variance in the leading QMC dims.
-        a, theta = self._decay(dtype)
-        b = self.mu * (1.0 - a)
-        c = self.sigma * jnp.sqrt((1.0 - a * a) / (2.0 * theta))
-        return b + c * self._bridge_z(slab, dtype)
+        return self._increments_from_normals(self._bridge_z(slab, dtype), dtype)
 
     def _path_from_increments(self, inc):
         a, _ = self._decay(inc.dtype)

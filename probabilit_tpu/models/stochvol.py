@@ -150,10 +150,10 @@ class CIRPath(PathDistribution):
     (no truncation/reflection fixes).
     """
 
-    # Parameters shape the chi-square DRIVER LAW (df depends on
-    # kappa/theta/sigma), so pathwise derivatives that hold the drivers
-    # fixed are invalid; no differentiable slots.
-    _param_slots = ()
+    # kappa/theta/sigma shape the chi-square DRIVER LAW (df), so
+    # pathwise derivatives that hold the drivers fixed are invalid for
+    # them; v0 enters only the smooth scan given the drivers.
+    _param_slots = ("v0",)
 
     def __init__(self, v0=0.04, kappa=1.0, theta=0.04, sigma=0.2, T=1.0, steps=252):
         self.v0, self.kappa, self.theta, self.sigma = _validate_cir(
@@ -224,7 +224,10 @@ class HestonPath(PathDistribution):
     (Euler is O(dt) and needs ad-hoc fixes near V = 0).
     """
 
-    _param_slots = ()
+    # kappa/theta/sigma shape the chi-square DRIVER LAW (df) — no valid
+    # pathwise derivative holding drivers fixed; s0/mu/rho/v0 enter only
+    # the smooth path map given the drivers, so they ARE differentiable.
+    _param_slots = ("s0", "mu", "rho", "v0")
 
     def __init__(
         self,
@@ -303,7 +306,15 @@ class HestonPath(PathDistribution):
         zv, y = _cir_drivers_slab(slab[:, s : 2 * s], slab[:, 2 * s :], df, dtype)
         return jnp.stack([zs, zv, y], axis=2)
 
-    def _path_from_increments(self, inc):
+    def _state_paths_from_increments(self, inc):
+        """(asset, variance) — the complete per-date Markov state.
+
+        The joint-basis LSMC regression (engine/american.py) conditions
+        on BOTH: with a hidden variance factor, an asset-only
+        continuation regression is strictly coarser than the true
+        Markov state and its two-pass lower bound is systematically
+        loose (Longstaff-Schwartz 2001 §8 discuss the state choice).
+        """
         dtype = inc.dtype
         dt = self.T / self.steps
         e, c, _ = self._constants()
@@ -316,13 +327,18 @@ class HestonPath(PathDistribution):
         brownian_v = (
             v - v_prev - self.kappa * self.theta * dt + self.kappa * integral
         ) / self.sigma
+        # jnp (not math) sqrt: rho is a differentiable slot and may be a
+        # traced scalar under sensitivity()/american_greeks().
         dlog = (
             self.mu * dt
             - 0.5 * integral
             + self.rho * brownian_v
-            + math.sqrt(1.0 - self.rho * self.rho) * jnp.sqrt(integral) * zs
+            + jnp.sqrt(1.0 - self.rho * self.rho) * jnp.sqrt(integral) * zs
         )
-        return self.s0 * jnp.exp(jnp.cumsum(dlog, axis=1))
+        return (self.s0 * jnp.exp(jnp.cumsum(dlog, axis=1)), v)
+
+    def _path_from_increments(self, inc):
+        return self._state_paths_from_increments(inc)[0]
 
 
 def CoxIngersollRoss(v0=0.04, kappa=1.0, theta=0.04, sigma=0.2, T=1.0, steps=252):

@@ -113,6 +113,130 @@ class TestOtherNodes:
         assert res["price"] < 40.0
 
 
+class TestJointStateLSMC:
+    """Multi-factor continuation regression on the full Markov state."""
+
+    _put10 = staticmethod(lambda s: jnp.maximum(10.0 - s, 0.0))
+
+    def test_heston_joint_beats_asset_basis_vs_fd_benchmark(self):
+        # Ikonen-Toivanen (2007) American put FD reference: K=10, r=0.1,
+        # T=0.25, v0=0.0625, kappa=5, theta=0.16, sigma=0.9, rho=0.1;
+        # price(s0=9) = 1.1080.  The joint (S, V) basis must beat the
+        # asset-only two-pass lower bound by > 3 SE (same seeds: the
+        # difference is common-random-number paired) and sit within the
+        # benchmark's reach from below.
+        h = Heston(
+            s0=9.0, mu=0.1, v0=0.0625, kappa=5.0, theta=0.16, sigma=0.9,
+            rho=0.1, T=0.25, steps=50,
+        )
+        pj = american_price(
+            h, self._put10, rate=0.1, size=1 << 16, random_state=0,
+            state="joint",
+        )
+        pa = american_price(
+            h, self._put10, rate=0.1, size=1 << 16, random_state=0,
+            state="asset",
+        )
+        se = max(pj["se"], pa["se"])
+        assert pj["price"] - pa["price"] > 3.0 * se
+        ref = 1.1080
+        assert pj["price"] < ref + 3 * pj["se"]  # genuine lower bound
+        assert pj["price"] > ref * 0.985  # and a tight one
+
+    def test_joint_is_default_for_heston(self):
+        h = Heston(
+            s0=9.0, mu=0.1, v0=0.0625, kappa=5.0, theta=0.16, sigma=0.9,
+            rho=0.1, T=0.25, steps=20,
+        )
+        auto = american_price(h, self._put10, rate=0.1, size=1 << 14,
+                              random_state=1)
+        joint = american_price(h, self._put10, rate=0.1, size=1 << 14,
+                               random_state=1, state="joint")
+        assert auto["price"] == joint["price"]
+        # Joint basis at degree 3 in 2 states: 10 monomials per date.
+        assert auto["weights"].shape == (19, 10)
+
+    def test_custom_state_callable(self):
+        h = Heston(
+            s0=9.0, mu=0.1, v0=0.0625, kappa=5.0, theta=0.16, sigma=0.9,
+            rho=0.1, T=0.25, steps=20,
+        )
+        res = american_price(
+            h, self._put10, rate=0.1, size=1 << 14, random_state=2,
+            state=lambda s, v: (s, jnp.sqrt(v)),
+        )
+        assert res["weights"].shape == (19, 10)
+        assert 0.9 < res["price"] < 1.3
+
+    def test_single_factor_unchanged_by_state_modes(self):
+        gbm = GeometricBrownianMotion(s0=36.0, mu=0.06, sigma=0.2, T=1.0,
+                                      steps=20)
+        a = american_price(gbm, _put(40.0), rate=0.06, size=1 << 14,
+                           random_state=3, state="asset")
+        j = american_price(gbm, _put(40.0), rate=0.06, size=1 << 14,
+                           random_state=3, state="joint")
+        assert a["price"] == j["price"]
+
+
+class TestAmericanGreeks:
+    """Frozen-policy pathwise delta/vega/rho."""
+
+    def test_gbm_put_greeks_match_finite_differences(self):
+        from probabilit_tpu.engine.american import american_greeks
+
+        put = _put(40.0)
+        gbm = GeometricBrownianMotion(s0=40.0, mu=0.06, sigma=0.2, T=1.0,
+                                      steps=16)
+        g = american_greeks(gbm, put, rate=0.06, size=1 << 16,
+                            random_state=0)
+        assert set(g) >= {"price", "se", "s0", "mu", "sigma", "rate"}
+
+        def price_at(s0, sigma):
+            node = GeometricBrownianMotion(s0=s0, mu=0.06, sigma=sigma,
+                                           T=1.0, steps=16)
+            return american_price(node, put, rate=0.06, size=1 << 16,
+                                  random_state=0)["price"]
+
+        eps = 0.25
+        fd_delta = (price_at(40 + eps, 0.2) - price_at(40 - eps, 0.2)) / (
+            2 * eps
+        )
+        fd_vega = (price_at(40, 0.21) - price_at(40, 0.19)) / 0.02
+        # ATM American put: delta in (-1, 0), positive vega.
+        assert -1.0 < g["s0"] < 0.0
+        assert g["sigma"] > 0.0
+        assert g["s0"] == pytest.approx(fd_delta, abs=0.02)
+        assert g["sigma"] == pytest.approx(fd_vega, rel=0.05)
+        # Longer discounting lowers the put value.
+        assert g["rate"] < 0.0
+
+    def test_wrt_subset_and_validation(self):
+        from probabilit_tpu.engine.american import american_greeks
+
+        put = _put(40.0)
+        gbm = GeometricBrownianMotion(s0=36.0, mu=0.06, sigma=0.2, T=1.0,
+                                      steps=8)
+        g = american_greeks(gbm, put, rate=0.06, wrt=["s0"], size=1 << 13,
+                            random_state=1)
+        assert set(g) == {"price", "se", "s0"}
+        with pytest.raises(ValueError, match="no differentiable parameter"):
+            american_greeks(gbm, put, wrt=["kappa"], size=1 << 12)
+
+    def test_heston_delta(self):
+        from probabilit_tpu.engine.american import american_greeks
+
+        h = Heston(
+            s0=9.0, mu=0.1, v0=0.0625, kappa=5.0, theta=0.16, sigma=0.9,
+            rho=0.1, T=0.25, steps=16,
+        )
+        g = american_greeks(
+            h, lambda s: jnp.maximum(10.0 - s, 0.0), rate=0.1,
+            wrt=["s0", "rate"], size=1 << 14, random_state=2,
+        )
+        assert -1.0 < g["s0"] < -0.3  # ITM-ish put delta
+        assert g["rate"] < 0.0
+
+
 class TestValidation:
     def test_rejects_bad_arguments(self):
         gbm = GeometricBrownianMotion(s0=40.0, mu=0.06, sigma=0.2, steps=10)
@@ -123,6 +247,8 @@ class TestValidation:
         one_step = GeometricBrownianMotion(s0=40.0, mu=0.06, sigma=0.2, steps=1)
         with pytest.raises(ValueError, match="steps"):
             american_price(one_step, _put(40.0))
+        with pytest.raises(ValueError, match="state must be"):
+            american_price(gbm, _put(40.0), state="volatility")
 
 
 class TestMesh:
