@@ -49,9 +49,9 @@ __all__ = ["mlmc_estimate"]
 
 
 def _level_kernel(
-    drift, diffusion, payoff, x0, T, m0, refine, scheme, level, rows, method=None
+    make_node, payoff, m0, refine, level, rows, method=None
 ):
-    """Jitted ``(key, count) -> (sum, sum_sq, fine_sum, fine_sum_sq)``.
+    """Jitted ``(key, count, start) -> (sum, sum_sq, fine_sum, fine_sum_sq)``.
 
     Level 0 samples the coarsest grid alone; level l >= 1 samples the
     coupled correction P_l - P_{l-1}, the coarse drivers being the
@@ -60,18 +60,16 @@ def _level_kernel(
     standard-normal driver for the SAME Brownian path).  The block shape
     is static; ``count`` masks the active rows so every call reuses one
     compiled program.
-    """
-    from probabilit_tpu.models.sde import SDEPath
 
+    ``make_node(steps)`` builds the path node for a grid: a discretised
+    ``SDEPath`` for the callable API, or an exact-law family regrid
+    (``_regrid``) for node inputs — either way the z -> path map is the
+    node's own ``_increments_from_normals`` + ``_path_from_increments``,
+    so the kernel runs the same code the graph engine compiles.
+    """
     steps_f = m0 * refine**level
-    fine = SDEPath(drift, diffusion, x0=x0, T=T, steps=steps_f, scheme=scheme)
-    coarse = (
-        None
-        if level == 0
-        else SDEPath(
-            drift, diffusion, x0=x0, T=T, steps=steps_f // refine, scheme=scheme
-        )
-    )
+    fine = make_node(steps_f)
+    coarse = None if level == 0 else make_node(steps_f // refine)
     dtype = config.float_dtype()
     inv_sqrt_r = 1.0 / math.sqrt(refine)
 
@@ -98,12 +96,19 @@ def _level_kernel(
         sharding = _mesh.sample_sharding(ndim=2)
         if sharding is not None:
             z = jax.lax.with_sharding_constraint(z, sharding)
-        pf = payoff(fine._path_from_increments(z))
+        pf = payoff(
+            fine._path_from_increments(fine._increments_from_normals(z, dtype))
+        )
         if coarse is None:
             d = pf
         else:
             zc = z.reshape(rows, steps_f // refine, refine).sum(axis=2) * inv_sqrt_r
-            d = pf - payoff(coarse._path_from_increments(zc))
+            pc = payoff(
+                coarse._path_from_increments(
+                    coarse._increments_from_normals(zc, dtype)
+                )
+            )
+            d = pf - pc
         mask = (jnp.arange(rows) < count).astype(d.dtype)
         dm = d * mask
         pm = pf * mask
@@ -167,10 +172,10 @@ class _LevelState:
 
 def mlmc_estimate(
     drift,
-    diffusion,
-    payoff,
+    diffusion=None,
+    payoff=None,
     *,
-    x0,
+    x0=None,
     T=1.0,
     eps=1e-2,
     m0=4,
@@ -184,12 +189,29 @@ def mlmc_estimate(
 ):
     """Adaptive multilevel Monte Carlo estimate of ``E[payoff(paths)]``.
 
+    Two calling conventions:
+
+    ``mlmc_estimate(drift, diffusion, payoff, x0=..., ...)`` —
     ``drift``/``diffusion`` follow the ``SDE`` node contract
-    (elementwise callables of ``(t, x)``); ``payoff`` maps an
-    ``(n, steps)`` path matrix to ``(n,)`` values with jnp ops and must
-    be meaningful on every grid in the hierarchy (terminal values,
-    averages, smooth functions thereof — discretely-monitored extrema
-    carry their own grid bias, which multilevel cannot remove).
+    (elementwise callables of ``(t, x)``).
+
+    ``mlmc_estimate(node, payoff, eps=...)`` — ``node`` is a path node
+    speaking the framework's modeling language: an ``SDE`` node (its
+    drift/diffusion/x0/T/scheme are used directly; ``steps`` is ignored
+    — the level hierarchy supplies the grids) or an exact-law
+    Gaussian-driven family (``GeometricBrownianMotion`` /
+    ``BrownianMotion`` / ``OrnsteinUhlenbeck``), which couples levels
+    through SHARED bridged drivers with every grid carrying the exact
+    marginal law — corrections then measure only the payoff functional's
+    grid refinement (a terminal payoff's corrections are exactly zero;
+    Asian/discretely-monitored functionals converge with no scheme
+    bias on any level).
+
+    ``payoff`` maps an ``(n, steps)`` path matrix to ``(n,)`` values
+    with jnp ops and must be meaningful on every grid in the hierarchy
+    (terminal values, averages, smooth functions thereof —
+    discretely-monitored extrema carry their own grid bias, which
+    multilevel cannot remove).
 
     Runs Giles' adaptive algorithm to RMS accuracy ``eps``: per-level
     sample counts minimise total cost subject to the variance budget
@@ -211,6 +233,54 @@ def mlmc_estimate(
     cost of plain MC at the same accuracy on the finest grid — the
     speedup denominator).
     """
+    from probabilit_tpu.models.processes import PathDistribution
+    from probabilit_tpu.models.sde import SDEPath
+
+    if isinstance(drift, PathDistribution):
+        node = drift
+        if payoff is None:
+            payoff = diffusion  # mlmc_estimate(node, payoff, ...)
+        if payoff is None:
+            raise ValueError(
+                "mlmc_estimate(node, payoff, ...): a payoff callable is "
+                "required."
+            )
+        if x0 is not None:
+            raise ValueError(
+                "x0 comes from the node; do not pass it separately."
+            )
+        if isinstance(node, SDEPath):
+            # The node carries the whole SDE spec; the level hierarchy
+            # supplies the grids (node.steps is ignored).
+            def make_path(steps):
+                return node._regrid(steps)
+
+            T = node.T
+        else:
+            # Exact-law coupling: _regrid raises a family-specific error
+            # for non-Gaussian-driven nodes (Merton/CIR/Heston/...).
+            probe = node._regrid(2)
+            probe._increments_from_normals(
+                jnp.zeros((1, 2), config.float_dtype()), config.float_dtype()
+            )
+
+            def make_path(steps):
+                return node._regrid(steps)
+
+            T = node.T
+    else:
+        if diffusion is None or payoff is None or x0 is None:
+            raise ValueError(
+                "mlmc_estimate(drift, diffusion, payoff, x0=...) needs all "
+                "of drift, diffusion, payoff and x0 (or pass a path node "
+                "as the first argument)."
+            )
+
+        def make_path(steps):
+            return SDEPath(
+                drift, diffusion, x0=x0, T=T, steps=steps, scheme=scheme
+            )
+
     if method is not None:
         name = str(method).lower().strip()
         if name == "lhs":
@@ -245,8 +315,7 @@ def mlmc_estimate(
         # the sample axis divides any practical mesh.
         rows = block_rows or max(64, ((1 << 22) // max(steps_f, 1)) // 64 * 64)
         kernel, steps_f = _level_kernel(
-            drift, diffusion, payoff, x0, T, m0, refine, scheme, level, rows,
-            method=method,
+            make_path, payoff, m0, refine, level, rows, method=method
         )
         cost = steps_f + (steps_f // refine if level else 0)
         return _LevelState(kernel, steps_f, cost, rows)

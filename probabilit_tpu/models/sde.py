@@ -110,6 +110,17 @@ class SDEPath(PathDistribution):
     def _increments_from_slab(self, slab, dtype):
         return self._bridge_z(slab, dtype)
 
+    def _increments_from_normals(self, z, dtype):
+        # The discretisation scales the raw normals itself inside the
+        # scheme scan; the MLMC coupling hook is the identity.
+        return z
+
+    def _regrid(self, steps):
+        return SDEPath(
+            self.drift, self.diffusion, x0=self.x0, T=self.T,
+            steps=steps, scheme=self.scheme,
+        )
+
     def _eval(self, fn, t, x):
         """User callable -> (n,)-shaped array (constants broadcast)."""
         return jnp.broadcast_to(jnp.asarray(fn(t, x), x.dtype), x.shape)

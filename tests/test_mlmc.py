@@ -74,13 +74,79 @@ class TestEstimate:
                 mlmc_estimate(drift, diff, _call, x0=100.0, **kw)
 
 
+class TestNodeAPI:
+    """mlmc_estimate(node, payoff, ...): path nodes drive the hierarchy."""
+
+    def test_sde_node_matches_callable_api(self):
+        from probabilit_tpu import SDE
+
+        drift, diff = _gbm()
+        r1 = mlmc_estimate(drift, diff, _call, x0=100.0, eps=0.15,
+                           random_state=0)
+        # node.steps is ignored: the level hierarchy supplies the grids,
+        # so the SAME keys give the IDENTICAL estimate.
+        sde = SDE(drift, diff, x0=100.0, T=1.0, steps=999)
+        r2 = mlmc_estimate(sde, _call, eps=0.15, random_state=0)
+        assert r2["mean"] == r1["mean"]
+        assert r2["levels"] == r1["levels"]
+        assert r2["n_per_level"] == r1["n_per_level"]
+
+    def test_gbm_exact_law_terminal_coupling_is_exact(self):
+        # Exact-law coupling: the coarse GBM terminal from renormalised
+        # driver sums IS the fine terminal, so every correction is zero
+        # and a single level carries the whole estimate.
+        from probabilit_tpu import GeometricBrownianMotion
+
+        gbm = GeometricBrownianMotion(
+            s0=100.0, mu=0.05, sigma=0.2, T=1.0, steps=4
+        )
+        res = mlmc_estimate(gbm, _call, eps=0.2, random_state=1)
+        assert res["variances"][1] < 1e-8
+        want = 10.4506 * math.exp(0.05)  # e^{rT} x BS(100,100,0.2,1)
+        assert abs(res["mean"] - want) < 3 * 0.2
+
+    def test_gbm_exact_law_asian_corrections_decay(self):
+        # For a grid functional (time average) the corrections measure
+        # pure functional refinement with NO scheme bias at any level.
+        from probabilit_tpu import GeometricBrownianMotion
+
+        gbm = GeometricBrownianMotion(
+            s0=100.0, mu=0.05, sigma=0.2, T=1.0, steps=4
+        )
+        asian = lambda p: jnp.maximum(jnp.mean(p, axis=1) - 100.0, 0.0)
+        res = mlmc_estimate(gbm, asian, eps=0.05, random_state=0)
+        v = res["variances"]
+        assert len(v) >= 3
+        assert v[1] / v[-1] > 4.0  # decaying corrections
+
+    def test_node_api_validation(self):
+        from probabilit_tpu import GeometricBrownianMotion, MertonJumpDiffusion
+
+        gbm = GeometricBrownianMotion(s0=100.0, mu=0.05, sigma=0.2, steps=4)
+        with pytest.raises(ValueError, match="x0 comes from the node"):
+            mlmc_estimate(gbm, _call, x0=1.0)
+        with pytest.raises(ValueError, match="payoff"):
+            mlmc_estimate(gbm)
+        # Families whose per-step randomness is not one standard normal
+        # have no exact-law grid coupling.
+        mj = MertonJumpDiffusion(s0=100.0, steps=4)
+        with pytest.raises(NotImplementedError, match="grid refinement"):
+            mlmc_estimate(mj, _call, eps=0.1)
+
+
 class TestCoupling:
     def _level_state(self, level, scheme, n=20000, seed=0):
+        from probabilit_tpu.models.sde import SDEPath
+
         drift, diff = _gbm()
         rows = 4096
-        kernel, steps = _level_kernel(
-            drift, diff, _call, 100.0, 1.0, 4, 4, scheme, level, rows
-        )
+
+        def make_node(steps):
+            return SDEPath(
+                drift, diff, x0=100.0, T=1.0, steps=steps, scheme=scheme
+            )
+
+        kernel, steps = _level_kernel(make_node, _call, 4, 4, level, rows)
         st = _LevelState(kernel, steps, steps, rows)
         st.extend(jax.random.PRNGKey(seed), n)
         return st
@@ -113,18 +179,19 @@ class TestCoupling:
         # Zero diffusion makes the path deterministic; the coupled
         # correction is then exactly the quadrature difference of the
         # two grids — checks the driver plumbing end to end.
-        kernel, _ = _level_kernel(
-            lambda t, x: jnp.cos(t),
-            lambda t, x: 0.0,
-            lambda p: p[:, -1],
-            0.0,
-            1.0,
-            4,
-            4,
-            "euler",
-            1,
-            64,
-        )
+        from probabilit_tpu.models.sde import SDEPath
+
+        def make_node(steps):
+            return SDEPath(
+                lambda t, x: jnp.cos(t),
+                lambda t, x: 0.0,
+                x0=0.0,
+                T=1.0,
+                steps=steps,
+                scheme="euler",
+            )
+
+        kernel, _ = _level_kernel(make_node, lambda p: p[:, -1], 4, 4, 1, 64)
         s1, _, _, _ = (float(v) for v in np.asarray(kernel(jax.random.PRNGKey(0), 64, 0)))
         dt_f, dt_c = 1 / 16, 1 / 4
         want = np.cos(dt_f * np.arange(16)).sum() * dt_f - np.cos(
