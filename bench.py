@@ -71,6 +71,30 @@ def bench_flagship(n=100_000_000, repeats=5):
         f"max {max(times) * 1e3:.1f})"
     )
 
+    # A/B the fused all-finite guard (VERDICT r3 #1): same program with
+    # check_finite=False prices the per-dispatch reduction the round-3
+    # guard added to every megakernel run.  The production path always
+    # checks; this arm exists so the artifact attributes the cost.
+    fn_nf = pallas_exec.run_jitted(plan, n, check_finite=False)
+    float(jnp.mean(fn_nf(0)[0][sink._id]))  # compile
+    nf_times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.mean(fn_nf(i + 1)[0][sink._id]))
+        nf_times.append(time.perf_counter() - t0)
+    med_nf = float(np.median(nf_times))
+    spread.update(
+        {
+            "flagship_ms_median_nofinite": med_nf * 1e3,
+            "finite_flag_cost_ms": (med - med_nf) * 1e3,
+            "finite_flag_cost_pct": (med / med_nf - 1.0) * 100.0,
+        }
+    )
+    log(
+        f"flagship no-finite-flag median {med_nf * 1e3:.1f} ms -> guard "
+        f"costs {(med - med_nf) * 1e3:+.1f} ms ({(med / med_nf - 1) * 100:+.1f}%)"
+    )
+
     # Latency decomposition: wall(n) over the axon tunnel is affine with a
     # ~30 ms dispatch+fetch intercept (measured constant from n=1e6 to
     # 4e8), so the 1e8 headline understates the chip.  An 8x run plus the
@@ -552,6 +576,72 @@ def bench_sobol_indices(size=1 << 20, repeats=2):
     return best * 1e3
 
 
+def bench_sensitivity_stream(size=1_000_000_000):
+    """Streamed pathwise gradients at 1e9 draws (round-4 capability).
+
+    Two workloads, both ONE jitted fold with per-block VJP cotangents
+    (engine/sensitivity.py:_build_stream_grad_fn):
+
+    - the 20-node DAG's parameter gradients (d mean / d loc & scale of
+      its normal FX leaf and the lognormal price leaf) at 1e9 draws;
+    - GBM terminal delta/vega/d-mu at 2^30 paths x 8 steps (the
+      gradients have closed forms: delta = e^{mu T}, d/dmu = s0 T e^{mu
+      T}, d/dsigma = 0 — printed for the log as a correctness check).
+
+    The reference has no autodiff at all; finite differences at this
+    scale would cost 2P re-simulations per parameter set.
+    """
+    from probabilit_tpu import GeometricBrownianMotion, sensitivity
+    from probabilit_tpu.engine import compile as _compile
+    from probabilit_tpu.models import benchmarks
+
+    sink = benchmarks.mixed_dag_20()
+    plan = _compile.get_plan(sink)
+    targets = [
+        node
+        for node in plan.isns
+        if getattr(node, "distr", None) in ("norm", "lognorm")
+    ][:2]
+    t0 = time.perf_counter()
+    res = sensitivity(
+        sink, wrt=targets, size=size, random_state=0, block_size=1 << 24
+    )
+    dag_s = time.perf_counter() - t0
+    log(
+        f"streamed DAG gradients (1e9 draws, {len(res.gradients)} params): "
+        f"{dag_s:.2f}s incl. compile, value={res.value:.4g}"
+    )
+    t0 = time.perf_counter()
+    res = sensitivity(
+        sink, wrt=targets, size=size, random_state=1, block_size=1 << 24
+    )
+    dag_s = time.perf_counter() - t0
+    log(f"streamed DAG gradients steady-state: {dag_s:.2f}s")
+
+    gbm = GeometricBrownianMotion(s0=100.0, mu=0.05, sigma=0.2, T=1.0, steps=8)
+    t0 = time.perf_counter()
+    g = sensitivity(
+        gbm.terminal(),
+        wrt={gbm: ["s0", "mu", "sigma"]},
+        size=1 << 30,
+        random_state=0,
+        block_size=1 << 21,
+    )
+    gbm_s = time.perf_counter() - t0
+    want = float(np.exp(0.05))
+    log(
+        f"streamed GBM greeks (2^30 paths x 8 steps): {gbm_s:.2f}s incl. "
+        f"compile; delta={g[(gbm, 's0')]:.5f} (exact {want:.5f}), "
+        f"dmu={g[(gbm, 'mu')]:.3f} (exact {100 * want:.3f}), "
+        f"dsigma={g[(gbm, 'sigma')]:.3f} (exact 0)"
+    )
+    return {
+        "grad_stream_dag_1e9_s": dag_s,
+        "grad_stream_gbm_2p30x8_s": gbm_s,
+        "grad_stream_gbm_delta_relerr": abs(g[(gbm, "s0")] / want - 1.0),
+    }
+
+
 def _release_device_memory():
     """Drop dead device buffers between benchmarks.
 
@@ -590,6 +680,8 @@ def main():
     _release_device_memory()
     sobol_ms = bench_sobol_indices()
     _release_device_memory()
+    grad_stream = bench_sensitivity_stream()
+    _release_device_memory()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
 
@@ -610,6 +702,7 @@ def main():
                     "streaming_size_sweep_3e8_s": sweep_s,
                     "large_table_471knot_ns_per_sample": table_ns,
                     "sobol_indices_20node_10x1m_ms": sobol_ms,
+                    **grad_stream,
                     **dependence,
                     "gbm_barrier_2p21x252_ms": paths_ms,
                     "american_lsmc_2p18x50_ms": american_ms,

@@ -30,7 +30,7 @@ from probabilit_tpu.models.factories import (
 )
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
-from probabilit_tpu.engine.american import american_price
+from probabilit_tpu.engine.american import american_greeks, american_price
 from probabilit_tpu.engine.mlmc import mlmc_estimate
 from probabilit_tpu.engine.streaming import estimate, estimate_many, sample_streaming
 from probabilit_tpu.engine.importance import suggest_tilt, tilted
@@ -66,6 +66,7 @@ __all__ = [
     "estimate_many",
     "sample_streaming",
     "mlmc_estimate",
+    "american_greeks",
     "american_price",
     "tilted",
     "suggest_tilt",

@@ -749,7 +749,7 @@ def run(plan, seed, n, keep_ids=None):
     }
 
 
-def run_jitted(plan, n, keep_ids=None):
+def run_jitted(plan, n, keep_ids=None, check_finite=True):
     """Jitted entry keyed by seed; cached by the caller per plan.
 
     Returns ``(outputs, finite_flag)`` — the same contract as
@@ -760,15 +760,22 @@ def run_jitted(plan, n, keep_ids=None):
     correlated ones.  (A reserved string key in the outputs dict would
     not work: jit sorts pytree dict keys, and int node-ids don't compare
     with strings.)
+
+    ``check_finite=False`` skips the reduction and returns a constant
+    True flag — the A/B arm bench.py uses to price the guard (the
+    production sampler always checks).
     """
     keep = None if keep_ids is None else frozenset(keep_ids)
 
     def fn(seed):
         outputs = run(plan, seed, n, keep)
         flag = jnp.bool_(True)
-        for value in outputs.values():
-            if value is not None and jnp.issubdtype(value.dtype, jnp.inexact):
-                flag = jnp.logical_and(flag, jnp.all(jnp.isfinite(value)))
+        if check_finite:
+            for value in outputs.values():
+                if value is not None and jnp.issubdtype(
+                    value.dtype, jnp.inexact
+                ):
+                    flag = jnp.logical_and(flag, jnp.all(jnp.isfinite(value)))
         return outputs, flag
 
     return jax.jit(fn)
