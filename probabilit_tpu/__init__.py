@@ -37,6 +37,7 @@ from probabilit_tpu.engine.importance import suggest_tilt, tilted
 from probabilit_tpu.models.processes import (
     BrownianMotion,
     CorrelatedGBM,
+    CorrelatedMerton,
     GeometricBrownianMotion,
     MertonJumpDiffusion,
     OrnsteinUhlenbeck,
@@ -45,7 +46,7 @@ from probabilit_tpu.models.processes import (
 from probabilit_tpu.models.levy import NormalInverseGaussian, VarianceGamma
 from probabilit_tpu.models.markov import MarkovChain, RegimeSwitchingGBM
 from probabilit_tpu.models.sde import SDE
-from probabilit_tpu.models.stochvol import CoxIngersollRoss, Heston
+from probabilit_tpu.models.stochvol import CorrelatedHeston, CoxIngersollRoss, Heston
 
 __version__ = "0.1.0"
 
@@ -83,10 +84,12 @@ __all__ = [
     "PoissonProcess",
     "MertonJumpDiffusion",
     "CorrelatedGBM",
+    "CorrelatedMerton",
     "VarianceGamma",
     "NormalInverseGaussian",
     "CoxIngersollRoss",
     "Heston",
+    "CorrelatedHeston",
     "SDE",
     "MarkovChain",
     "RegimeSwitchingGBM",

@@ -47,6 +47,7 @@ __all__ = [
     "PoissonProcess",
     "MertonJumpDiffusion",
     "CorrelatedGBM",
+    "CorrelatedMerton",
     "PathDistribution",
     "PathFunctional",
 ]
@@ -703,7 +704,101 @@ def MertonJumpDiffusion(
     )
 
 
-class CorrelatedGBMPaths(PathDistribution):
+def _recolor_assets(z, chol):
+    """(n, steps, d) iid drivers -> correlated drivers along the asset axis.
+
+    An unrolled lower-triangular mul-add chain rather than a
+    ``(d, d)`` matmul: d is tiny, so a matmul wastes the MXU (lane
+    padding to 128) and fuses worse than elementwise work.  Note the
+    last-ULP caveat: the CPU backend contracts this chain's mul-adds
+    shape-dependently inside the streaming fori_loop body, so joint
+    nodes' streamed runs match single-shot runs to ~1 ULP rather than
+    bitwise (scalar path nodes, with no cross-asset mixing, stay
+    bitwise); mesh invariance IS bitwise because resharding does not
+    change the compiled block shapes.
+    """
+    cols = []
+    for i in range(chol.shape[0]):
+        acc = z[:, :, 0] * float(chol[i, 0])
+        for j in range(1, i + 1):
+            if chol[i, j] != 0.0:
+                acc = acc + z[:, :, j] * float(chol[i, j])
+        cols.append(acc)
+    return jnp.stack(cols, axis=2)
+
+
+class JointAssetPaths(PathDistribution):
+    """Base for joint multi-asset path nodes: ``(n, d, steps)`` emissions.
+
+    A joint node samples all ``d`` assets from ONE coupled law (shared
+    recolored drivers, common jump streams, ...); users never touch it
+    directly — the family factories (``CorrelatedGBM``,
+    ``CorrelatedMerton``, ``CorrelatedHeston``) return per-asset
+    :class:`AssetPath` views, each carrying the full functional API.
+
+    Subclasses validate their parameters through :meth:`_asset_params`
+    (first axis = asset), produce per-step joint increments shaped
+    ``(n, steps, d)`` (or any array whose leading two axes are
+    sample/time), and by default build log-price paths
+    ``s0 * exp(cumsum)``; families with a different path map (Heston's
+    variance-conditioned scheme) override ``_path_from_increments``.
+    """
+
+    # NOT a scalar path surface: the emission is (n, d, steps), so
+    # PathFunctional must reject it (a functional here would silently
+    # reduce over the WRONG axis — op='terminal' would return the last
+    # asset's whole path).  Use the per-asset AssetPath views.
+    _is_path = False
+
+    @staticmethod
+    def _asset_params(name, s0, corr, **params):
+        """Validated ``(d, corr, {name: (d,) float64 vector})``.
+
+        ``s0`` fixes the asset count; every other parameter must either
+        match its length or be a true scalar (which broadcasts — a
+        LIST of length one does not, that is a length mismatch).
+        """
+        import numpy as np
+
+        s0 = np.asarray(s0, np.float64).ravel()
+        d = s0.shape[0]
+        if d < 2:
+            raise ValueError(f"{name} needs >= 2 assets, got {d}.")
+        out = {"s0": s0}
+        for k, v in params.items():
+            a = np.asarray(v, np.float64)
+            out[k] = np.full(d, float(a)) if a.ndim == 0 else a.ravel()
+        if any(v.shape != (d,) for v in out.values()):
+            raise ValueError(
+                "/".join(out) + " must have equal lengths; got "
+                + "/".join(str(v.shape[0]) for v in out.values()) + "."
+            )
+        corr = np.asarray(corr, np.float64)
+        if corr.shape != (d, d):
+            raise ValueError(f"corr must be ({d}, {d}), got {corr.shape}.")
+        return d, corr, out
+
+    def views(self):
+        """One :class:`AssetPath` per asset, in parameter order."""
+        return tuple(AssetPath(self, i) for i in range(self.d))
+
+    def _path_from_increments(self, inc):
+        """(n, d, steps) price paths from (n, steps, d) log-increments."""
+        logpath = jnp.cumsum(inc, axis=1)  # cumulative along time
+        s0 = jnp.asarray(self.s0, inc.dtype)
+        # (n, d, steps): asset-major so each view slices contiguously.
+        return jnp.transpose(s0[None, None, :] * jnp.exp(logpath), (0, 2, 1))
+
+    # The joint node's own functional API is ambiguous (which asset?);
+    # use the per-asset views.
+    def _functional(self, op, index=None):
+        raise TypeError(
+            "Apply functionals to a per-asset view (the factory's "
+            "returned nodes), not the joint node."
+        )
+
+
+class CorrelatedGBMPaths(JointAssetPaths):
     """Joint (n, d, steps) geometric-Brownian paths with correlated drivers.
 
     The d assets' log-increments share a constant instantaneous
@@ -717,33 +812,15 @@ class CorrelatedGBMPaths(PathDistribution):
     carries the full functional API (terminal/max/min/average/at).
     """
 
-    # NOT a scalar path surface: its emission is (n, d, steps), so
-    # PathFunctional must reject it (a functional here would silently
-    # reduce over the WRONG axis — op='terminal' would return the last
-    # asset's whole path).  Use the per-asset AssetPath views.
-    _is_path = False
-
     def __init__(self, s0, mu, sigma, corr, T=1.0, steps=252):
-        import numpy as np
-
-        s0 = np.asarray(s0, np.float64).ravel()
-        mu = np.asarray(mu, np.float64).ravel()
-        sigma = np.asarray(sigma, np.float64).ravel()
-        corr = np.asarray(corr, np.float64)
-        d = s0.shape[0]
-        if d < 2:
-            raise ValueError(f"CorrelatedGBM needs >= 2 assets, got {d}.")
-        if mu.shape != (d,) or sigma.shape != (d,):
-            raise ValueError(
-                f"s0/mu/sigma must have equal lengths; got "
-                f"{d}/{mu.shape[0]}/{sigma.shape[0]}."
-            )
+        d, corr, p = self._asset_params(
+            "CorrelatedGBM", s0, corr, mu=mu, sigma=sigma
+        )
+        s0, mu, sigma = p["s0"], p["mu"], p["sigma"]
         if not (s0 > 0).all():
             raise ValueError("Every s0 must be positive.")
         if not (sigma > 0).all():
             raise ValueError("Every sigma must be positive.")
-        if corr.shape != (d, d):
-            raise ValueError(f"corr must be ({d}, {d}), got {corr.shape}.")
         from probabilit_tpu.ops.copulas import corr_cholesky
 
         chol, _ = corr_cholesky(corr)
@@ -800,27 +877,10 @@ class CorrelatedGBMPaths(PathDistribution):
         return self._recolor(z, self.T / self.steps, dtype)
 
     def _recolor(self, z, dt, dtype):
-        # Recolor along the asset axis; f32 matmul precision pinned like
-        # every statistics-bearing matmul in this package (CLAUDE.md).
-        with jax.default_matmul_precision("float32"):
-            zc = z @ jnp.asarray(self._chol.T, dtype)
+        zc = _recolor_assets(z, self._chol)
         drift = jnp.asarray((self.mu - 0.5 * self.sigma**2) * dt, dtype)
         vol = jnp.asarray(self.sigma * dt**0.5, dtype)
         return drift + vol * zc  # (n, steps, d) log-increments
-
-    def _path_from_increments(self, inc):
-        logpath = jnp.cumsum(inc, axis=1)  # cumulative along time
-        s0 = jnp.asarray(self.s0, inc.dtype)
-        # (n, d, steps): asset-major so each view slices contiguously.
-        return jnp.transpose(s0[None, None, :] * jnp.exp(logpath), (0, 2, 1))
-
-    # The joint node's own functional API is ambiguous (which asset?);
-    # use the per-asset views.
-    def _functional(self, op, index=None):
-        raise TypeError(
-            "Apply functionals to a per-asset view (CorrelatedGBM's "
-            "returned nodes), not the joint node."
-        )
 
 
 class AssetPath(PathFunctionalMixin, Transform):
@@ -829,9 +889,10 @@ class AssetPath(PathFunctionalMixin, Transform):
     _vector_valued = True
 
     def __init__(self, joint, asset):
-        if not isinstance(joint, CorrelatedGBMPaths):
+        if not isinstance(joint, JointAssetPaths):
             raise TypeError(
-                f"AssetPath views a CorrelatedGBMPaths node, got {joint!r}."
+                "AssetPath views a joint multi-asset paths node "
+                f"(CorrelatedGBM/CorrelatedMerton/CorrelatedHeston), got {joint!r}."
             )
         asset = int(asset)
         if not 0 <= asset < joint.d:
@@ -872,3 +933,283 @@ def CorrelatedGBM(s0, mu, sigma, corr, T=1.0, steps=252):
     """
     joint = CorrelatedGBMPaths(s0, mu, sigma, corr, T=T, steps=steps)
     return tuple(AssetPath(joint, i) for i in range(joint.d))
+
+
+class CorrelatedMertonPaths(JointAssetPaths):
+    """Joint (n, d, steps) Merton jump-diffusion paths — exact per step.
+
+    Three independent exact layers build each grid step's log-increment
+    vector (``dt = T / steps``):
+
+    * **Correlated diffusion** — one ``(n, steps, d)`` standard-normal
+      draw recolored by the Cholesky factor of ``corr`` along the asset
+      axis (one small MXU matmul), scaled per asset: the instantaneous
+      Brownian correlation is ``corr`` exactly at every horizon.
+    * **Idiosyncratic jumps** — per asset, ``K ~ Poisson(rate_i dt)``
+      and the summed normal jumps exactly ``N(K jm_i, K js_i^2)`` given
+      the count (the same conditioning as :class:`MertonJumpPath`: no
+      small-``dt`` "at most one jump" approximation).  ``rate_i = 0``
+      switches asset ``i``'s idiosyncratic jumps off.
+    * **Common (systemic) jumps** — one SHARED count ``K_c ~
+      Poisson(common_rate dt)`` with summed size ``X ~ N(K_c cm, K_c
+      cs^2)`` hits asset ``i``'s log price as ``loadings_i * X``:
+      simultaneous crashes across the book, the co-movement a diffusive
+      correlation matrix cannot produce (Merton 1976's jump term made
+      cross-sectional).
+
+    Every grid slice carries the joint process's exact law, so the
+    log-terminal moments are closed-form (and tested):
+
+        E ln(S_Ti/s0_i) = [mu_i - sigma_i^2/2 + rate_i jm_i
+                           + load_i cm common_rate] T
+        Var ln S_Ti     = [sigma_i^2 + rate_i (jm_i^2 + js_i^2)
+                           + load_i^2 common_rate (cm^2 + cs^2)] T
+        Cov(ln S_Ti, ln S_Tj) = [sigma_i sigma_j corr_ij
+                           + load_i load_j common_rate (cm^2 + cs^2)] T
+
+    Use the ``CorrelatedMerton`` factory for per-asset views.
+    """
+
+    def __init__(
+        self,
+        s0,
+        mu,
+        sigma,
+        corr,
+        jump_rate=1.0,
+        jump_mean=0.0,
+        jump_std=0.1,
+        common_rate=0.0,
+        common_mean=0.0,
+        common_std=0.0,
+        loadings=1.0,
+        T=1.0,
+        steps=252,
+    ):
+        d, corr, p = self._asset_params(
+            "CorrelatedMerton",
+            s0,
+            corr,
+            mu=mu,
+            sigma=sigma,
+            jump_rate=jump_rate,
+            jump_mean=jump_mean,
+            jump_std=jump_std,
+            loadings=loadings,
+        )
+        if not (p["s0"] > 0).all():
+            raise ValueError("Every s0 must be positive.")
+        if not (p["sigma"] > 0).all():
+            raise ValueError("Every sigma must be positive.")
+        if not (p["jump_rate"] >= 0).all():
+            raise ValueError("Every jump_rate must be >= 0.")
+        if not (p["jump_std"] >= 0).all():
+            raise ValueError("Every jump_std must be >= 0.")
+        common_rate, common_std = float(common_rate), float(common_std)
+        if not common_rate >= 0:
+            raise ValueError(f"common_rate must be >= 0, got {common_rate}.")
+        if not common_std >= 0:
+            raise ValueError(f"common_std must be >= 0, got {common_std}.")
+        from probabilit_tpu.ops.copulas import corr_cholesky
+
+        chol, _ = corr_cholesky(corr)
+        self.s0 = p["s0"]
+        self.mu = p["mu"]
+        self.sigma = p["sigma"]
+        self.jump_rate = p["jump_rate"]
+        self.jump_mean = p["jump_mean"]
+        self.jump_std = p["jump_std"]
+        self.loadings = p["loadings"]
+        self.common_rate = common_rate
+        self.common_mean = float(common_mean)
+        self.common_std = common_std
+        self.corr = corr
+        self._chol = chol
+        self.d = d
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return (
+            f"CorrelatedMertonPaths(d={self.d}, common_rate="
+            f"{self.common_rate:g}, T={self.T:g}, steps={self.steps})"
+        )
+
+    def _static_signature(self):
+        return (
+            "CorrelatedMertonPaths",
+            self.s0.tobytes(),
+            self.mu.tobytes(),
+            self.sigma.tobytes(),
+            self.jump_rate.tobytes(),
+            self.jump_mean.tobytes(),
+            self.jump_std.tobytes(),
+            self.loadings.tobytes(),
+            self.common_rate,
+            self.common_mean,
+            self.common_std,
+            self.corr.tobytes(),
+            self.T,
+            self.steps,
+        )
+
+    @property
+    def _q_width(self):
+        # Per (asset, step): diffusion normal + jump-count uniform +
+        # summed-jump normal; plus one shared count/size pair per step
+        # when the common stream is on.
+        w = 3 * self.d * self.steps
+        return w + (2 * self.steps if self.common_rate > 0 else 0)
+
+    def _idio_counts(self, u):
+        """(n, steps, d) jump counts from per-asset Poisson inverse CDFs.
+
+        Per-asset STATIC rates keep each inversion on the baked-CDF
+        table fast path (ops/ppf.py poisson); zero-rate assets skip the
+        draw entirely.
+        """
+        from probabilit_tpu.ops import ppf as _ppf
+
+        dt = self.T / self.steps
+        cols = []
+        for a in range(self.d):
+            rate = float(self.jump_rate[a])
+            if rate == 0.0:
+                cols.append(jnp.zeros(u.shape[:2], u.dtype))
+            else:
+                cols.append(
+                    _ppf.call("poisson", u[:, :, a], mu=rate * dt).astype(u.dtype)
+                )
+        return jnp.stack(cols, axis=2)
+
+    def _increments(self, key, n, dtype):
+        from probabilit_tpu.ops import ppf as _ppf
+        from probabilit_tpu.ops.qmc import clamp_open_unit
+
+        dt = self.T / self.steps
+        kz, ku, kj, kcu, kcz = jax.random.split(key, 5)
+        z = jax.random.normal(kz, (n, self.steps, self.d), dtype)
+        u = clamp_open_unit(
+            jax.random.uniform(ku, (n, self.steps, self.d), dtype=dtype)
+        )
+        k_idio = self._idio_counts(u)
+        zj = jax.random.normal(kj, (n, self.steps, self.d), dtype)
+        if self.common_rate > 0:
+            uc = clamp_open_unit(
+                jax.random.uniform(kcu, (n, self.steps), dtype=dtype)
+            )
+            k_common = _ppf.call(
+                "poisson", uc, mu=self.common_rate * dt
+            ).astype(dtype)
+            zc2 = jax.random.normal(kcz, (n, self.steps), dtype)
+        else:
+            k_common = zc2 = None
+        return self._combine(z, k_idio, zj, k_common, zc2, dtype)
+
+    def _increments_from_slab(self, slab, dtype):
+        from probabilit_tpu.ops import bridge as _bridge
+        from probabilit_tpu.ops import ppf as _ppf
+        from probabilit_tpu.ops import special as _special
+
+        # Slab layout [d bridged diffusion blocks | d count blocks |
+        # d size blocks | common count | common size], asset-major
+        # within each section: the diffusion normals carry most of the
+        # variance for typical parameters, so they own the leading QMC
+        # dimensions (each block bridge-ordered: dims 0, steps, ... set
+        # the terminal levels basket payoffs care about).
+        s, d = self.steps, self.d
+        dt = self.T / s
+        z = jnp.stack(
+            [
+                _bridge.normal_increments(slab[:, a * s : (a + 1) * s], dtype)
+                for a in range(d)
+            ],
+            axis=2,
+        )
+        u = jnp.stack(
+            [slab[:, (d + a) * s : (d + a + 1) * s].astype(dtype) for a in range(d)],
+            axis=2,
+        )
+        k_idio = self._idio_counts(u)
+        zj = jnp.stack(
+            [
+                _special.ndtri_fast(
+                    slab[:, (2 * d + a) * s : (2 * d + a + 1) * s].astype(dtype)
+                )
+                for a in range(d)
+            ],
+            axis=2,
+        )
+        if self.common_rate > 0:
+            off = 3 * d * s
+            k_common = _ppf.call(
+                "poisson",
+                slab[:, off : off + s].astype(dtype),
+                mu=self.common_rate * dt,
+            ).astype(dtype)
+            zc2 = _special.ndtri_fast(slab[:, off + s :].astype(dtype))
+        else:
+            k_common = zc2 = None
+        return self._combine(z, k_idio, zj, k_common, zc2, dtype)
+
+    def _combine(self, z, k_idio, zj, k_common, zc2, dtype):
+        dt = self.T / self.steps
+        zc = _recolor_assets(z, self._chol)
+        drift = jnp.asarray((self.mu - 0.5 * self.sigma**2) * dt, dtype)
+        vol = jnp.asarray(self.sigma * dt**0.5, dtype)
+        jm = jnp.asarray(self.jump_mean, dtype)
+        js = jnp.asarray(self.jump_std, dtype)
+        inc = drift + vol * zc + jm * k_idio + js * jnp.sqrt(k_idio) * zj
+        if k_common is not None:
+            common = self.common_mean * k_common + self.common_std * jnp.sqrt(
+                k_common
+            ) * zc2  # (n, steps) summed systemic jump sizes
+            inc = inc + jnp.asarray(self.loadings, dtype) * common[:, :, None]
+        return inc  # (n, steps, d) log-increments
+
+
+def CorrelatedMerton(
+    s0,
+    mu,
+    sigma,
+    corr,
+    jump_rate=1.0,
+    jump_mean=0.0,
+    jump_std=0.1,
+    common_rate=0.0,
+    common_mean=0.0,
+    common_std=0.0,
+    loadings=1.0,
+    T=1.0,
+    steps=252,
+):
+    """d correlated Merton jump-diffusions sharing one exact joint draw.
+
+    Correlated diffusive Brownians (``corr``), per-asset idiosyncratic
+    compound-Poisson-normal jumps, and an optional COMMON systemic jump
+    stream hitting every asset through ``loadings`` — see
+    :class:`CorrelatedMertonPaths` for the exact per-step law and the
+    closed-form log-terminal moments.  Returns one :class:`AssetPath`
+    view per asset:
+
+    >>> a, b = CorrelatedMerton([100, 50], [0.03, 0.02], [0.2, 0.3],
+    ...                         [[1, 0.5], [0.5, 1]], jump_rate=[0.5, 1.0],
+    ...                         jump_mean=-0.05, common_rate=0.2,
+    ...                         common_mean=-0.1, common_std=0.05, steps=16)
+    >>> basket = 0.5 * a.terminal() + 0.5 * b.terminal()
+    """
+    joint = CorrelatedMertonPaths(
+        s0,
+        mu,
+        sigma,
+        corr,
+        jump_rate=jump_rate,
+        jump_mean=jump_mean,
+        jump_std=jump_std,
+        common_rate=common_rate,
+        common_mean=common_mean,
+        common_std=common_std,
+        loadings=loadings,
+        T=T,
+        steps=steps,
+    )
+    return joint.views()

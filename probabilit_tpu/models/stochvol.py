@@ -48,9 +48,16 @@ import math
 import jax
 import jax.numpy as jnp
 
-from probabilit_tpu.models.processes import PathDistribution
+from probabilit_tpu.models.processes import JointAssetPaths, PathDistribution
 
-__all__ = ["CoxIngersollRoss", "Heston", "CIRPath", "HestonPath"]
+__all__ = [
+    "CoxIngersollRoss",
+    "Heston",
+    "CorrelatedHeston",
+    "CIRPath",
+    "HestonPath",
+    "CorrelatedHestonPaths",
+]
 
 
 def _cir_constants(kappa, theta, sigma, dt):
@@ -378,3 +385,248 @@ def Heston(
         T=T,
         steps=steps,
     )
+
+
+def _cir_scan_multi(v0, e, c, z, y, dtype):
+    """(n, steps, d) exact CIR paths, one parameter set per asset.
+
+    The per-asset transition constants broadcast along the trailing
+    asset axis of the ``(n, d)`` carry; the scan body is the same four
+    elementwise ops as the scalar :func:`_cir_scan`.
+    """
+    e = jnp.asarray(e, dtype)  # (d,)
+    c = jnp.asarray(c, dtype)
+    ratio = e / c
+
+    def step(v, zy):
+        z_k, y_k = zy  # (n, d)
+        shifted = z_k + jnp.sqrt(v * ratio)
+        v_next = c * (shifted * shifted + y_k)
+        return v_next, v_next
+
+    init = jnp.broadcast_to(
+        jnp.asarray(v0, dtype), (z.shape[0], z.shape[2])
+    )
+    # scan over the time axis: drivers laid out (steps, n, d).
+    _, vs = jax.lax.scan(
+        step, init, (jnp.moveaxis(z, 1, 0), jnp.moveaxis(y, 1, 0))
+    )
+    return jnp.moveaxis(vs, 0, 1)  # (n, steps, d)
+
+
+class CorrelatedHestonPaths(JointAssetPaths):
+    """Joint (n, d, steps) Heston assets with correlated price drivers.
+
+    Each asset runs its own EXACT CIR variance path (noncentral
+    chi-square transitions, independent variance drivers across assets)
+    and Andersen's broken scheme conditional on it, exactly as the
+    single-asset :class:`HestonPath` — the per-asset marginal law is
+    identical to ``Heston(...)`` with the same parameters.  Cross-asset
+    dependence targets ``corr(dW_Si, dW_Sj) = corr_ij`` for the ASSET
+    Brownians: splitting ``W_Si = rho_i B_i + sqrt(1 - rho_i^2) Z_i``
+    (``B_i`` the variance driver, ``Z_i`` idiosyncratic) and recoloring
+    the idiosyncratic block with
+
+        Q_ij = corr_ij / sqrt((1 - rho_i^2)(1 - rho_j^2)),   Q_ii = 1
+
+    gives ``corr(W_Si, W_Sj) = corr_ij`` exactly, because the variance
+    drivers are mutually independent.  Feasibility therefore requires
+    ``Q`` positive definite — in particular ``|corr_ij| <
+    sqrt((1 - rho_i^2)(1 - rho_j^2))``: strong leverage caps how much
+    diffusive cross-correlation the model can carry (the remainder is
+    exactly the co-movement a common-variance-driver extension would
+    add).  The joint construction raises an informative error outside
+    the feasible set.
+
+    Log-terminal correlation is the conditional-Gaussian mixture
+    ``corr_ij * E[sum_k sqrt(I_ki I_kj)] / sqrt(E[sum I_i] E[sum I_j])``
+    (``I`` the per-step integrated variances): exactly ``corr_ij`` in
+    the deterministic-variance limit and Cauchy-Schwarz-attenuated
+    below it for finite vol-of-vol.
+
+    Use the ``CorrelatedHeston`` factory for per-asset views.
+    """
+
+    def __init__(self, s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=252):
+        import numpy as np
+
+        d, corr, p = self._asset_params(
+            "CorrelatedHeston",
+            s0,
+            corr,
+            mu=mu,
+            v0=v0,
+            kappa=kappa,
+            theta=theta,
+            sigma=sigma,
+            rho=rho,
+        )
+        if not (p["s0"] > 0).all():
+            raise ValueError("Every s0 must be positive.")
+        if not (np.abs(p["rho"]) < 1).all():
+            raise ValueError("Every rho must be in (-1, 1).")
+        for a in range(d):
+            _validate_cir(
+                p["v0"][a], p["kappa"][a], p["theta"][a], p["sigma"][a],
+                what=f"v0[{a}]",
+            )
+        from probabilit_tpu.ops.copulas import corr_cholesky
+
+        # corr must be a valid correlation matrix in its own right...
+        corr_cholesky(corr)
+        # ...AND the implied idiosyncratic correlation must be one too.
+        scale = np.sqrt(1.0 - p["rho"] ** 2)
+        Q = corr / np.outer(scale, scale)
+        np.fill_diagonal(Q, 1.0)
+        try:
+            chol_q = np.linalg.cholesky(Q)
+        except np.linalg.LinAlgError:
+            raise ValueError(
+                "corr is infeasible with these leverage rhos: with "
+                "independent per-asset variance drivers the idiosyncratic "
+                "drivers must carry Q_ij = corr_ij / "
+                "sqrt((1-rho_i^2)(1-rho_j^2)), which must be positive "
+                "definite (in particular |corr_ij| < "
+                "sqrt((1-rho_i^2)(1-rho_j^2))).  Weaken corr or the rhos."
+            ) from None
+        self.s0 = p["s0"]
+        self.mu = p["mu"]
+        self.v0 = p["v0"]
+        self.kappa = p["kappa"]
+        self.theta = p["theta"]
+        self.sigma = p["sigma"]
+        self.rho = p["rho"]
+        self.corr = corr
+        self._chol_q = chol_q
+        self.d = d
+        super().__init__(steps, T)
+
+    def __repr__(self):
+        return f"CorrelatedHestonPaths(d={self.d}, T={self.T:g}, steps={self.steps})"
+
+    def _static_signature(self):
+        return (
+            "CorrelatedHestonPaths",
+            self.s0.tobytes(),
+            self.mu.tobytes(),
+            self.v0.tobytes(),
+            self.kappa.tobytes(),
+            self.theta.tobytes(),
+            self.sigma.tobytes(),
+            self.rho.tobytes(),
+            self.corr.tobytes(),
+            self.T,
+            self.steps,
+        )
+
+    @property
+    def _q_width(self):
+        # Per (asset, step): asset normal + variance normal + variance
+        # central chi-square, like the single-asset HestonPath.
+        return 3 * self.d * self.steps
+
+    def _constants(self):
+        import numpy as np
+
+        dt = self.T / self.steps
+        e = np.exp(-self.kappa * dt)
+        c = self.sigma**2 * (1.0 - e) / (4.0 * self.kappa)
+        df = 4.0 * self.kappa * self.theta / (self.sigma**2)
+        return e, c, df
+
+    def _increments(self, key, n, dtype):
+        _, _, df = self._constants()
+        ks, kv = jax.random.split(key)
+        zs = jax.random.normal(ks, (n, self.steps, self.d), dtype)
+        zv, y = [], []
+        for a, ka in enumerate(jax.random.split(kv, self.d)):
+            z_a, y_a = _cir_drivers_key(ka, n, self.steps, float(df[a]), dtype)
+            zv.append(z_a)
+            y.append(y_a)
+        return jnp.stack(
+            [zs, jnp.stack(zv, axis=2), jnp.stack(y, axis=2)], axis=2
+        )  # (n, steps, 3, d)
+
+    def _increments_from_slab(self, slab, dtype):
+        from probabilit_tpu.ops import bridge as _bridge
+
+        # Slab layout [d bridged asset-normal blocks | d variance-normal
+        # blocks | d chi-square blocks], asset-major within each section
+        # — the leading d*steps dimensions control the terminal levels
+        # (given the variance paths) that basket payoffs care about,
+        # mirroring the single-asset HestonPath layout per asset.
+        _, _, df = self._constants()
+        s, d = self.steps, self.d
+        zs = jnp.stack(
+            [
+                _bridge.normal_increments(slab[:, a * s : (a + 1) * s], dtype)
+                for a in range(d)
+            ],
+            axis=2,
+        )
+        zv, y = [], []
+        for a in range(d):
+            z_a, y_a = _cir_drivers_slab(
+                slab[:, (d + a) * s : (d + a + 1) * s],
+                slab[:, (2 * d + a) * s : (2 * d + a + 1) * s],
+                float(df[a]),
+                dtype,
+            )
+            zv.append(z_a)
+            y.append(y_a)
+        return jnp.stack(
+            [zs, jnp.stack(zv, axis=2), jnp.stack(y, axis=2)], axis=2
+        )
+
+    def _path_from_increments(self, inc):
+        dtype = inc.dtype
+        dt = self.T / self.steps
+        e, c, _ = self._constants()
+        zs = inc[:, :, 0, :]  # (n, steps, d)
+        v = _cir_scan_multi(self.v0, e, c, inc[:, :, 1, :], inc[:, :, 2, :], dtype)
+        v0 = jnp.asarray(self.v0, dtype)
+        v_prev = jnp.concatenate(
+            [jnp.broadcast_to(v0, (v.shape[0], 1, self.d)), v[:, :-1, :]], axis=1
+        )
+        integral = (0.5 * dt) * (v_prev + v)
+        kappa = jnp.asarray(self.kappa, dtype)
+        theta = jnp.asarray(self.theta, dtype)
+        sigma = jnp.asarray(self.sigma, dtype)
+        rho = jnp.asarray(self.rho, dtype)
+        brownian_v = (v - v_prev - kappa * theta * dt + kappa * integral) / sigma
+        # Recolor the idiosyncratic asset normals so the ASSET Brownians
+        # carry corr exactly (deterministic unrolled chain — see
+        # processes._recolor_assets).
+        from probabilit_tpu.models.processes import _recolor_assets
+
+        zsc = _recolor_assets(zs, self._chol_q)
+        dlog = (
+            jnp.asarray(self.mu, dtype) * dt
+            - 0.5 * integral
+            + rho * brownian_v
+            + jnp.sqrt(1.0 - rho * rho) * jnp.sqrt(integral) * zsc
+        )
+        s0 = jnp.asarray(self.s0, dtype)
+        return jnp.transpose(
+            s0[None, None, :] * jnp.exp(jnp.cumsum(dlog, axis=1)), (0, 2, 1)
+        )
+
+
+def CorrelatedHeston(s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=252):
+    """d correlated Heston assets sharing one exact joint draw.
+
+    Per-asset exact CIR variance + Andersen scheme (marginals identical
+    in law to the single-asset ``Heston``), asset Brownians correlated
+    by ``corr`` exactly; see :class:`CorrelatedHestonPaths` for the
+    construction and its feasibility constraint.  Returns one
+    :class:`AssetPath` view per asset:
+
+    >>> a, b = CorrelatedHeston([100, 50], [0.0, 0.0], v0=0.04, kappa=2.0,
+    ...                         theta=0.04, sigma=0.3, rho=[-0.5, -0.3],
+    ...                         corr=[[1, 0.6], [0.6, 1]], steps=16)
+    >>> basket = 0.5 * a.terminal() + 0.5 * b.terminal()
+    """
+    joint = CorrelatedHestonPaths(
+        s0, mu, v0, kappa, theta, sigma, rho, corr, T=T, steps=steps
+    )
+    return joint.views()
