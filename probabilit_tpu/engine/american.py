@@ -119,7 +119,11 @@ def _resolve_state(node, state):
 
 
 def _sample_states(node, key, n, dtype, method, mode, state_fn):
-    """(asset (n, steps), features (n, steps, S)) from the node's law.
+    """(payoff paths (n, steps, P), features (n, steps, S)) from the node.
+
+    ``P = node._payoff_arity`` (1 for scalar path nodes; d for joint
+    multi-asset nodes, whose payoff receives one per-asset slice per
+    argument).
 
     ``method="sobol"/...`` drives the node through its quantile-slab
     constructor (Brownian-bridge ordering for Gaussian drivers, exactly
@@ -143,21 +147,29 @@ def _sample_states(node, key, n, dtype, method, mode, state_fn):
         q = _qmc.generate(method, key, n, node._q_width, dtype=dtype)
         inc = node._increments_from_slab(q, dtype)
     states = node._state_paths_from_increments(inc)
-    asset = states[0]
+    p_arity = getattr(node, "_payoff_arity", 1)
+    pay = jnp.stack(states[:p_arity], axis=2)  # (n, steps, P)
     if state_fn is not None:
         feats = tuple(state_fn(*states))
     elif mode == "asset":
-        feats = (asset,)
+        feats = states[:p_arity]
     else:
         feats = states
     stacked = jnp.stack(feats, axis=2)  # (n, steps, S)
-    sharding = _mesh.sample_sharding(ndim=2)
-    if sharding is not None:
-        asset = jax.lax.with_sharding_constraint(asset, sharding)
     sharding3 = _mesh.sample_sharding(ndim=3)
     if sharding3 is not None:
+        pay = jax.lax.with_sharding_constraint(pay, sharding3)
         stacked = jax.lax.with_sharding_constraint(stacked, sharding3)
-    return asset, stacked
+    return pay, stacked
+
+
+def _call_payoff(payoff, p_k):
+    """Apply the user payoff to a per-date ``(n, P)`` slice.
+
+    One positional argument per payoff path: scalar nodes keep the
+    classic ``payoff(s)``; joint nodes get ``payoff(s1, ..., sd)``.
+    """
+    return payoff(*(p_k[:, j] for j in range(p_k.shape[1])))
 
 
 def _standardize(s_k, itm, dtype):
@@ -177,7 +189,7 @@ def _standardize(s_k, itm, dtype):
     return mu, jnp.maximum(sd, jnp.asarray(1e-6, dtype))
 
 
-def _fit_weights(asset, feats, payoff, powers, disc, ridge):
+def _fit_weights(pay, feats, payoff, powers, disc, ridge):
     """Backward induction -> per-date ``(weights, means, stds)``.
 
     The carry is the value vector "cashflow discounted to the CURRENT
@@ -188,15 +200,15 @@ def _fit_weights(asset, feats, payoff, powers, disc, ridge):
     the carry.  The fit-time (means, stds) travel with the weights — the
     policy's features are defined relative to them.
     """
-    dtype = asset.dtype
+    dtype = pay.dtype
     nb = len(powers)
-    v = payoff(asset[:, -1])
+    v = _call_payoff(payoff, pay[:, -1, :])
     eye = jnp.eye(nb, dtype=dtype)
 
     def step(v, inp):
-        a_k, s_k = inp  # (n,), (n, S)
+        p_k, s_k = inp  # (n, P), (n, S)
         v = disc * v
-        ex = payoff(a_k)
+        ex = _call_payoff(payoff, p_k)
         itm = (ex > 0).astype(dtype)
         mu, sd = _standardize(s_k, itm, dtype)
         phi = _basis((s_k - mu[None, :]) / sd[None, :], powers)
@@ -212,22 +224,22 @@ def _fit_weights(asset, feats, payoff, powers, disc, ridge):
 
     # Interior dates steps-2 .. 0 (reverse time order).
     xs = (
-        asset[:, :-1].T[::-1],
+        jnp.transpose(pay[:, :-1, :], (1, 0, 2))[::-1],
         jnp.transpose(feats[:, :-1, :], (1, 0, 2))[::-1],
     )
     _, (ws, mus, sds) = jax.lax.scan(step, v, xs)
     return ws[::-1], mus[::-1], sds[::-1]  # forward date order
 
 
-def _apply_policy(asset, feats, payoff, powers, disc, fit):
+def _apply_policy(pay, feats, payoff, powers, disc, fit):
     """Forward pass: exercise the FITTED policy on independent paths."""
     ws, mus, sds = fit
-    n = asset.shape[0]
+    n = pay.shape[0]
 
     def step(carry, inp):
         stopped, value, df = carry
-        a_k, s_k, w, mu, sd = inp
-        ex = payoff(a_k)
+        p_k, s_k, w, mu, sd = inp
+        ex = _call_payoff(payoff, p_k)
         phi = _basis((s_k - mu[None, :]) / sd[None, :], powers)
         with jax.default_matmul_precision("float32"):
             cont = phi @ w
@@ -237,11 +249,11 @@ def _apply_policy(asset, feats, payoff, powers, disc, fit):
 
     init = (
         jnp.zeros((n,), bool),
-        jnp.zeros((n,), asset.dtype),
-        jnp.asarray(disc, asset.dtype),
+        jnp.zeros((n,), pay.dtype),
+        jnp.asarray(disc, pay.dtype),
     )
     xs = (
-        asset[:, :-1].T,
+        jnp.transpose(pay[:, :-1, :], (1, 0, 2)),
         jnp.transpose(feats[:, :-1, :], (1, 0, 2)),
         ws,
         mus,
@@ -249,7 +261,7 @@ def _apply_policy(asset, feats, payoff, powers, disc, fit):
     )
     (stopped, value, df), _ = jax.lax.scan(step, init, xs)
     # Unexercised paths cash the terminal intrinsic value.
-    value = jnp.where(stopped, value, df * payoff(asset[:, -1]))
+    value = jnp.where(stopped, value, df * _call_payoff(payoff, pay[:, -1, :]))
     return value, stopped
 
 
@@ -308,7 +320,14 @@ def american_price(
     ``node`` is any path node (its ``steps`` grid dates are the
     exercise dates; add dates by raising ``steps``); ``payoff`` maps a
     grid slice of the state to intrinsic value with jnp ops (e.g.
-    ``lambda s: jnp.maximum(K - s, 0.0)``).  ``rate`` is the
+    ``lambda s: jnp.maximum(K - s, 0.0)``).  Joint multi-asset nodes
+    (``CorrelatedGBM(...)[0].joint`` or the ``CorrelatedGBMPaths`` /
+    ``CorrelatedMertonPaths`` / ``CorrelatedHestonPaths`` node itself)
+    pass one per-asset slice per argument — a Bermudan max-call is
+    ``lambda s1, s2: jnp.maximum(jnp.maximum(s1, s2) - K, 0.0)`` — and
+    the continuation regression conditions on the full joint state (all
+    assets, plus the variances for correlated Heston) with total-degree
+    monomial cross terms.  ``rate`` is the
     continuously-compounded discount rate — price a RISK-NEUTRAL model
     by constructing the node with drift ``rate`` and discounting with
     the same ``rate``.
@@ -378,25 +397,25 @@ def american_price(
 
         @jax.jit
         def fit(k):
-            asset, feats = _sample_states(
+            pay, feats = _sample_states(
                 node, k, size, dtype, method, mode, state_fn
             )
             powers = _monomial_powers(feats.shape[2], degree)
-            fitted = _fit_weights(asset, feats, payoff, powers, disc, ridge)
+            fitted = _fit_weights(pay, feats, payoff, powers, disc, ridge)
             # In-sample estimate: the fitted policy on the SAME paths
             # (equals classic LSM, foresight bias included).
             value, stopped = _apply_policy(
-                asset, feats, payoff, powers, disc, fitted
+                pay, feats, payoff, powers, disc, fitted
             )
             return fitted, value, stopped
 
         @jax.jit
         def evaluate(k, fitted):
-            asset, feats = _sample_states(
+            pay, feats = _sample_states(
                 node, k, size, dtype, method, mode, state_fn
             )
             powers = _monomial_powers(feats.shape[2], degree)
-            return _apply_policy(asset, feats, payoff, powers, disc, fitted)
+            return _apply_policy(pay, feats, payoff, powers, disc, fitted)
 
         if len(_FN_CACHE) > 32:
             _FN_CACHE.pop(next(iter(_FN_CACHE)))
@@ -408,8 +427,16 @@ def american_price(
         value, stopped = evaluate(k_eval, fitted)
 
     value = np.asarray(value)
+    # Immediate exercise at t=0: one payoff argument per payoff path
+    # (joint nodes carry a (d,) s0 vector — one t=0 level per asset).
+    p_arity = getattr(node, "_payoff_arity", 1)
+    x0_vals = (
+        [0.0] * p_arity
+        if x0 is None
+        else list(np.ravel(np.asarray(x0, np.float64)))[:p_arity]
+    )
     intrinsic0 = float(
-        np.asarray(payoff(jnp.full((1,), x0 if x0 is not None else 0.0, dtype)))[0]
+        np.asarray(payoff(*[jnp.full((1,), v_, dtype) for v_ in x0_vals]))[0]
     )
     return {
         "price": max(float(value.mean()), intrinsic0),
@@ -526,39 +553,42 @@ def american_greeks(
     if vg is None:
 
         def value_of(theta, k, fitted_in):
-            saved = [
-                getattr(node, s) for s in wrt if s != "rate"
-            ]
+            from probabilit_tpu.engine.sensitivity import (
+                _restore_slots,
+                _save_slots,
+                _write_slot,
+            )
+
+            saved = _save_slots([(node, s) for s in wrt if s != "rate"])
             try:
                 rate_term = jnp.asarray(float(rate), dtype)
                 for s, th in zip(wrt, theta):
                     if s == "rate":
                         rate_term = th
                     else:
-                        setattr(node, s, th)
-                asset, feats = _sample_states(
+                        _write_slot(node, s, th)
+                pay, feats = _sample_states(
                     node, k, size, dtype, method, mode, state_fn
                 )
                 powers = _monomial_powers(feats.shape[2], degree)
                 disc_t = jnp.exp(-rate_term * jnp.asarray(dt, dtype))
                 value, _ = _apply_policy(
-                    asset, feats, payoff, powers, disc_t, fitted_in
+                    pay, feats, payoff, powers, disc_t, fitted_in
                 )
                 return jnp.mean(value)
             finally:
-                it = iter(saved)
-                for s in wrt:
-                    if s != "rate":
-                        setattr(node, s, next(it))
+                _restore_slots(saved)
 
         vg = jax.jit(jax.value_and_grad(value_of, argnums=0))
         if len(_GREEK_CACHE) > 32:
             _GREEK_CACHE.pop(next(iter(_GREEK_CACHE)))
         _GREEK_CACHE[gkey] = vg
 
+    from probabilit_tpu.engine.sensitivity import _read_slot
+
     theta0 = jnp.asarray(
         [
-            float(rate) if s == "rate" else float(getattr(node, s))
+            float(rate) if s == "rate" else float(_read_slot(node, s))
             for s in wrt
         ],
         dtype,

@@ -121,7 +121,8 @@ def _numeric_slots(node):
     if _is_path_node(node):
         # Named float attributes declared differentiable by the family
         # (jump_rate & co. are excluded there — discrete inner draws
-        # have zero pathwise derivative).
+        # have zero pathwise derivative).  Joint multi-asset families
+        # list INDEXED slots ("s0[0]", ...) over their parameter vectors.
         return list(node._param_slots)
     slots = []
     for i, a in enumerate(node.args):
@@ -143,9 +144,9 @@ def _validate_family(node):
     if _is_path_node(node):
         if not node._param_slots:
             raise ValueError(
-                f"{type(node).__name__} declares no differentiable scalar "
+                f"{type(node).__name__} declares no differentiable "
                 "parameters (discrete-valued randomness has zero pathwise "
-                "derivative a.e.; vector parameters are not slot-addressable)."
+                "derivative a.e.)."
             )
         return
     if not isinstance(node, Distribution):
@@ -218,9 +219,24 @@ def _normalize_wrt(plan, wrt):
     return pairs
 
 
+def _parse_slot(slot):
+    """-> (attribute name, element index or None) of a path-node slot.
+
+    Joint multi-asset nodes expose INDEXED slots over their per-asset
+    parameter vectors (``"s0[1]"`` is asset 1's spot) — a basket delta
+    is one ``sensitivity`` call over d indexed slots.
+    """
+    if isinstance(slot, str) and slot.endswith("]") and "[" in slot:
+        name, idx = slot[:-1].split("[", 1)
+        return name, int(idx)
+    return slot, None
+
+
 def _read_slot(node, slot):
     if _is_path_node(node):
-        return getattr(node, slot)
+        name, idx = _parse_slot(slot)
+        attr = getattr(node, name)
+        return attr if idx is None else attr[idx]
     if isinstance(slot, int):
         return node.args[slot]
     return node.kwargs[slot]
@@ -228,13 +244,52 @@ def _read_slot(node, slot):
 
 def _write_slot(node, slot, value):
     if _is_path_node(node):
-        setattr(node, slot, value)
+        name, idx = _parse_slot(slot)
+        if idx is None:
+            setattr(node, name, value)
+        else:
+            # Element swap on a vector parameter: functional .at update
+            # so several indexed slots of one attribute compose (each
+            # write reads the previous traced array).
+            cur = getattr(node, name)
+            setattr(node, name, jnp.asarray(cur).at[idx].set(value))
     elif isinstance(slot, int):
         args = list(node.args)
         args[slot] = value
         node.args = tuple(args)
     else:
         node.kwargs[slot] = value
+
+
+def _save_slots(pairs):
+    """Original attribute objects to restore after a traced swap.
+
+    Indexed vector slots mutate a SHARED array attribute element-wise
+    during the trace; restoring elements would write floats back into a
+    traced array, so path-node saves capture the whole original object
+    (deduped per attribute) and restore swaps it back verbatim —
+    leaving numpy parameter arrays numpy, so static signatures
+    (``.tobytes()``) stay valid after the trace.
+    """
+    saved, seen = [], set()
+    for node, slot in pairs:
+        if _is_path_node(node):
+            name, _ = _parse_slot(slot)
+            key = (node._id, name)
+            if key not in seen:
+                seen.add(key)
+                saved.append((node, name, True, getattr(node, name)))
+        else:
+            saved.append((node, slot, False, _read_slot(node, slot)))
+    return saved
+
+
+def _restore_slots(saved):
+    for node, name_or_slot, is_attr, value in saved:
+        if is_attr:
+            setattr(node, name_or_slot, value)
+        else:
+            _write_slot(node, name_or_slot, value)
 
 
 _QMC_METHODS = ("sobol", "halton", "lhs", "antithetic")
@@ -504,7 +559,7 @@ def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls, method_name=None)
         # of the trace (jit caches the traced program, so this Python-level
         # mutation runs once per compilation, never per call) and restore
         # them on every exit path.
-        saved = [(_read_slot(n, s)) for n, s in pairs]
+        saved = _save_slots(pairs)
         try:
             for (node, slot), th in zip(pairs, theta):
                 _write_slot(node, slot, th)
@@ -541,8 +596,7 @@ def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls, method_name=None)
                 )
             return stat_fn(samples)
         finally:
-            for (node, slot), orig in zip(pairs, saved):
-                _write_slot(node, slot, orig)
+            _restore_slots(saved)
 
     return jax.jit(jax.value_and_grad(value_of, argnums=0))
 
@@ -584,7 +638,7 @@ def _build_stream_grad_fn(
     n_pairs = len(pairs)
 
     def block_mean(theta, key, b, cnt):
-        saved = [(_read_slot(n, s)) for n, s in pairs]
+        saved = _save_slots(pairs)
         try:
             for (node, slot), th in zip(pairs, theta):
                 _write_slot(node, slot, th)
@@ -620,8 +674,7 @@ def _build_stream_grad_fn(
             mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
             return jnp.sum(jnp.where(mask, s, 0.0)) / cnt.astype(jnp.float32)
         finally:
-            for (node, slot), orig in zip(pairs, saved):
-                _write_slot(node, slot, orig)
+            _restore_slots(saved)
 
     vg = jax.value_and_grad(block_mean, argnums=0)
 

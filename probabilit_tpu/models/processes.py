@@ -782,6 +782,28 @@ class JointAssetPaths(PathDistribution):
         """One :class:`AssetPath` per asset, in parameter order."""
         return tuple(AssetPath(self, i) for i in range(self.d))
 
+    @property
+    def _payoff_arity(self):
+        """How many leading state paths an LSMC payoff consumes.
+
+        Scalar nodes expose 1 (the observable path); joint nodes expose
+        d — ``american_price``'s payoff receives one per-asset slice per
+        argument (``lambda s1, s2: jnp.maximum(jnp.maximum(s1, s2) - K,
+        0.0)`` for a max-call).
+        """
+        return self.d
+
+    def _state_paths_from_increments(self, inc):
+        """Per-asset paths as the LSMC state tuple (d arrays (n, steps)).
+
+        The joint emission is (n, d, steps); optimal stopping consumes
+        per-date vectors, so the state tuple unstacks the asset axis.
+        Families with hidden factors (CorrelatedHeston: the variance
+        paths) extend the tuple beyond the payoff arity.
+        """
+        paths = self._path_from_increments(inc)
+        return tuple(paths[:, i, :] for i in range(self.d))
+
     def _path_from_increments(self, inc):
         """(n, d, steps) price paths from (n, steps, d) log-increments."""
         logpath = jnp.cumsum(inc, axis=1)  # cumulative along time
@@ -811,6 +833,17 @@ class CorrelatedGBMPaths(JointAssetPaths):
     Unpack per-asset views with the ``CorrelatedGBM`` factory; each view
     carries the full functional API (terminal/max/min/average/at).
     """
+
+    @property
+    def _param_slots(self):
+        # Per-asset indexed slots (engine/sensitivity.py _parse_slot):
+        # s0/mu/sigma enter only the smooth path map given the drivers.
+        # corr is EXCLUDED — the Cholesky recolor factor is fixed at
+        # construction, so a pathwise corr derivative holding it fixed
+        # would be silently wrong.
+        return tuple(
+            f"{p}[{i}]" for p in ("s0", "mu", "sigma") for i in range(self.d)
+        )
 
     def __init__(self, s0, mu, sigma, corr, T=1.0, steps=252):
         d, corr, p = self._asset_params(
@@ -969,6 +1002,20 @@ class CorrelatedMertonPaths(JointAssetPaths):
 
     Use the ``CorrelatedMerton`` factory for per-asset views.
     """
+
+    @property
+    def _param_slots(self):
+        # Indexed per-asset slots; jump_rate/common_rate enter through
+        # discrete Poisson counts (zero pathwise derivative a.e.) and
+        # corr through the fixed Cholesky factor — both excluded.
+        slots = tuple(
+            f"{p}[{i}]"
+            for p in ("s0", "mu", "sigma", "jump_mean", "jump_std", "loadings")
+            for i in range(self.d)
+        )
+        if self.common_rate > 0:
+            slots = slots + ("common_mean", "common_std")
+        return slots
 
     def __init__(
         self,

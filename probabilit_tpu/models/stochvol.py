@@ -447,6 +447,19 @@ class CorrelatedHestonPaths(JointAssetPaths):
     Use the ``CorrelatedHeston`` factory for per-asset views.
     """
 
+    @property
+    def _param_slots(self):
+        # Indexed per-asset slots: s0/mu/v0 enter only the smooth path
+        # map given the drivers (as in the single-asset HestonPath).
+        # rho is EXCLUDED here, unlike HestonPath: the recolor factor
+        # chol(Q) depends on rho and is fixed at construction, so a
+        # pathwise rho derivative holding it fixed would silently drop
+        # the cross-correlation channel.  kappa/theta/sigma shape the
+        # chi-square driver law and stay excluded as always.
+        return tuple(
+            f"{p}[{i}]" for p in ("s0", "mu", "v0") for i in range(self.d)
+        )
+
     def __init__(self, s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=252):
         import numpy as np
 
@@ -578,7 +591,20 @@ class CorrelatedHestonPaths(JointAssetPaths):
             [zs, jnp.stack(zv, axis=2), jnp.stack(y, axis=2)], axis=2
         )
 
-    def _path_from_increments(self, inc):
+    def _state_paths_from_increments(self, inc):
+        """(asset_0..asset_{d-1}, var_0..var_{d-1}) — the full Markov state.
+
+        The LSMC payoff consumes the first ``d`` (``_payoff_arity``)
+        entries; the joint-basis continuation regression conditions on
+        the variances too, exactly as the single-asset HestonPath does
+        (asset-only bases are strictly coarser under stochastic vol).
+        """
+        paths, v = self._paths_and_variances(inc)
+        return tuple(paths[:, i, :] for i in range(self.d)) + tuple(
+            v[:, :, i] for i in range(self.d)
+        )
+
+    def _paths_and_variances(self, inc):
         dtype = inc.dtype
         dt = self.T / self.steps
         e, c, _ = self._constants()
@@ -607,9 +633,13 @@ class CorrelatedHestonPaths(JointAssetPaths):
             + jnp.sqrt(1.0 - rho * rho) * jnp.sqrt(integral) * zsc
         )
         s0 = jnp.asarray(self.s0, dtype)
-        return jnp.transpose(
+        paths = jnp.transpose(
             s0[None, None, :] * jnp.exp(jnp.cumsum(dlog, axis=1)), (0, 2, 1)
         )
+        return paths, v
+
+    def _path_from_increments(self, inc):
+        return self._paths_and_variances(inc)[0]
 
 
 def CorrelatedHeston(s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=252):
