@@ -701,6 +701,9 @@ def estimate(
     correlator="imanconover",
     control=None,
     where=None,
+    target_sem=None,
+    target_rel_sem=None,
+    max_size=None,
 ):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
 
@@ -775,6 +778,28 @@ def estimate(
     integers up to 2^47 per bin for any ``block_size <= 2^24``; NaN
     samples are excluded from every slot, while +/-inf count as
     underflow/overflow.
+
+    ``target_sem=tol`` (or ``target_rel_sem=tol``, relative to the
+    running ``|mean|``; give both and the tighter one wins) turns the
+    call SEQUENTIAL: ``size`` becomes the pilot-round size and sampling
+    continues in independently-keyed rounds — each sized from the
+    pooled variance estimate, ``n_needed = n * (sem/target)^2``, with a
+    20% inflation for the noise in that estimate and a 4x-per-round
+    growth cap — until ``sem <= target`` or ``max_size`` total draws
+    (default ``64 * size``).  All rounds Chan-merge into one pooled
+    estimate; every round reuses the one cached compiled program, so
+    the adaptive loop costs no extra compiles.  Composes with
+    ``quantiles``/``cvar``/``histogram``/``where``/``control`` (with a
+    control variate the stopping rule prices the control-ADJUSTED sem);
+    NOT with ``replicates=`` (run replicates at a fixed size instead)
+    or QMC ``method=`` (the iid sem the stopping rule needs is not a
+    valid QMC error bar — and LHS stratification closes over the total
+    size, which a sequential run does not know in advance).
+    ``method="antithetic"`` is allowed: its iid sem is conservative, so
+    the rule stops late, never early.  The returned dict gains
+    ``rounds`` and ``converged``; note the classic sequential-stopping
+    caveat — stopping on an estimated sem biases coverage by O(1/n),
+    negligible at streaming sizes (Chow & Robbins 1965).
 
     The compiled whole-run program is cached across calls (keyed on graph
     structure, block size, quantile levels, executor, and method — NOT on
@@ -873,6 +898,53 @@ def estimate(
             )
         control_mu = float(control_mu)
     key = resolve_key(random_state)
+    if target_sem is not None or target_rel_sem is not None:
+        if replicates is not None:
+            raise ValueError(
+                "target_sem/target_rel_sem do not compose with "
+                "replicates= (sequential stopping needs the pooled iid "
+                "sem; between-replicate sems need a fixed size). Run "
+                "replicates at a fixed size, or drop replicates=."
+            )
+        qmc = (method or "").lower().strip()
+        if qmc in ("sobol", "halton", "lhs"):
+            raise ValueError(
+                f"target_sem does not compose with method={method!r}: "
+                "the iid sem the stopping rule needs is not a valid QMC "
+                "error bar (and LHS stratification closes over a total "
+                "size a sequential run does not know). Use "
+                "replicates= at a fixed size for a QMC error bar."
+            )
+        for name, t in (
+            ("target_sem", target_sem),
+            ("target_rel_sem", target_rel_sem),
+        ):
+            if t is not None and not (float(t) > 0.0):
+                raise ValueError(f"{name} must be > 0, got {t}.")
+        max_size = 64 * size if max_size is None else int(max_size)
+        if max_size < size:
+            raise ValueError(
+                f"max_size ({max_size}) must be >= the pilot size "
+                f"({size})."
+            )
+        return _estimate_sequential(
+            sink,
+            size,
+            block_size,
+            key,
+            executor,
+            method,
+            quantiles,
+            correlator,
+            control_node,
+            control_mu,
+            where,
+            cvar,
+            histogram,
+            None if target_sem is None else float(target_sem),
+            None if target_rel_sem is None else float(target_rel_sem),
+            max_size,
+        )
     if replicates is not None:
         reps = int(replicates)
         if reps < 2:
@@ -996,6 +1068,93 @@ def _merge_carries(carries, control_mu=None):
         (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum),
         rep_means,
     )
+
+
+def _estimate_sequential(
+    sink,
+    pilot,
+    block_size,
+    key,
+    executor,
+    method,
+    quantiles,
+    correlator,
+    control_node,
+    control_mu,
+    where,
+    cvar,
+    histogram,
+    target_sem,
+    target_rel_sem,
+    max_size,
+):
+    """Sequential (precision-targeted) streamed estimation.
+
+    Classic two-stage / Chow-Robbins sampling on top of the streamed
+    moment fold: independently-keyed rounds Chan-merge host-side until
+    the pooled ``sem`` meets the target.  Round sizes come from the
+    pooled variance estimate (``n_needed = n * (sem/target)^2``,
+    inflated 20% for the noise in that estimate, growth capped at 4x
+    per round).  Every round hits the ONE cached block program — size
+    is a traced scalar — so adaptivity costs no recompiles.
+    """
+    carries = []
+    drawn, rounds = 0, 0
+    chunk = pilot
+    while True:
+        carry = jax.device_get(
+            _estimate_carry(
+                sink,
+                chunk,
+                block_size,
+                jax.random.fold_in(key, rounds),
+                executor,
+                method,
+                quantiles,
+                correlator,
+                control_node,
+                where,
+                cvar=cvar,
+                histogram=histogram,
+            )
+        )
+        carries.append(carry)
+        drawn += chunk
+        rounds += 1
+        merged, _ = _merge_carries(carries)
+        if where is not None and merged[0] <= 0.0:
+            # A rare condition can zero out the whole pilot.  Keep
+            # doubling until a sample lands or the cap ends the run (the
+            # finalizer raises the canonical never-held error then).
+            if drawn >= max_size:
+                _finalize_estimate(
+                    merged, drawn, quantiles, control_mu, where, cvar,
+                    histogram,
+                )
+            chunk = min(drawn, max_size - drawn)
+            continue
+        stats = _finalize_estimate(
+            merged, drawn, quantiles, control_mu, where, cvar, histogram
+        )
+        sem = stats["sem"]
+        tgt = np.inf
+        if target_sem is not None:
+            tgt = min(tgt, target_sem)
+        if target_rel_sem is not None:
+            tgt = min(tgt, target_rel_sem * abs(stats["mean"]))
+        converged = bool(np.isfinite(sem) and sem <= tgt)
+        if converged or drawn >= max_size or rounds >= 64:
+            stats["rounds"] = rounds
+            stats["converged"] = converged
+            return stats
+        if np.isfinite(sem) and sem > 0.0 and np.isfinite(tgt) and tgt > 0.0:
+            chunk = drawn * (sem / tgt) ** 2 * 1.2 - drawn
+        else:
+            # tgt == 0 happens under target_rel_sem with mean == 0: no
+            # finite n satisfies it, so march to the cap geometrically.
+            chunk = drawn
+        chunk = int(min(chunk, 3.0 * drawn, max_size - drawn))
+        chunk = max(chunk, 1)
 
 
 def _estimate_carry(

@@ -1331,3 +1331,142 @@ class TestConditionalEstimate:
         w = BrownianMotion(steps=4)
         with pytest.raises(ValueError, match="vector-valued"):
             streaming.estimate(w.terminal(), 1000, where=w)
+
+
+class TestSequentialEstimate:
+    """estimate(..., target_sem=) — precision-targeted sequential runs."""
+
+    def test_converges_to_target(self):
+        x = Distribution("norm", loc=2.0, scale=3.0)
+        st = streaming.estimate(
+            x, 2048, block_size=1024, random_state=0, target_sem=0.02
+        )
+        assert st["converged"] is True
+        assert st["sem"] <= 0.02
+        assert st["rounds"] > 1 and st["n"] > 2048
+        # Two-stage sizing lands near n = 1.2 * (std/target)^2, never
+        # wildly past it (the 20% inflation + one resize step).
+        assert st["n"] < 4.0 * (3.0 / 0.02) ** 2
+        assert abs(st["mean"] - 2.0) < 5 * st["sem"] + 1e-9
+
+    def test_rounds_share_one_program(self):
+        x = Distribution("norm", loc=1.0)
+        streaming.estimate(x, 512, block_size=256, random_state=0)
+        count = streaming._TRACE_COUNT
+        st = streaming.estimate(
+            x, 512, block_size=256, random_state=1, target_sem=0.05
+        )
+        assert streaming._TRACE_COUNT == count
+        assert st["converged"]
+
+    def test_relative_target(self):
+        x = Distribution("norm", loc=10.0, scale=2.0)
+        st = streaming.estimate(
+            x, 1024, block_size=512, random_state=2, target_rel_sem=0.01
+        )
+        assert st["converged"] and st["sem"] <= 0.01 * abs(st["mean"])
+
+    def test_max_size_cap(self):
+        x = Distribution("norm")
+        st = streaming.estimate(
+            x,
+            1024,
+            block_size=1024,
+            random_state=1,
+            target_sem=1e-7,
+            max_size=4096,
+        )
+        assert st["converged"] is False
+        assert st["n"] == 4096 and st["sem"] > 1e-7
+
+    def test_constant_sink_converges_in_one_round(self):
+        from probabilit_tpu.modeling import Constant
+
+        node = Constant(4.0) + Distribution("uniform") * 0.0
+        st = streaming.estimate(
+            node, 512, block_size=256, random_state=0, target_sem=1e-9
+        )
+        assert st["converged"] and st["rounds"] == 1
+        assert st["mean"] == pytest.approx(4.0)
+
+    def test_composes_with_where(self):
+        x = Distribution("norm")
+        st = streaming.estimate(
+            x,
+            4096,
+            block_size=1024,
+            random_state=3,
+            where=(x > 0.0),
+            target_sem=0.02,
+        )
+        assert st["converged"] and st["sem"] <= 0.02
+        # E[Z | Z > 0] = sqrt(2/pi)
+        assert abs(st["mean"] - np.sqrt(2 / np.pi)) < 5 * st["sem"] + 1e-9
+        assert 0.3 < st["acceptance"] < 0.7
+        assert st["n_total"] >= st["n"]
+
+    def test_control_variate_shrinks_required_n(self):
+        # Stopping prices the control-ADJUSTED sem, so a well-correlated
+        # control must reach the same target with far fewer draws.
+        y = Distribution("norm", loc=0.0, scale=1.0)
+        x = y + 0.1 * Distribution("norm", loc=1.0)
+        plain = streaming.estimate(
+            x, 1024, block_size=512, random_state=4, target_sem=0.01
+        )
+        ctl = streaming.estimate(
+            x,
+            1024,
+            block_size=512,
+            random_state=4,
+            target_sem=0.01,
+            control=(y, 0.0),
+        )
+        assert ctl["converged"] and ctl["sem"] <= 0.01
+        assert ctl["n"] < 0.25 * plain["n"]
+
+    def test_quantiles_and_histogram_ride_along(self):
+        x = Distribution("norm")
+        st = streaming.estimate(
+            x,
+            2048,
+            block_size=1024,
+            random_state=5,
+            target_sem=0.02,
+            quantiles=(0.5,),
+            histogram=(-4.0, 4.0, 16),
+        )
+        assert st["converged"]
+        assert abs(st["q0.5"]) < 0.1
+        h = st["histogram"]
+        total = h["counts"].sum() + h["underflow"] + h["overflow"]
+        assert int(total) == st["n"]
+
+    def test_error_paths(self):
+        x = Distribution("norm")
+        with pytest.raises(ValueError, match="replicates"):
+            streaming.estimate(
+                x, 1024, target_sem=0.1, replicates=2, random_state=0
+            )
+        with pytest.raises(ValueError, match="QMC error bar"):
+            streaming.estimate(
+                x, 1024, target_sem=0.1, method="sobol", random_state=0
+            )
+        with pytest.raises(ValueError, match="must be > 0"):
+            streaming.estimate(x, 1024, target_sem=0.0, random_state=0)
+        with pytest.raises(ValueError, match="max_size"):
+            streaming.estimate(
+                x, 1024, target_sem=0.1, max_size=512, random_state=0
+            )
+
+    def test_antithetic_allowed_and_converges(self):
+        x = Distribution("norm", loc=5.0)
+        st = streaming.estimate(
+            x,
+            1024,
+            block_size=512,
+            random_state=6,
+            method="antithetic",
+            target_sem=0.05,
+        )
+        assert st["converged"] and st["sem"] <= 0.05
+        assert abs(st["mean"] - 5.0) < 5 * st["sem"] + 1e-9
