@@ -1526,6 +1526,9 @@ def estimate_many(
     replicates=None,
     control=None,
     where=None,
+    target_sem=None,
+    target_rel_sem=None,
+    max_size=None,
 ):
     """One-pass streamed moments for SEVERAL nodes of one model.
 
@@ -1560,6 +1563,13 @@ def estimate_many(
       ``sem`` becomes its between-replicate spread — the valid QMC /
       antithetic error bar, jointly consistent across nodes because all
       R streams are shared.
+    - ``target_sem=tol`` / ``target_rel_sem=tol``: sequential stopping
+      exactly as in ``estimate``, except the run continues until EVERY
+      watched node meets its target (round sizes come from the worst
+      node's sem), so the joint profile is reported at a uniform
+      precision.  Same composition rules (not with ``replicates=`` or
+      QMC ``method=``); every per-node dict gains ``rounds`` and
+      ``converged``.
 
     ``sem`` without replicates is the iid formula per node (see
     ``estimate`` for when that is and is not meaningful).
@@ -1645,6 +1655,53 @@ def estimate_many(
             )
         control_mu = float(control_mu)
     key = resolve_key(random_state)
+    if target_sem is not None or target_rel_sem is not None:
+        if replicates is not None:
+            raise ValueError(
+                "target_sem/target_rel_sem do not compose with "
+                "replicates= (sequential stopping needs the pooled iid "
+                "sem; between-replicate sems need a fixed size). Run "
+                "replicates at a fixed size, or drop replicates=."
+            )
+        qmc = (method or "").lower().strip()
+        if qmc in ("sobol", "halton", "lhs"):
+            raise ValueError(
+                f"target_sem does not compose with method={method!r}: "
+                "the iid sem the stopping rule needs is not a valid QMC "
+                "error bar (and LHS stratification closes over a total "
+                "size a sequential run does not know). Use "
+                "replicates= at a fixed size for a QMC error bar."
+            )
+        for name, t in (
+            ("target_sem", target_sem),
+            ("target_rel_sem", target_rel_sem),
+        ):
+            if t is not None and not (float(t) > 0.0):
+                raise ValueError(f"{name} must be > 0, got {t}.")
+        max_size = 64 * size if max_size is None else int(max_size)
+        if max_size < size:
+            raise ValueError(
+                f"max_size ({max_size}) must be >= the pilot size "
+                f"({size})."
+            )
+        return _estimate_sequential_many(
+            nodes,
+            size,
+            block_size,
+            key,
+            executor,
+            method,
+            quantiles,
+            cvar,
+            histogram,
+            correlator,
+            control_node,
+            control_mu,
+            where,
+            None if target_sem is None else float(target_sem),
+            None if target_rel_sem is None else float(target_rel_sem),
+            max_size,
+        )
     if replicates is not None:
         reps = int(replicates)
         if reps < 2:
@@ -2037,6 +2094,96 @@ def _merge_many_carries(carries, control_mu=None):
         (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum),
         rep_means,
     )
+
+
+def _estimate_sequential_many(
+    nodes,
+    pilot,
+    block_size,
+    key,
+    executor,
+    method,
+    quantiles,
+    cvar,
+    histogram,
+    correlator,
+    control_node,
+    control_mu,
+    where,
+    target_sem,
+    target_rel_sem,
+    max_size,
+):
+    """Sequential stopping for ``estimate_many``: run until EVERY node
+    meets its target.  Round sizes come from the worst node's sem (see
+    ``_estimate_sequential``); all rounds share one compiled program.
+    """
+    carries = []
+    drawn, rounds = 0, 0
+    chunk = pilot
+    while True:
+        carries.append(
+            jax.device_get(
+                _many_carry(
+                    nodes,
+                    chunk,
+                    block_size,
+                    jax.random.fold_in(key, rounds),
+                    executor,
+                    method,
+                    quantiles,
+                    cvar,
+                    histogram,
+                    correlator,
+                    control_node,
+                    where,
+                )
+            )
+        )
+        drawn += chunk
+        rounds += 1
+        merged, _ = _merge_many_carries(carries)
+        if where is not None and float(merged[0]) <= 0.0:
+            if drawn >= max_size:
+                raise ValueError(
+                    f"where= condition never held across {drawn} draws; "
+                    "no conditional statistics exist. Loosen the "
+                    "condition or raise size."
+                )
+            chunk = min(drawn, max_size - drawn)
+            continue
+        out = _finalize_many(
+            nodes, merged, drawn, quantiles, cvar, histogram, control_mu,
+            where,
+        )
+        # The binding node: the largest sem/target ratio decides both
+        # convergence and the next round's size.
+        worst = 0.0
+        for node in nodes:
+            sem = out[node]["sem"]
+            tgt = np.inf
+            if target_sem is not None:
+                tgt = min(tgt, target_sem)
+            if target_rel_sem is not None:
+                tgt = min(tgt, target_rel_sem * abs(out[node]["mean"]))
+            if not np.isfinite(sem):
+                worst = np.inf
+            elif tgt > 0.0:
+                worst = max(worst, sem / tgt)
+            else:
+                worst = np.inf  # rel target with a zero mean
+        converged = bool(np.isfinite(worst) and worst <= 1.0)
+        if converged or drawn >= max_size or rounds >= 64:
+            for node in nodes:
+                out[node]["rounds"] = rounds
+                out[node]["converged"] = converged
+            return out
+        if np.isfinite(worst) and worst > 0.0:
+            chunk = drawn * worst**2 * 1.2 - drawn
+        else:
+            chunk = drawn
+        chunk = int(min(chunk, 3.0 * drawn, max_size - drawn))
+        chunk = max(chunk, 1)
 
 
 def _finalize_many(

@@ -1470,3 +1470,80 @@ class TestSequentialEstimate:
         )
         assert st["converged"] and st["sem"] <= 0.05
         assert abs(st["mean"] - 5.0) < 5 * st["sem"] + 1e-9
+
+
+class TestSequentialEstimateMany:
+    """estimate_many(..., target_sem=) — joint sequential stopping."""
+
+    def test_all_nodes_converge_worst_binds(self):
+        a = Distribution("norm", loc=1.0, scale=1.0)
+        b = Distribution("norm", loc=0.0, scale=5.0)
+        total = a + b
+        out = streaming.estimate_many(
+            [a, b, total],
+            2048,
+            block_size=1024,
+            random_state=0,
+            target_sem=0.05,
+        )
+        assert all(v["converged"] and v["sem"] <= 0.05 for v in out.values())
+        # One shared stream: every node reports the same n and rounds.
+        assert len({v["n"] for v in out.values()}) == 1
+        assert len({v["rounds"] for v in out.values()}) == 1
+        # The sizing is driven by the WORST node (total, var ~26):
+        # n ~ 1.2 * 26 / 0.05^2 ~ 12.5k, far beyond what `a` alone needs.
+        n = next(iter(out.values()))["n"]
+        assert 26 / 0.05**2 < n < 4.0 * 26 / 0.05**2
+        assert abs(out[total]["mean"] - 1.0) < 5 * out[total]["sem"]
+
+    def test_consistent_with_single_sink_rules(self):
+        a = Distribution("norm")
+        with pytest.raises(ValueError, match="replicates"):
+            streaming.estimate_many(
+                [a], 1024, target_sem=0.1, replicates=2, random_state=0
+            )
+        with pytest.raises(ValueError, match="QMC error bar"):
+            streaming.estimate_many(
+                [a], 1024, target_sem=0.1, method="lhs", random_state=0
+            )
+        with pytest.raises(ValueError, match="max_size"):
+            streaming.estimate_many(
+                [a], 1024, target_sem=0.1, max_size=4, random_state=0
+            )
+
+    def test_cap_reports_unconverged(self):
+        a = Distribution("norm")
+        out = streaming.estimate_many(
+            [a, a + 1.0],
+            512,
+            block_size=512,
+            random_state=1,
+            target_sem=1e-7,
+            max_size=1024,
+        )
+        assert all(v["converged"] is False for v in out.values())
+        assert all(v["n"] == 1024 for v in out.values())
+
+    def test_composes_with_where_and_quantiles(self):
+        x = Distribution("norm")
+        y = x * 2.0
+        out = streaming.estimate_many(
+            [x, y],
+            4096,
+            block_size=1024,
+            random_state=2,
+            where=(x > 0.0),
+            target_sem=0.03,
+        )
+        assert all(v["converged"] for v in out.values())
+        assert abs(out[x]["mean"] - np.sqrt(2 / np.pi)) < 5 * out[x]["sem"]
+        assert abs(out[y]["mean"] - 2 * out[x]["mean"]) < 1e-6
+        outq = streaming.estimate_many(
+            [x, y],
+            2048,
+            block_size=1024,
+            random_state=3,
+            target_sem=0.05,
+            quantiles=(0.5,),
+        )
+        assert all("q0.5" in v and v["converged"] for v in outq.values())
