@@ -704,6 +704,7 @@ def estimate(
     target_sem=None,
     target_rel_sem=None,
     max_size=None,
+    moments=False,
 ):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
 
@@ -778,6 +779,18 @@ def estimate(
     integers up to 2^47 per bin for any ``block_size <= 2^24``; NaN
     samples are excluded from every slot, while +/-inf count as
     underflow/overflow.
+
+    ``moments=True`` adds streamed skewness and excess kurtosis
+    (``stats["skew"]``/``stats["kurt"]``, scipy conventions: biased
+    ``g1 = M3/n / (M2/n)^1.5`` and Fisher ``g2 = M4/n / (M2/n)^2 - 3``)
+    by carrying third and fourth central moments through the same
+    Chan-style fold (the pairwise M3/M4 merge of Pébay 2008).  Two more
+    fused block reductions when on; zero cost when off (the default
+    program carries zeros through scalar merges XLA folds away).
+    Composes with everything, including ``where=`` (conditional shape)
+    and ``target_sem`` rounds.  f32 caveat: per-block sums of
+    ``(x - mean)^4`` overflow f32 when ``|x - mean|`` exceeds ~1e9 —
+    standardize extreme-scale sinks first.
 
     ``target_sem=tol`` (or ``target_rel_sem=tol``, relative to the
     running ``|mean|``; give both and the tighter one wins) turns the
@@ -944,6 +957,7 @@ def estimate(
             None if target_sem is None else float(target_sem),
             None if target_rel_sem is None else float(target_rel_sem),
             max_size,
+            moments,
         )
     if replicates is not None:
         reps = int(replicates)
@@ -973,13 +987,15 @@ def estimate(
                     where,
                     cvar=cvar,
                     histogram=histogram,
+                    moments=moments,
                 )
             )
             for r in range(reps)
         ]
         merged, rep_means = _merge_carries(carries, control_mu)
         stats = _finalize_estimate(
-            merged, size, quantiles, control_mu, where, cvar, histogram
+            merged, size, quantiles, control_mu, where, cvar, histogram,
+            moments,
         )
         rep = np.asarray(rep_means, np.float64)
         if rep.size < 2:
@@ -1011,9 +1027,10 @@ def estimate(
         where,
         cvar=cvar,
         histogram=histogram,
+        moments=moments,
     )
     return _finalize_estimate(
-        carry, size, quantiles, control_mu, where, cvar, histogram
+        carry, size, quantiles, control_mu, where, cvar, histogram, moments
     )
 
 
@@ -1026,12 +1043,12 @@ def _merge_carries(carries, control_mu=None):
     CONTROL-ADJUSTED means (each replicate uses its own empirical beta),
     so the between-replicate sem prices the adjusted estimator.
     """
-    total, mean, m2 = 0.0, 0.0, 0.0
+    total, mean, m2, m3, m4 = 0.0, 0.0, 0.0, 0.0, 0.0
     my, m2y, cxy = 0.0, 0.0, 0.0
     vmin, vmax, finite = float("inf"), float("-inf"), True
     qsum, hsum = None, None
     rep_means = []
-    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_, h_ in carries:
+    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_, h_, m3_, m4_ in carries:
         t, m = float(t_), float(m_)
         if t <= 0.0:
             # A zero-accept replicate (possible under where= with a rare
@@ -1051,6 +1068,19 @@ def _merge_carries(carries, control_mu=None):
         delta = m - mean
         delta_y = float(my_) - my
         w = total * t / nn_div
+        # Pebay (2008) pairwise M3/M4 merges; must read the OLD m2/m3.
+        m4 += (
+            float(m4_)
+            + delta**4 * w * (total * total - total * t + t * t) / nn_div**2
+            + 6.0 * delta**2
+            * (total * total * float(m2_) + t * t * m2) / nn_div**2
+            + 4.0 * delta * (total * float(m3_) - t * m3) / nn_div
+        )
+        m3 += (
+            float(m3_)
+            + delta**3 * w * (total - t) / nn_div
+            + 3.0 * delta * (total * float(m2_) - t * m2) / nn_div
+        )
         mean += delta * t / nn_div
         m2 += float(m2_) + delta * delta * w
         my += delta_y * t / nn_div
@@ -1065,7 +1095,7 @@ def _merge_carries(carries, control_mu=None):
         h = np.asarray(h_, np.float64)
         hsum = h if hsum is None else hsum + h
     return (
-        (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum),
+        (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum, m3, m4),
         rep_means,
     )
 
@@ -1087,6 +1117,7 @@ def _estimate_sequential(
     target_sem,
     target_rel_sem,
     max_size,
+    moments=False,
 ):
     """Sequential (precision-targeted) streamed estimation.
 
@@ -1116,6 +1147,7 @@ def _estimate_sequential(
                 where,
                 cvar=cvar,
                 histogram=histogram,
+                moments=moments,
             )
         )
         carries.append(carry)
@@ -1129,12 +1161,13 @@ def _estimate_sequential(
             if drawn >= max_size:
                 _finalize_estimate(
                     merged, drawn, quantiles, control_mu, where, cvar,
-                    histogram,
+                    histogram, moments,
                 )
             chunk = min(drawn, max_size - drawn)
             continue
         stats = _finalize_estimate(
-            merged, drawn, quantiles, control_mu, where, cvar, histogram
+            merged, drawn, quantiles, control_mu, where, cvar, histogram,
+            moments,
         )
         sem = stats["sem"]
         tgt = np.inf
@@ -1170,6 +1203,7 @@ def _estimate_carry(
     where_node=None,
     cvar=(),
     histogram=None,
+    moments=False,
 ):
     """One randomised stream's raw moment carry (device values).
 
@@ -1232,6 +1266,7 @@ def _estimate_carry(
         None if where_node is None else ("where", where_node._id),
         jnp.dtype(_config.float_dtype()).name,
         _compile._active_mesh_key(),
+        bool(moments),
     )
     cached = _ESTIMATE_CACHE.get(cache_key)
     if cached is not None:
@@ -1256,9 +1291,13 @@ def _estimate_carry(
 
         zero = jnp.float32(0.0)
 
-        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum):
+        def merge(
+            carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum,
+            bm3, bm4,
+        ):
             (
-                n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum,
+                n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy,
+                hsum, m3, m4,
             ) = carry
             # Histogram counts carry as TWO f32 words per bin (hi in
             # units of 2^23, lo < 2^23): a single f32 total loses
@@ -1279,6 +1318,20 @@ def _estimate_carry(
             # denominator yields the correct no-op merge instead of NaN.
             nn_div = jnp.maximum(nn, 1.0) if where_mode else nn
             w = n_prev * bn / nn_div
+            # Pebay (2008) pairwise M3/M4; reads the OLD m2/m3.  With
+            # moments off every b-term is the zero constant and XLA
+            # folds the whole update away.
+            m4 = m4 + bm4 + (
+                delta**4 * w
+                * (n_prev * n_prev - n_prev * bn + bn * bn) / nn_div**2
+                + 6.0 * delta**2
+                * (n_prev * n_prev * bm2 + bn * bn * m2) / nn_div**2
+                + 4.0 * delta * (n_prev * bm3 - bn * m3) / nn_div
+            )
+            m3 = m3 + bm3 + (
+                delta**3 * w * (n_prev - bn) / nn_div
+                + 3.0 * delta * (n_prev * bm2 - bn * m2) / nn_div
+            )
             mean = mean + delta * bn / nn_div
             m2 = m2 + bm2 + delta * delta * w
             # Bivariate Chan merge: the cross co-moment picks up the same
@@ -1300,7 +1353,18 @@ def _estimate_carry(
                 m2y,
                 cxy,
                 hsum,
+                m3,
+                m4,
             )
+
+        def hi_moments(x, bm, mask=None):
+            # Central 3rd/4th power-sum block reductions; the where()
+            # runs BEFORE the powers so off-mask NaN lanes never enter.
+            if not moments:
+                return zero, zero
+            d = x - bm if mask is None else jnp.where(mask, x - bm, 0.0)
+            d2 = d * d
+            return jnp.sum(d2 * d), jnp.sum(d2 * d2)
 
         def ctl_full(x, y, bm):
             if y is None:
@@ -1350,6 +1414,7 @@ def _estimate_carry(
                 return merge(
                     carry, bn, bm, bm2, bmin, bmax, bfin,
                     qsum_full(x), ctl_full(x, None, bm), hist_full(x, cond),
+                    *hi_moments(x, bm, cond),
                 )
             bn = jnp.float32(block_size)
             bm = jnp.mean(x)
@@ -1365,6 +1430,7 @@ def _estimate_carry(
                 qsum_full(x),
                 ctl_full(x, y, bm),
                 hist_full(x),
+                *hi_moments(x, bm),
             )
 
         init = (
@@ -1379,6 +1445,8 @@ def _estimate_carry(
             zero,
             zero,
             jnp.zeros((2, hist_len), jnp.float32),
+            zero,
+            zero,
         )
         nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
         carry = jax.lax.fori_loop(0, nb1, body, init)
@@ -1394,6 +1462,7 @@ def _estimate_carry(
                 carry, bn, bm, bm2, bmin, bmax, bfin,
                 qsum_partial(x, mask, cnt), ctl_partial(x, None, mask, bn, bm),
                 hist_partial(x, cond),
+                *hi_moments(x, bm, cond),
             )
         cntf = cnt.astype(jnp.float32)
         bm = jnp.sum(jnp.where(mask, x, 0.0)) / cntf
@@ -1409,6 +1478,7 @@ def _estimate_carry(
             qsum_partial(x, mask, cnt),
             ctl_partial(x, y, mask, cntf, bm),
             hist_partial(x, mask),
+            *hi_moments(x, bm, mask),
         )
 
     if len(_ESTIMATE_CACHE) > 32:
@@ -1434,7 +1504,8 @@ def _control_adjust(mx, m2x, my, m2y, cxy, mu):
 
 
 def _finalize_estimate(
-    carry, size, quantiles, control_mu=None, where=None, cvar=(), histogram=None
+    carry, size, quantiles, control_mu=None, where=None, cvar=(),
+    histogram=None, moments=False,
 ):
     (
         total_,
@@ -1448,6 +1519,8 @@ def _finalize_estimate(
         m2y_,
         cxy_,
         hsum_,
+        m3_,
+        m4_,
     ) = jax.device_get(carry)
     total, mean, m2, vmin, vmax = (
         float(total_),
@@ -1476,6 +1549,15 @@ def _finalize_estimate(
         "min": vmin,
         "max": vmax,
     }
+    if moments:
+        # scipy conventions: biased g1, Fisher (excess) g2.
+        sd3 = var**1.5
+        stats["skew"] = (
+            float(m3_) / total / sd3 if total and sd3 else float("nan")
+        )
+        stats["kurt"] = (
+            float(m4_) / total / var**2 - 3.0 if total and var else float("nan")
+        )
     if where is not None:
         stats["n_total"] = size
         stats["acceptance"] = total / size
@@ -1529,6 +1611,7 @@ def estimate_many(
     target_sem=None,
     target_rel_sem=None,
     max_size=None,
+    moments=False,
 ):
     """One-pass streamed moments for SEVERAL nodes of one model.
 
@@ -1563,6 +1646,9 @@ def estimate_many(
       ``sem`` becomes its between-replicate spread — the valid QMC /
       antithetic error bar, jointly consistent across nodes because all
       R streams are shared.
+    - ``moments=True``: per-node streamed skewness and excess kurtosis
+      (``skew``/``kurt``, scipy conventions) via (M,)-vector M3/M4
+      Chan/Pebay carries; zero cost when off.
     - ``target_sem=tol`` / ``target_rel_sem=tol``: sequential stopping
       exactly as in ``estimate``, except the run continues until EVERY
       watched node meets its target (round sizes come from the worst
@@ -1701,6 +1787,7 @@ def estimate_many(
             None if target_sem is None else float(target_sem),
             None if target_rel_sem is None else float(target_rel_sem),
             max_size,
+            moments,
         )
     if replicates is not None:
         reps = int(replicates)
@@ -1730,13 +1817,15 @@ def estimate_many(
                     correlator,
                     control_node,
                     where,
+                    moments=moments,
                 )
             )
             for r in range(reps)
         ]
         merged, rep_means = _merge_many_carries(carries, control_mu)
         out = _finalize_many(
-            nodes, merged, size, quantiles, cvar, histogram, control_mu, where
+            nodes, merged, size, quantiles, cvar, histogram, control_mu,
+            where, moments,
         )
         rep = np.asarray(rep_means, np.float64)  # (R_kept, M)
         if rep.ndim != 2 or rep.shape[0] < 2:
@@ -1767,9 +1856,11 @@ def estimate_many(
         correlator,
         control_node,
         where,
+        moments=moments,
     )
     return _finalize_many(
-        nodes, carry, size, quantiles, cvar, histogram, control_mu, where
+        nodes, carry, size, quantiles, cvar, histogram, control_mu, where,
+        moments,
     )
 
 
@@ -1786,6 +1877,7 @@ def _many_carry(
     correlator,
     control_node,
     where_node,
+    moments=False,
 ):
     """One randomised stream's (M,)-vector moment carry (device values).
 
@@ -1826,6 +1918,7 @@ def _many_carry(
         None if where_node is None else ("where", where_node._id),
         jnp.dtype(_config.float_dtype()).name,
         _compile._active_mesh_key(),
+        bool(moments),
     )
     cached = _MANY_CACHE.get(cache_key)
     if cached is not None:
@@ -1867,9 +1960,13 @@ def _many_carry(
         zero = jnp.float32(0.0)
         czeros = jnp.zeros((m,), jnp.float32)
 
-        def merge(carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum):
+        def merge(
+            carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum,
+            bm3, bm4,
+        ):
             (
-                n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum,
+                n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy,
+                hsum, m3, m4,
             ) = carry
             bmy, bm2y, bcxy = bctl
             delta = bm - mean
@@ -1877,6 +1974,19 @@ def _many_carry(
             nn = n_prev + bn
             nn_div = jnp.maximum(nn, 1.0) if where_mode else nn
             w = n_prev * bn / nn_div
+            # Pebay (2008) pairwise M3/M4 over the (M,) node axis;
+            # reads the OLD m2/m3.  Zero constants when moments is off.
+            m4 = m4 + bm4 + (
+                delta**4 * w
+                * (n_prev * n_prev - n_prev * bn + bn * bn) / nn_div**2
+                + 6.0 * delta**2
+                * (n_prev * n_prev * bm2 + bn * bn * m2) / nn_div**2
+                + 4.0 * delta * (n_prev * bm3 - bn * m3) / nn_div
+            )
+            m3 = m3 + bm3 + (
+                delta**3 * w * (n_prev - bn) / nn_div
+                + 3.0 * delta * (n_prev * bm2 - bn * m2) / nn_div
+            )
             mean = mean + delta * bn / nn_div
             m2 = m2 + bm2 + delta * delta * w
             my = my + delta_y * bn / nn_div
@@ -1900,7 +2010,20 @@ def _many_carry(
                 m2y,
                 cxy,
                 hsum,
+                m3,
+                m4,
             )
+
+        def hi_moments(y, bm, mask=None):
+            # (M,) central 3rd/4th power sums; where() BEFORE the powers
+            # so off-mask NaN lanes never enter.
+            if not moments:
+                return czeros, czeros
+            d = y - bm[:, None]
+            if mask is not None:
+                d = jnp.where(mask if mask.ndim == 2 else mask[None, :], d, 0.0)
+            d2 = d * d
+            return jnp.sum(d2 * d, axis=1), jnp.sum(d2 * d2, axis=1)
 
         def ctl_full(y, yc, bm):
             if yc is None:
@@ -1965,6 +2088,7 @@ def _many_carry(
                     carry, bn, bm, bm2, bmin, bmax, bfin,
                     qsum_full_many(y), (zero, zero, czeros),
                     hist_many(y, cond),
+                    *hi_moments(y, bm, cond[None, :]),
                 )
             bm = jnp.mean(y, axis=1)
             bm2 = jnp.sum(jnp.square(y - bm[:, None]), axis=1)
@@ -1979,6 +2103,7 @@ def _many_carry(
                 qsum_full_many(y),
                 ctl_full(y, aux, bm),
                 hist_many(y),
+                *hi_moments(y, bm),
             )
 
         init = (
@@ -1993,6 +2118,8 @@ def _many_carry(
             jnp.float32(0.0),
             jnp.zeros((m,), jnp.float32),
             jnp.zeros((2, m, hist_len), jnp.float32),
+            jnp.zeros((m,), jnp.float32),
+            jnp.zeros((m,), jnp.float32),
         )
         nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
         carry = jax.lax.fori_loop(0, nb1, body, init)
@@ -2008,6 +2135,7 @@ def _many_carry(
                 carry, bn, bm, bm2, bmin, bmax, bfin,
                 qsum_partial_many(y, mask, cnt), (zero, zero, czeros),
                 hist_many(y, cond),
+                *hi_moments(y, bm, cond[None, :]),
             )
         maskM = mask[None, :]
         cntf = cnt.astype(jnp.float32)
@@ -2026,6 +2154,7 @@ def _many_carry(
             qsum_partial_many(y, mask, cnt),
             ctl_partial(y, aux, mask, cntf, bm),
             hist_many(y, mask),
+            *hi_moments(y, bm, maskM),
         )
 
     if len(_MANY_CACHE) > 32:
@@ -2043,19 +2172,23 @@ def _merge_many_carries(carries, control_mu=None):
     adjusted estimator per node).
     """
     total, my, m2y = 0.0, 0.0, 0.0
-    mean = m2 = cxy = vmin = vmax = qsum = hsum = None
+    mean = m2 = m3 = m4 = cxy = vmin = vmax = qsum = hsum = None
     finite = True
     rep_means = []
-    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_, h_ in carries:
+    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_, h_, m3_, m4_ in carries:
         t = float(t_)
         if t <= 0.0:
             continue
         mv = np.asarray(m_, np.float64)
         m2v = np.asarray(m2_, np.float64)
+        m3v = np.asarray(m3_, np.float64)
+        m4v = np.asarray(m4_, np.float64)
         cxyv = np.asarray(cxy_, np.float64)
         if mean is None:
             mean = np.zeros_like(mv)
             m2 = np.zeros_like(mv)
+            m3 = np.zeros_like(mv)
+            m4 = np.zeros_like(mv)
             cxy = np.zeros_like(mv)
             vmin = np.full_like(mv, np.inf)
             vmax = np.full_like(mv, -np.inf)
@@ -2077,6 +2210,16 @@ def _merge_many_carries(carries, control_mu=None):
         delta = mv - mean
         delta_y = float(my_) - my
         w = total * t / nn
+        # Pebay (2008) pairwise M3/M4 (vector over nodes; OLD m2/m3).
+        m4 = m4 + m4v + (
+            delta**4 * w * (total * total - total * t + t * t) / nn**2
+            + 6.0 * delta**2 * (total * total * m2v + t * t * m2) / nn**2
+            + 4.0 * delta * (total * m3v - t * m3) / nn
+        )
+        m3 = m3 + m3v + (
+            delta**3 * w * (total - t) / nn
+            + 3.0 * delta * (total * m2v - t * m2) / nn
+        )
         mean = mean + delta * t / nn
         m2 = m2 + m2v + delta * delta * w
         my += delta_y * t / nn
@@ -2091,7 +2234,7 @@ def _merge_many_carries(carries, control_mu=None):
         h = np.asarray(h_, np.float64)
         hsum = h if hsum is None else hsum + h
     return (
-        (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum),
+        (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum, m3, m4),
         rep_means,
     )
 
@@ -2113,6 +2256,7 @@ def _estimate_sequential_many(
     target_sem,
     target_rel_sem,
     max_size,
+    moments=False,
 ):
     """Sequential stopping for ``estimate_many``: run until EVERY node
     meets its target.  Round sizes come from the worst node's sem (see
@@ -2137,6 +2281,7 @@ def _estimate_sequential_many(
                     correlator,
                     control_node,
                     where,
+                    moments=moments,
                 )
             )
         )
@@ -2154,7 +2299,7 @@ def _estimate_sequential_many(
             continue
         out = _finalize_many(
             nodes, merged, drawn, quantiles, cvar, histogram, control_mu,
-            where,
+            where, moments,
         )
         # The binding node: the largest sem/target ratio decides both
         # convergence and the next round's size.
@@ -2195,6 +2340,7 @@ def _finalize_many(
     histogram=None,
     control_mu=None,
     where=None,
+    moments=False,
 ):
     (
         total_,
@@ -2208,6 +2354,8 @@ def _finalize_many(
         m2y_,
         cxy_,
         hsum_,
+        m3_,
+        m4_,
     ) = jax.device_get(carry)
     if not bool(finite_):
         raise ValueError("Sampling produced non-finite values.")
@@ -2234,6 +2382,18 @@ def _finalize_many(
             "min": float(np.asarray(vmin_)[i]),
             "max": float(np.asarray(vmax_)[i]),
         }
+        if moments:
+            sd3 = var**1.5
+            stats["skew"] = (
+                float(np.asarray(m3_)[i]) / total / sd3
+                if total and sd3
+                else float("nan")
+            )
+            stats["kurt"] = (
+                float(np.asarray(m4_)[i]) / total / var**2 - 3.0
+                if total and var
+                else float("nan")
+            )
         if where is not None:
             stats["n_total"] = size
             stats["acceptance"] = total / size

@@ -291,7 +291,7 @@ class TestPathwiseGreeks:
         from probabilit_tpu import PoissonProcess
 
         p = PoissonProcess(rate=2.0, steps=16)
-        with pytest.raises(ValueError, match="no differentiable scalar"):
+        with pytest.raises(ValueError, match="no differentiable"):
             pt.sensitivity(p.terminal(), wrt=p, size=1024)
 
 

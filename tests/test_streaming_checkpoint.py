@@ -1306,11 +1306,11 @@ class TestConditionalEstimate:
 
         zero = (
             0.0, 0.0, 0.0, np.inf, -np.inf, True, np.zeros(0), 0, 0, 0,
-            np.zeros(0),
+            np.zeros(0), 0.0, 0.0,
         )
         live = (
             100.0, 3.7, 42.0, 1.0, 8.0, True, np.zeros(0), 0, 0, 0,
-            np.zeros(0),
+            np.zeros(0), 0.0, 0.0,
         )
         merged, rep_means = _merge_carries([zero, live, live])
         assert rep_means == [3.7, 3.7]
@@ -1547,3 +1547,130 @@ class TestSequentialEstimateMany:
             quantiles=(0.5,),
         )
         assert all("q0.5" in v and v["converged"] for v in outq.values())
+
+
+class TestStreamedMoments:
+    """estimate(..., moments=True) — streamed skewness / excess kurtosis."""
+
+    def test_matches_scipy_on_materialized_draws(self):
+        import scipy.stats
+
+        x = Distribution("lognorm", s=0.5)
+        st = streaming.estimate(
+            x, 1 << 15, block_size=1 << 12, random_state=0, moments=True
+        )
+        # Exactness of the fold: sample_streaming yields the SAME draws
+        # estimate folds (per-sample scalars), so scipy on the
+        # materialized stream must agree to f32 merge noise.
+        draws = np.fromiter(
+            streaming.sample_streaming(
+                x, 1 << 15, block_size=1 << 12, random_state=0
+            ),
+            np.float32,
+            count=1 << 15,
+        )
+        g1 = scipy.stats.skew(draws)
+        g2 = scipy.stats.kurtosis(draws)
+        assert st["skew"] == pytest.approx(g1, rel=2e-4)
+        assert st["kurt"] == pytest.approx(g2, rel=2e-3, abs=2e-3)
+
+    def test_host_merge_exactness_via_replicates(self):
+        # The replicates path pools per-replicate carries through the
+        # HOST Pebay merge; materializing each replicate's stream (same
+        # folded keys) and running scipy on the concatenation must agree
+        # to f32 noise — exactness of _merge_carries' M3/M4.
+        import scipy.stats
+
+        from probabilit_tpu.engine.sampler import resolve_key
+
+        x = Distribution("expon")
+        n, reps = 1 << 13, 4
+        st = streaming.estimate(
+            x,
+            n,
+            block_size=1 << 10,
+            random_state=1,
+            replicates=reps,
+            moments=True,
+        )
+        import jax
+
+        key = resolve_key(1)
+        draws = np.concatenate(
+            [
+                np.fromiter(
+                    streaming.sample_streaming(
+                        x,
+                        n // reps,
+                        block_size=1 << 10,
+                        random_state=jax.random.fold_in(key, r),
+                    ),
+                    np.float32,
+                    count=n // reps,
+                )
+                for r in range(reps)
+            ]
+        )
+        assert st["skew"] == pytest.approx(
+            float(scipy.stats.skew(draws)), rel=2e-4
+        )
+        assert st["kurt"] == pytest.approx(
+            float(scipy.stats.kurtosis(draws)), rel=2e-3, abs=2e-3
+        )
+
+    def test_normal_truth_and_default_off(self):
+        x = Distribution("norm", loc=3.0)
+        st = streaming.estimate(
+            x, 1 << 15, block_size=1 << 12, random_state=2, moments=True
+        )
+        assert abs(st["skew"]) < 0.05 and abs(st["kurt"]) < 0.1
+        st0 = streaming.estimate(x, 4096, block_size=1024, random_state=2)
+        assert "skew" not in st0 and "kurt" not in st0
+
+    def test_composes_with_where_replicates_sequential(self):
+        x = Distribution("norm")
+        # Conditional shape: Z | Z > 0 is the half-normal,
+        # skew = sqrt(2)(4 - pi)/(pi - 2)^1.5 ~ 0.9953.
+        stw = streaming.estimate(
+            x,
+            1 << 16,
+            block_size=1 << 13,
+            random_state=3,
+            where=(x > 0.0),
+            moments=True,
+        )
+        assert stw["skew"] == pytest.approx(0.9953, abs=0.06)
+        str_ = streaming.estimate(
+            x,
+            1 << 14,
+            block_size=1 << 12,
+            random_state=4,
+            replicates=4,
+            moments=True,
+        )
+        assert abs(str_["skew"]) < 0.1
+        sts = streaming.estimate(
+            x,
+            2048,
+            block_size=1024,
+            random_state=5,
+            target_sem=0.02,
+            moments=True,
+        )
+        assert sts["converged"] and np.isfinite(sts["kurt"])
+
+    def test_estimate_many_parity(self):
+        import scipy.stats
+
+        a = Distribution("lognorm", s=0.5)
+        b = Distribution("norm")
+        out = streaming.estimate_many(
+            [a, b], 1 << 15, block_size=1 << 12, random_state=6, moments=True
+        )
+        g1 = float(scipy.stats.lognorm.stats(0.5, moments="s"))
+        assert out[a]["skew"] == pytest.approx(g1, abs=0.3)
+        assert abs(out[b]["skew"]) < 0.06 and abs(out[b]["kurt"]) < 0.15
+        out0 = streaming.estimate_many(
+            [a, b], 4096, block_size=1024, random_state=6
+        )
+        assert "skew" not in out0[a]
