@@ -1293,11 +1293,11 @@ def _estimate_carry(
 
         def merge(
             carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum,
-            bm3, bm4,
+            bm3, bm4, bcov,
         ):
             (
                 n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy,
-                hsum, m3, m4,
+                hsum, m3, m4, csum,
             ) = carry
             # Histogram counts carry as TWO f32 words per bin (hi in
             # units of 2^23, lo < 2^23): a single f32 total loses
@@ -1612,6 +1612,7 @@ def estimate_many(
     target_rel_sem=None,
     max_size=None,
     moments=False,
+    covariance=False,
 ):
     """One-pass streamed moments for SEVERAL nodes of one model.
 
@@ -1649,6 +1650,17 @@ def estimate_many(
     - ``moments=True``: per-node streamed skewness and excess kurtosis
       (``skew``/``kurt``, scipy conventions) via (M,)-vector M3/M4
       Chan/Pebay carries; zero cost when off.
+    - ``covariance=True``: the full M x M cross-node covariance and
+      correlation of the joint stream — every node's dict gains
+      ``cov``/``corr``, its (M,)-row of the joint matrix in ``nodes``
+      order (``np.stack([out[n]["corr"] for n in nodes])`` rebuilds the
+      matrix).  One small (M, block) x (block, M) matmul per block
+      (f32-precision pinned), Chan-merged with outer-product
+      corrections; composes with ``where=`` (conditional covariance)
+      and the sequential/replicate paths.  This is the jointly
+      consistent desk-correlation matrix at streaming sizes — per-node
+      ``estimate()`` calls cannot produce it (each sink gets its own
+      draws).
     - ``target_sem=tol`` / ``target_rel_sem=tol``: sequential stopping
       exactly as in ``estimate``, except the run continues until EVERY
       watched node meets its target (round sizes come from the worst
@@ -1878,6 +1890,7 @@ def _many_carry(
     control_node,
     where_node,
     moments=False,
+    covariance=False,
 ):
     """One randomised stream's (M,)-vector moment carry (device values).
 
@@ -1919,6 +1932,7 @@ def _many_carry(
         jnp.dtype(_config.float_dtype()).name,
         _compile._active_mesh_key(),
         bool(moments),
+        bool(covariance),
     )
     cached = _MANY_CACHE.get(cache_key)
     if cached is not None:
@@ -1987,6 +2001,8 @@ def _many_carry(
                 delta**3 * w * (n_prev - bn) / nn_div
                 + 3.0 * delta * (n_prev * bm2 - bn * m2) / nn_div
             )
+            # Cross-node covariance: same Chan correction, outer product.
+            csum = csum + bcov + delta[:, None] * delta[None, :] * w
             mean = mean + delta * bn / nn_div
             m2 = m2 + bm2 + delta * delta * w
             my = my + delta_y * bn / nn_div
@@ -2012,7 +2028,20 @@ def _many_carry(
                 hsum,
                 m3,
                 m4,
+                csum,
             )
+
+        def cross_cov(y, bm, mask=None):
+            # (M, M) per-block central cross-product sums.  TPU's default
+            # matmul rounds f32 inputs to bfloat16 (CLAUDE.md): a
+            # statistics-bearing Gram needs the full-precision pin.
+            if not covariance:
+                return jnp.zeros((m, m), jnp.float32)
+            d = y - bm[:, None]
+            if mask is not None:
+                d = jnp.where(mask if mask.ndim == 2 else mask[None, :], d, 0.0)
+            with jax.default_matmul_precision("float32"):
+                return d @ d.T
 
         def hi_moments(y, bm, mask=None):
             # (M,) central 3rd/4th power sums; where() BEFORE the powers
@@ -2089,6 +2118,7 @@ def _many_carry(
                     qsum_full_many(y), (zero, zero, czeros),
                     hist_many(y, cond),
                     *hi_moments(y, bm, cond[None, :]),
+                    cross_cov(y, bm, cond[None, :]),
                 )
             bm = jnp.mean(y, axis=1)
             bm2 = jnp.sum(jnp.square(y - bm[:, None]), axis=1)
@@ -2104,6 +2134,7 @@ def _many_carry(
                 ctl_full(y, aux, bm),
                 hist_many(y),
                 *hi_moments(y, bm),
+                cross_cov(y, bm),
             )
 
         init = (
@@ -2120,6 +2151,7 @@ def _many_carry(
             jnp.zeros((2, m, hist_len), jnp.float32),
             jnp.zeros((m,), jnp.float32),
             jnp.zeros((m,), jnp.float32),
+            jnp.zeros((m, m), jnp.float32),
         )
         nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
         carry = jax.lax.fori_loop(0, nb1, body, init)
@@ -2136,6 +2168,7 @@ def _many_carry(
                 qsum_partial_many(y, mask, cnt), (zero, zero, czeros),
                 hist_many(y, cond),
                 *hi_moments(y, bm, cond[None, :]),
+                cross_cov(y, bm, cond[None, :]),
             )
         maskM = mask[None, :]
         cntf = cnt.astype(jnp.float32)
@@ -2155,6 +2188,7 @@ def _many_carry(
             ctl_partial(y, aux, mask, cntf, bm),
             hist_many(y, mask),
             *hi_moments(y, bm, maskM),
+            cross_cov(y, bm, maskM),
         )
 
     if len(_MANY_CACHE) > 32:
@@ -2172,10 +2206,12 @@ def _merge_many_carries(carries, control_mu=None):
     adjusted estimator per node).
     """
     total, my, m2y = 0.0, 0.0, 0.0
-    mean = m2 = m3 = m4 = cxy = vmin = vmax = qsum = hsum = None
+    mean = m2 = m3 = m4 = cxy = csum = vmin = vmax = qsum = hsum = None
     finite = True
     rep_means = []
-    for t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_, h_, m3_, m4_ in carries:
+    for (
+        t_, m_, m2_, lo_, hi_, f_, q_, my_, m2y_, cxy_, h_, m3_, m4_, c_,
+    ) in carries:
         t = float(t_)
         if t <= 0.0:
             continue
@@ -2184,12 +2220,14 @@ def _merge_many_carries(carries, control_mu=None):
         m3v = np.asarray(m3_, np.float64)
         m4v = np.asarray(m4_, np.float64)
         cxyv = np.asarray(cxy_, np.float64)
+        cv = np.asarray(c_, np.float64)
         if mean is None:
             mean = np.zeros_like(mv)
             m2 = np.zeros_like(mv)
             m3 = np.zeros_like(mv)
             m4 = np.zeros_like(mv)
             cxy = np.zeros_like(mv)
+            csum = np.zeros_like(cv)
             vmin = np.full_like(mv, np.inf)
             vmax = np.full_like(mv, -np.inf)
         if control_mu is None:
@@ -2220,6 +2258,7 @@ def _merge_many_carries(carries, control_mu=None):
             delta**3 * w * (total - t) / nn
             + 3.0 * delta * (total * m2v - t * m2) / nn
         )
+        csum = csum + cv + delta[:, None] * delta[None, :] * w
         mean = mean + delta * t / nn
         m2 = m2 + m2v + delta * delta * w
         my += delta_y * t / nn
@@ -2234,7 +2273,10 @@ def _merge_many_carries(carries, control_mu=None):
         h = np.asarray(h_, np.float64)
         hsum = h if hsum is None else hsum + h
     return (
-        (total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum, m3, m4),
+        (
+            total, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy, hsum,
+            m3, m4, csum,
+        ),
         rep_means,
     )
 
@@ -2341,6 +2383,7 @@ def _finalize_many(
     control_mu=None,
     where=None,
     moments=False,
+    covariance=False,
 ):
     (
         total_,
@@ -2356,6 +2399,7 @@ def _finalize_many(
         hsum_,
         m3_,
         m4_,
+        csum_,
     ) = jax.device_get(carry)
     if not bool(finite_):
         raise ValueError("Sampling produced non-finite values.")
@@ -2370,6 +2414,15 @@ def _finalize_many(
     if histogram is not None:
         pair = np.asarray(hsum_, np.float64)  # (2, M, bins + 2)
         all_counts = np.rint(pair[0] * 2.0**23 + pair[1]).astype(np.int64)
+    if covariance:
+        cov = np.asarray(csum_, np.float64) / total if total else None
+        if cov is not None:
+            sd = np.sqrt(np.maximum(np.diag(cov), 0.0))
+            denom = np.outer(sd, sd)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                corr = np.where(denom > 0.0, cov / denom, np.nan)
+            # The diagonal is 1 by construction up to f32 rounding.
+            np.fill_diagonal(corr, 1.0)
     out = {}
     for i, node in enumerate(nodes):
         var = float(np.asarray(m2_)[i]) / total if total else float("nan")
@@ -2393,6 +2446,15 @@ def _finalize_many(
                 float(np.asarray(m4_)[i]) / total / var**2 - 3.0
                 if total and var
                 else float("nan")
+            )
+        if covariance:
+            stats["cov"] = (
+                cov[i].copy() if cov is not None else np.full(len(nodes), np.nan)
+            )
+            stats["corr"] = (
+                corr[i].copy()
+                if cov is not None
+                else np.full(len(nodes), np.nan)
             )
         if where is not None:
             stats["n_total"] = size
