@@ -1293,11 +1293,11 @@ def _estimate_carry(
 
         def merge(
             carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum,
-            bm3, bm4, bcov,
+            bm3, bm4,
         ):
             (
                 n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy,
-                hsum, m3, m4, csum,
+                hsum, m3, m4,
             ) = carry
             # Histogram counts carry as TWO f32 words per bin (hi in
             # units of 2^23, lo < 2^23): a single f32 total loses
@@ -1800,6 +1800,7 @@ def estimate_many(
             None if target_rel_sem is None else float(target_rel_sem),
             max_size,
             moments,
+            covariance,
         )
     if replicates is not None:
         reps = int(replicates)
@@ -1830,6 +1831,7 @@ def estimate_many(
                     control_node,
                     where,
                     moments=moments,
+                    covariance=covariance,
                 )
             )
             for r in range(reps)
@@ -1837,7 +1839,7 @@ def estimate_many(
         merged, rep_means = _merge_many_carries(carries, control_mu)
         out = _finalize_many(
             nodes, merged, size, quantiles, cvar, histogram, control_mu,
-            where, moments,
+            where, moments, covariance,
         )
         rep = np.asarray(rep_means, np.float64)  # (R_kept, M)
         if rep.ndim != 2 or rep.shape[0] < 2:
@@ -1869,10 +1871,11 @@ def estimate_many(
         control_node,
         where,
         moments=moments,
+        covariance=covariance,
     )
     return _finalize_many(
         nodes, carry, size, quantiles, cvar, histogram, control_mu, where,
-        moments,
+        moments, covariance,
     )
 
 
@@ -1976,11 +1979,11 @@ def _many_carry(
 
         def merge(
             carry, bn, bm, bm2, bmin, bmax, bfinite, bqsum, bctl, bhsum,
-            bm3, bm4,
+            bm3, bm4, bcov,
         ):
             (
                 n_prev, mean, m2, vmin, vmax, finite, qsum, my, m2y, cxy,
-                hsum, m3, m4,
+                hsum, m3, m4, csum,
             ) = carry
             bmy, bm2y, bcxy = bctl
             delta = bm - mean
@@ -2299,6 +2302,7 @@ def _estimate_sequential_many(
     target_rel_sem,
     max_size,
     moments=False,
+    covariance=False,
 ):
     """Sequential stopping for ``estimate_many``: run until EVERY node
     meets its target.  Round sizes come from the worst node's sem (see
@@ -2324,6 +2328,7 @@ def _estimate_sequential_many(
                     control_node,
                     where,
                     moments=moments,
+                    covariance=covariance,
                 )
             )
         )
@@ -2341,7 +2346,7 @@ def _estimate_sequential_many(
             continue
         out = _finalize_many(
             nodes, merged, drawn, quantiles, cvar, histogram, control_mu,
-            where, moments,
+            where, moments, covariance,
         )
         # The binding node: the largest sem/target ratio decides both
         # convergence and the next round's size.

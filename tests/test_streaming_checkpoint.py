@@ -1674,3 +1674,99 @@ class TestStreamedMoments:
             [a, b], 4096, block_size=1024, random_state=6
         )
         assert "skew" not in out0[a]
+
+
+class TestStreamedCovariance:
+    """estimate_many(..., covariance=True) — joint M x M cov/corr."""
+
+    def test_matches_analytic_linear_model(self):
+        x = Distribution("norm")
+        y = 2.0 * x + Distribution("norm")
+        z = -1.0 * x + Distribution("norm", scale=0.5)
+        out = streaming.estimate_many(
+            [x, y, z],
+            1 << 16,
+            block_size=1 << 13,
+            random_state=0,
+            covariance=True,
+        )
+        corr = np.stack([out[n]["corr"] for n in (x, y, z)])
+        cov = np.stack([out[n]["cov"] for n in (x, y, z)])
+        # Symmetric, unit diagonal, and cov diagonal == streamed var.
+        assert np.allclose(corr, corr.T, atol=1e-6)
+        assert np.allclose(np.diag(corr), 1.0)
+        for i, n in enumerate((x, y, z)):
+            assert cov[i, i] == pytest.approx(out[n]["var"], rel=1e-4)
+        # corr(x,y) = 2/sqrt(5); corr(x,z) = -1/sqrt(1.25);
+        # corr(y,z) = -2/sqrt(5 * 1.25).
+        assert corr[0, 1] == pytest.approx(2 / np.sqrt(5.0), abs=0.01)
+        assert corr[0, 2] == pytest.approx(-1 / np.sqrt(1.25), abs=0.01)
+        assert corr[1, 2] == pytest.approx(-2 / np.sqrt(6.25), abs=0.01)
+
+    def test_default_off(self):
+        x = Distribution("norm")
+        out = streaming.estimate_many(
+            [x, x + 1.0], 4096, block_size=1024, random_state=1
+        )
+        assert "cov" not in out[x] and "corr" not in out[x]
+
+    def test_composes_with_where(self):
+        # X | X > 0 against Y = 2X + E: Var(X | X>0) = 1 - 2/pi, so
+        # corr = 2v / sqrt(v (4v + 1)).
+        x = Distribution("norm")
+        y = 2.0 * x + Distribution("norm")
+        out = streaming.estimate_many(
+            [x, y],
+            1 << 16,
+            block_size=1 << 13,
+            random_state=2,
+            covariance=True,
+            where=x > 0,
+        )
+        v = 1.0 - 2.0 / np.pi
+        expected = 2 * v / np.sqrt(v * (4 * v + 1))
+        assert float(out[x]["corr"][1]) == pytest.approx(expected, abs=0.02)
+        assert out[x]["acceptance"] == pytest.approx(0.5, abs=0.02)
+
+    def test_composes_with_replicates_and_sequential(self):
+        x = Distribution("norm")
+        y = 2.0 * x + Distribution("norm")
+        rep = streaming.estimate_many(
+            [x, y],
+            1 << 14,
+            block_size=1 << 12,
+            random_state=3,
+            covariance=True,
+            replicates=4,
+        )
+        assert float(rep[x]["corr"][1]) == pytest.approx(
+            2 / np.sqrt(5.0), abs=0.03
+        )
+        seq = streaming.estimate_many(
+            [x, y],
+            1 << 12,
+            block_size=1 << 12,
+            random_state=4,
+            covariance=True,
+            moments=True,
+            target_sem=0.05,
+        )
+        assert seq[x]["converged"]
+        assert float(seq[x]["corr"][1]) == pytest.approx(
+            2 / np.sqrt(5.0), abs=0.05
+        )
+
+    def test_matrix_reassembly_order(self):
+        # Row i of every node's "cov" is its row of the joint matrix in
+        # nodes order: stacking rebuilds a PSD matrix.
+        a = Distribution("norm")
+        b = Distribution("expon")
+        c = a * b
+        nodes = [a, b, c]
+        out = streaming.estimate_many(
+            nodes, 1 << 14, block_size=1 << 12, random_state=5,
+            covariance=True,
+        )
+        cov = np.stack([out[n]["cov"] for n in nodes])
+        eig = np.linalg.eigvalsh((cov + cov.T) / 2)
+        assert eig.min() > -1e-6 * max(eig.max(), 1.0)
