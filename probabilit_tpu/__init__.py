@@ -30,6 +30,7 @@ from probabilit_tpu.models.factories import (
 )
 from probabilit_tpu.inspection import plot
 from probabilit_tpu.engine.sensitivity import sensitivity, sobol_indices
+from probabilit_tpu.engine.sweep import sweep
 from probabilit_tpu.engine.american import american_greeks, american_price
 from probabilit_tpu.engine.mlmc import mlmc_estimate
 from probabilit_tpu.engine.streaming import estimate, estimate_many, sample_streaming
@@ -63,6 +64,7 @@ __all__ = [
     "plot",
     "sensitivity",
     "sobol_indices",
+    "sweep",
     "estimate",
     "estimate_many",
     "sample_streaming",

@@ -448,3 +448,126 @@ class TestSobolPathNodes:
             ou.terminal() * 0.0 + a + b, wrt=[a, b], size=4096, random_state=1
         )
         assert abs(res.first_order[a] - 0.8) < 0.06
+
+
+class TestSweep:
+    """sweep(): batched scenario grids, one vmapped program."""
+
+    def test_linear_model_matches_analytic(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        y = 2.0 * x + 1.0
+        locs = np.linspace(-2.0, 2.0, 9)
+        res = pt.sweep(
+            y,
+            {(x, "loc"): locs},
+            size=1 << 14,
+            random_state=0,
+            statistics=("mean", "std", "q0.95"),
+        )
+        assert np.abs(res["mean"] - (2 * locs + 1)).max() < 0.05
+        # CRN: the ladder inherits the model's exact monotonicity.
+        assert np.all(np.diff(res["mean"]) > 0)
+        assert np.abs(res["std"] - 2.0).max() < 0.1
+        q = 2 * locs + 1 + 2 * 1.6448536
+        assert np.abs(res["q0.95"] - q).max() < 0.1
+        assert res["sem"].shape == (9,) and np.all(res["sem"] > 0)
+        assert res.n == 9 and "mean" in res.keys()
+
+    def test_crn_determinism_and_independent_streams(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        y = x * x
+        vals = np.array([0.5, 0.5])
+        crn = pt.sweep(y, {(x, "loc"): vals}, size=4096, random_state=1)
+        assert crn["mean"][0] == crn["mean"][1]  # identical scenarios, CRN
+        ind = pt.sweep(
+            y,
+            {(x, "loc"): vals},
+            size=4096,
+            random_state=1,
+            common_random_numbers=False,
+        )
+        assert ind["mean"][0] != ind["mean"][1]
+        assert np.abs(ind["mean"] - 1.25).max() < 0.15  # E[(L+Z)^2]=1.25
+
+    def test_two_slot_grid_and_nested_dict(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        y = 2.0 * x + 1.0
+        ll, ss = np.meshgrid(
+            np.array([-1.0, 0.0, 1.0]), np.array([0.5, 1.0, 2.0])
+        )
+        res = pt.sweep(
+            y,
+            {x: {"loc": ll.ravel(), "scale": ss.ravel()}},
+            size=1 << 14,
+            random_state=3,
+            statistics=("mean", "std"),
+        )
+        assert np.abs(res["mean"] - (2 * ll.ravel() + 1)).max() < 0.1
+        assert np.abs(res["std"] - 2 * ss.ravel()).max() < 0.15
+
+    def test_qmc_and_path_node_spot_ladder(self):
+        gbm = pt.GeometricBrownianMotion(
+            s0=100.0, mu=0.05, sigma=0.2, T=1.0, steps=16
+        )
+        spots = np.linspace(80.0, 120.0, 5)
+        res = pt.sweep(
+            gbm.terminal(),
+            {(gbm, "s0"): spots},
+            size=1 << 13,
+            random_state=0,
+            method="sobol",
+        )
+        # E[S_T] = s0 e^{mu T} exactly; sobol at 8k is very tight.
+        assert np.abs(res["mean"] - spots * np.exp(0.05)).max() < 0.05
+        # The slot machinery restored the original parameter.
+        assert float(gbm.s0) == 100.0
+
+    def test_correlated_graph(self):
+        a = pt.Distribution("norm", loc=0.0, scale=1.0)
+        b = pt.Distribution("norm", loc=0.0, scale=1.0)
+        s = (a + b).correlate(
+            a, b, corr_mat=np.array([[1.0, 0.8], [0.8, 1.0]])
+        )
+        res = pt.sweep(
+            s,
+            {(a, "loc"): np.array([0.0, 1.0])},
+            size=1 << 15,
+            random_state=1,
+            statistics=("mean", "var"),
+        )
+        assert np.abs(res["mean"] - np.array([0.0, 1.0])).max() < 0.05
+        assert np.abs(res["var"] - 3.6).max() < 0.1  # 2 + 2*0.8
+
+    def test_validation(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        y = 2.0 * x
+        with pytest.raises(ValueError, match="length"):
+            pt.sweep(
+                y,
+                {
+                    (x, "loc"): np.array([0.0, 1.0]),
+                    (x, "scale"): np.array([1.0, 2.0, 3.0]),
+                },
+            )
+        with pytest.raises(ValueError, match="no numeric scalar parameter"):
+            pt.sweep(y, {(x, "mu"): np.array([0.0])})
+        with pytest.raises(ValueError, match="non-empty dict"):
+            pt.sweep(y, [])
+        a = pt.Distribution("norm", loc=0.0, scale=1.0)
+        b = pt.Distribution("norm", loc=0.0, scale=1.0)
+        s = (a + b).correlate(
+            a, b, corr_mat=np.array([[1.0, 0.5], [0.5, 1.0]])
+        )
+        with pytest.raises(ValueError, match="correlation-free"):
+            pt.sweep(s, {(a, "loc"): np.array([0.0])}, method="sobol")
+
+    def test_nonfinite_guard(self):
+        x = pt.Distribution("norm", loc=10.0, scale=0.1)
+        y = pt.models.graph.Log(x)
+        with pytest.raises(FloatingPointError, match="Non-finite"):
+            pt.sweep(
+                y,
+                {(x, "loc"): np.array([10.0, -10.0])},
+                size=4096,
+                random_state=0,
+            )
