@@ -1,4 +1,4 @@
-"""Sensitivity analysis of a Monte Carlo model, two complementary ways.
+"""Sensitivity analysis of a Monte Carlo model, three complementary ways.
 
 Both run through the SAME compiled sampling program `sample()` uses —
 capabilities the scipy-driven reference cannot offer (its per-node
@@ -11,13 +11,16 @@ throughput is prohibitive):
 2. `sobol_indices()` — GLOBAL, variance-based: which variables' overall
    randomness drives the output variance, interactions included.
    "Which inputs are worth refining at all?"
+3. `sweep()` — NONLOCAL, scenario-based: a whole parameter ladder in one
+   vmapped program under common random numbers.
+   "What does the P95 curve actually look like across rate scenarios?"
 
 Run: python examples/04_sensitivity.py   (seconds on CPU or TPU)
 """
 
 import numpy as np
 
-from probabilit_tpu import Distribution, sensitivity, sobol_indices
+from probabilit_tpu import Distribution, sensitivity, sobol_indices, sweep
 
 
 def build_project_cost():
@@ -95,6 +98,27 @@ def main():
     print(
         f"\n+{bump} on hourly rate mean: predicted P95 shift {predicted:,.1f}, "
         f"re-simulated {shifted - grad.value:,.1f}"
+    )
+
+    # 3. Scenario sweep — the NONLOCAL picture the derivative linearises:
+    #    a whole rate ladder in ONE vmapped program, common random
+    #    numbers, so the P95 curve is smooth and its slope at the base
+    #    rate should match the pathwise derivative above.
+    rates = np.linspace(85.0, 105.0, 9)
+    curve = sweep(
+        total,
+        {(variables["hourly_rate"], "loc"): rates},
+        size=1 << 16,
+        random_state=0,
+        statistics=("mean", "q0.95"),
+    )
+    print("\nHourly-rate ladder (one compiled program, CRN):")
+    for r, m, q in zip(rates, curve["mean"], curve["q0.95"]):
+        print(f"  rate {r:6.1f}  mean {m:12,.0f}  P95 {q:12,.0f}")
+    slope = np.gradient(curve["q0.95"], rates)[4]
+    print(
+        f"ladder slope at the base rate {slope:,.1f} vs pathwise "
+        f"derivative {grad[(variables['hourly_rate'], 'loc')]:,.1f}"
     )
 
 
