@@ -340,6 +340,16 @@ class Node(abc.ABC):
             self, wrt, size=size, random_state=random_state, **kwargs
         )
 
+    def sweep(self, scenarios, size=65536, random_state=None, **kwargs):
+        """Statistics of this node under S parameter scenarios, evaluated
+        as one vmapped compiled program with common random numbers.  See
+        ``engine.sweep.sweep``."""
+        from probabilit_tpu.engine import sweep as _sweep
+
+        return _sweep.sweep(
+            self, scenarios, size=size, random_state=random_state, **kwargs
+        )
+
     def sobol_indices(self, wrt=None, size=8192, random_state=None, **kwargs):
         """First-order/total Sobol' variance decomposition of this node
         over its (independent) sampling variables, batched pick-freeze on

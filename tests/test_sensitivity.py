@@ -571,3 +571,10 @@ class TestSweep:
                 size=4096,
                 random_state=0,
             )
+
+    def test_node_convenience_method(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        y = 2.0 * x + 1.0
+        res = y.sweep({(x, "loc"): np.array([-1.0, 1.0])}, size=4096,
+                      random_state=0)
+        assert np.abs(res["mean"] - np.array([-1.0, 3.0])).max() < 0.1
