@@ -63,6 +63,25 @@ def _resolve_statistic(statistic):
         fn = _STATISTICS.get(statistic)
         if fn is not None:
             return fn, statistic
+        if len(statistic) > 4 and statistic.startswith("cvar"):
+            # "cvar0.95": expected shortfall — the mean of the samples
+            # ABOVE the level's quantile, matching streaming's cvar keys.
+            # The pathwise CVaR derivative is E[dX/dtheta | X >= VaR]
+            # (Hong & Liu 2009): the indicator's own derivative vanishes
+            # a.e., so differentiating through the fixed tail mask is the
+            # consistent estimator.
+            try:
+                level = float(statistic[4:])
+            except ValueError:
+                level = None
+            if level is not None and 0.0 < level < 1.0:
+
+                def es(x, _level=level):
+                    q = jnp.quantile(x, _level)
+                    w = (x >= q).astype(x.dtype)
+                    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+                return es, statistic
         if len(statistic) > 1 and statistic[0] == "q":
             # "q0.95": quantile/VaR level, matching streaming's result keys.
             # jnp.quantile linearly interpolates order statistics, so its
@@ -78,7 +97,8 @@ def _resolve_statistic(statistic):
         return statistic, id(statistic)
     raise ValueError(
         f"statistic must be one of {sorted(_STATISTICS)}, 'q<level>' "
-        f"(e.g. 'q0.95'), or a callable; got {statistic!r}."
+        f"(e.g. 'q0.95'), 'cvar<level>' (e.g. 'cvar0.95'), or a callable; "
+        f"got {statistic!r}."
     )
 
 
@@ -324,9 +344,11 @@ def sensitivity(
     random_state : None | int | numpy Generator/RandomState | jax key
         Same contract as ``sample()``; fixed draws make the gradient
         deterministic given a seed.
-    statistic : "mean" | "var" | "std" | "q<level>" | callable
+    statistic : "mean" | "var" | "std" | "q<level>" | "cvar<level>" | callable
         Scalar functional of the sink's sample vector.  ``"q0.95"``
-        differentiates the 95% quantile (VaR sensitivity).  A callable
+        differentiates the 95% quantile (VaR sensitivity); ``"cvar0.95"``
+        the expected shortfall above it (CVaR Greeks via the Hong-Liu
+        pathwise tail-conditional estimator).  A callable
         receives the traced ``(size,)`` array and must return a scalar
         (it is differentiated through, so it must be jax-traceable).
     correlator : str | Correlator class

@@ -153,7 +153,8 @@ def sweep(
     random_state : None | int | Generator | jax key
         Same contract as ``sample()``.
     statistics : str | callable | sequence of those
-        Any mix of ``"mean"``/``"var"``/``"std"``/``"q<level>"`` or
+        Any mix of ``"mean"``/``"var"``/``"std"``/``"q<level>"``/
+        ``"cvar<level>"`` (expected shortfall above the level) or
         jax-traceable callables of the ``(size,)`` sample vector.  When
         ``"mean"`` is requested, a per-scenario ``"sem"`` rides along.
     correlator : str | Correlator class

@@ -578,3 +578,38 @@ class TestSweep:
         res = y.sweep({(x, "loc"): np.array([-1.0, 1.0])}, size=4096,
                       random_state=0)
         assert np.abs(res["mean"] - np.array([-1.0, 3.0])).max() < 0.1
+
+
+class TestCVaRStatistic:
+    """statistic='cvar<level>' — expected-shortfall values and Greeks."""
+
+    def test_gradients_match_analytic(self):
+        # ES_p of loc + scale*Z: d/dloc = 1 exactly; d/dscale =
+        # phi(z_p)/(1-p) = 2.0627 at p=0.95 (Hong-Liu pathwise CVaR).
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        res = sensitivity(
+            x, wrt=x, size=1 << 17, random_state=0, statistic="cvar0.95"
+        )
+        assert res.value == pytest.approx(2.0 + 3.0 * 2.06271, abs=0.08)
+        assert res[(x, "loc")] == pytest.approx(1.0, abs=1e-3)
+        assert res[(x, "scale")] == pytest.approx(2.06271, abs=0.05)
+
+    def test_sweep_cvar_ladder(self):
+        x = pt.Distribution("norm", loc=0.0, scale=3.0)
+        locs = np.array([0.0, 1.0, 2.0])
+        sw = pt.sweep(
+            x,
+            {(x, "loc"): locs},
+            size=1 << 15,
+            random_state=1,
+            statistics=("cvar0.95", "q0.95"),
+        )
+        assert np.abs(sw["cvar0.95"] - (locs + 3 * 2.06271)).max() < 0.1
+        # ES dominates VaR at the same level, scenario by scenario.
+        assert np.all(sw["cvar0.95"] > sw["q0.95"])
+
+    def test_invalid_levels_rejected(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        for bad in ("cvar1.5", "cvar0", "cvarx"):
+            with pytest.raises(ValueError, match="statistic"):
+                sensitivity(x, wrt=x, size=4096, statistic=bad)
