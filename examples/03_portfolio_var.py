@@ -9,7 +9,7 @@ import time
 
 import numpy as np
 
-from probabilit_tpu import Distribution
+from probabilit_tpu import Distribution, estimate_many
 from probabilit_tpu.engine import checkpoint
 from probabilit_tpu.ops.ncm import nearest_correlation_matrix
 from probabilit_tpu.utils.helpers import build_corrmat
@@ -35,7 +35,9 @@ def build_portfolio():
 
     portfolio = 0.5 * equities + 0.3 * bonds + 0.2 * commodities
     portfolio.correlate(equities, bonds, commodities, corr_mat=target)
-    return portfolio
+    return portfolio, {
+        "equities": equities, "bonds": bonds, "commodities": commodities,
+    }
 
 
 def main():
@@ -43,7 +45,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     tail_draws = 10**9 if on_tpu else 10**6
-    portfolio = build_portfolio()
+    portfolio, assets = build_portfolio()
 
     # 1. Quasi-Monte Carlo for the smooth-statistic phase: Sobol points
     #    cut the estimator variance well below iid sampling.
@@ -86,11 +88,29 @@ def main():
         f"kurt={seq['kurt']:.3f}"
     )
 
-    # 4. Checkpoint the sampled state and restore it into a rebuilt graph
+    # 4. The realised desk correlation matrix, jointly consistent: every
+    #    asset AND the portfolio measured on the SAME streamed draws
+    #    (separate per-node runs could never produce a coherent matrix).
+    nodes = [*assets.values(), portfolio]
+    joint = estimate_many(
+        nodes,
+        1 << 18 if not on_tpu else 1 << 24,
+        block_size=1 << 16 if not on_tpu else 1 << 22,
+        random_state=2,
+        covariance=True,
+    )
+    corr = np.stack([joint[n]["corr"] for n in nodes])
+    labels = [*assets, "portfolio"]
+    print("realised correlations (induced vs declared):")
+    for i, row in enumerate(corr):
+        cells = "  ".join(f"{v:+.3f}" for v in row)
+        print(f"  {labels[i]:<12} {cells}")
+
+    # 5. Checkpoint the sampled state and restore it into a rebuilt graph
     #    (the structural fingerprint refuses a mismatched model).
     portfolio.sample(1 << 14, random_state=3)
     path = checkpoint.save(portfolio, "/tmp/portfolio_state.npz")
-    rebuilt = build_portfolio()
+    rebuilt, _ = build_portfolio()
     checkpoint.load(rebuilt, path)
     print(
         "resumed samples match:",
