@@ -385,8 +385,9 @@ def build_body(plan, correlator_cls, keep_ids, check_finite=True, generated_ok=F
             # (correlation.py:193-195) instead of surfacing a downstream
             # NaN-Cholesky as a generic non-finite error.
             raise ValueError(
-                "The matrix X must have rows > columns. Got shape: "
-                f"({n}, {len(corr_vars)})"
+                "Inducing correlations needs more observations than "
+                "variables (rows > columns); X has shape "
+                f"({n}, {len(corr_vars)})."
             )
         columns = {nid: quantiles[:, col] for nid, col in col_of.items()}
         ctx = EmitContext(

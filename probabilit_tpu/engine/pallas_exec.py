@@ -705,8 +705,9 @@ def run(plan, seed, n, keep_ids=None):
         # degenerate empirical correlation would otherwise NaN the
         # Cholesky and return all-NaN samples silently.
         raise ValueError(
-            "The matrix X must have rows > columns. Got shape: "
-            f"({n}, {len(plan.corr_vars)})"
+            "Inducing correlations needs more observations than "
+            "variables (rows > columns); X has shape "
+            f"({n}, {len(plan.corr_vars)})."
         )
     block = _SUBLANES * _LANES
     n_pad = -(-n // block) * block

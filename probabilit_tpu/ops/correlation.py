@@ -126,42 +126,69 @@ class Correlator(abc.ABC):
     """
 
     def set_target(self, correlation_matrix):
-        if not isinstance(correlation_matrix, np.ndarray):
-            raise TypeError("Input argument `correlation_matrix` must be NumPy array.")
-        if not correlation_matrix.ndim == 2:
-            raise ValueError("Correlation matrix must be square.")
-        if not correlation_matrix.shape[0] == correlation_matrix.shape[1]:
-            raise ValueError("Correlation matrix must be square.")
-        if not np.allclose(np.diag(correlation_matrix), 1.0):
-            raise ValueError("Correlation matrix must have 1.0 on diagonal.")
-        if not np.allclose(correlation_matrix.T, correlation_matrix):
-            raise ValueError("Correlation matrix must be symmetric.")
-        if not _is_positive_definite(correlation_matrix):
-            raise ValueError("Correlation matrix must be positive definite.")
+        # Same validation semantics as the reference protocol
+        # (correlation.py:162-179): a NumPy target, square, unit diagonal,
+        # symmetric, PD — each failure named precisely (including the
+        # non-2-D case, which the reference mislabels as "not square").
+        C = correlation_matrix
+        if not isinstance(C, np.ndarray):
+            raise TypeError(
+                f"set_target expects a NumPy correlation matrix, got "
+                f"{type(C).__name__}."
+            )
+        if C.ndim != 2:
+            raise ValueError(
+                f"Target correlation must be a 2-D matrix; got ndim={C.ndim}."
+            )
+        if C.shape[0] != C.shape[1]:
+            raise ValueError(
+                f"Target correlation matrix must be square; got shape "
+                f"{C.shape}."
+            )
+        if not np.allclose(np.diag(C), 1.0):
+            raise ValueError(
+                "Target correlation matrix needs ones on the diagonal."
+            )
+        if not np.allclose(C.T, C):
+            raise ValueError("Target correlation matrix is not symmetric.")
+        if not _is_positive_definite(C):
+            raise ValueError(
+                "Target correlation matrix is not positive definite; "
+                "repair it with nearest_correlation_matrix first."
+            )
 
-        self.C = correlation_matrix.copy()
+        self.C = C.copy()
         self.P = np.linalg.cholesky(self.C)
         return self
 
     def _validate_X(self, X, check_rows_cols=True):
-        """Validate array X of shape (observations, variables)."""
-        if not (hasattr(self, "C") and hasattr(self, "P")):
-            raise CorrelatorError("User must call `set_target` first.")
-
+        """Check the (observations, variables) sample matrix against the target."""
+        if getattr(self, "P", None) is None or getattr(self, "C", None) is None:
+            raise CorrelatorError(
+                "No target set: call set_target(corr_matrix) before "
+                "applying the correlator."
+            )
         if not isinstance(X, (np.ndarray, jax.Array)):
-            raise TypeError("Input argument `X` must be a NumPy or JAX array.")
-        if not X.ndim == 2:
-            raise ValueError("Input argument `X` must be 2-dimensional.")
+            raise TypeError(
+                f"X must be a NumPy or JAX array, got {type(X).__name__}."
+            )
+        if X.ndim != 2:
+            raise ValueError(
+                f"X must be 2-D with shape (observations, variables); got "
+                f"ndim={X.ndim}."
+            )
 
         N, K = X.shape
         if self.P.shape[0] != K:
-            msg = f"Shape of `X` ({X.shape}) does not match shape of "
-            msg += f"correlation matrix ({self.P.shape})"
-            raise ValueError(msg)
-
+            raise ValueError(
+                f"X has {K} columns but the target correlation is "
+                f"{self.P.shape[0]}x{self.P.shape[1]}; they must agree."
+            )
         if check_rows_cols and N <= K:
-            msg = f"The matrix X must have rows > columns. Got shape: {X.shape}"
-            raise ValueError(msg)
+            raise ValueError(
+                "Inducing correlations needs more observations than "
+                f"variables (rows > columns); X has shape {X.shape}."
+            )
 
         return N, K
 

@@ -131,7 +131,7 @@ class TestCorrelatorValidation:
         ic = ImanConover().set_target(np.eye(2))
         with pytest.raises(ValueError, match="rows > columns"):
             ic(np.random.rand(2, 2))
-        with pytest.raises(ValueError, match="does not match"):
+        with pytest.raises(ValueError, match="must agree"):
             ic(np.random.rand(10, 3))
 
 
