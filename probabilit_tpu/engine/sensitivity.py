@@ -64,12 +64,16 @@ def _resolve_statistic(statistic):
         if fn is not None:
             return fn, statistic
         if len(statistic) > 4 and statistic.startswith("cvar"):
-            # "cvar0.95": expected shortfall — the mean of the samples
-            # ABOVE the level's quantile, matching streaming's cvar keys.
-            # The pathwise CVaR derivative is E[dX/dtheta | X >= VaR]
-            # (Hong & Liu 2009): the indicator's own derivative vanishes
-            # a.e., so differentiating through the fixed tail mask is the
-            # consistent estimator.
+            # "cvar0.95": expected shortfall via the Rockafellar-Uryasev
+            # form ``v + E[max(X - v, 0)] / (1 - q)`` with ``v`` the
+            # empirical level quantile — the SAME estimator estimate()'s
+            # cvar<level> keys report, so the two entry points give
+            # identical finite-sample values for the same key name.  Its
+            # pathwise derivative is the Hong-Liu tail-conditional
+            # gradient: the relu's subgradient fixes the tail mask, the
+            # indicator's own derivative vanishes a.e., and the dv/dtheta
+            # terms cancel to O(1/n) because the tail fraction estimates
+            # ``1 - q`` itself.
             try:
                 level = float(statistic[4:])
             except ValueError:
@@ -77,9 +81,10 @@ def _resolve_statistic(statistic):
             if level is not None and 0.0 < level < 1.0:
 
                 def es(x, _level=level):
-                    q = jnp.quantile(x, _level)
-                    w = (x >= q).astype(x.dtype)
-                    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+                    v = jnp.quantile(x, _level)
+                    return v + jnp.mean(jnp.maximum(x - v, 0.0)) / (
+                        1.0 - _level
+                    )
 
                 return es, statistic
         if len(statistic) > 1 and statistic[0] == "q":
@@ -361,14 +366,24 @@ def sensitivity(
     block_size : None | int
         Streamed gradients: fold the run in device-sized blocks, exactly
         as ``estimate()`` does, accumulating per-block ``jax.vjp``
-        cotangents — the gradient of the Chan-merged mean is the
-        count-weighted mean of per-block gradients, so the streamed
-        result is exact (not an approximation) and ``size`` may be 1e9+.
-        Requires ``statistic="mean"`` (only the mean's gradient
-        decomposes blockwise) and a correlation-free graph.  Device
-        memory stays O(block_size); the whole fold (value AND gradient)
-        is ONE jitted program with ``size`` a traced loop bound, so size
-        sweeps reuse one compiled program.
+        cotangents, so ``size`` may be 1e9+.  ``statistic="mean"``
+        streams the count-weighted mean of block gradients (exact);
+        ``"var"``/``"std"`` stream the bivariate cross co-moment
+        ``d Var = 2 sum (x - xbar)(dx - dxbar) / (n-1)`` through the
+        same Chan merge (exact); ``"q<level>"``/``"cvar<level>"`` run a
+        two-pass scheme — pass 1 streams the level quantile, pass 2
+        streams the Hong-Liu conditional gradient mean over the tail
+        (CVaR) or a narrow quantile band (VaR) — consistent estimators
+        matching the single-shot values at overlapping sizes.  Arbitrary
+        callables cannot stream (they need the full sample vector).
+        Correlated graphs stream through the generated sort-free
+        recoloring (same per-block induction streamed correlated
+        ``estimate()`` uses), so the merged gradient is the exact
+        gradient of the streamed correlated estimator; this needs a
+        correlator with score recoloring (ImanConover/StudentTCopula)
+        over monotone inverse-CDF variables.  Device memory stays
+        O(block_size); each fold is ONE jitted program with ``size`` a
+        traced loop bound, so size sweeps reuse one compiled program.
     replicates : None | int
         Split the run into R independently randomised streams (fresh
         Owen scrambles / rotations / keys) and report the
@@ -449,45 +464,150 @@ def sensitivity(
 
     if block_size is not None:
         block_size = int(block_size)
-        if stat_key != "mean":
+        tail_kind = None
+        tail_level = None
+        if isinstance(stat_key, str) and stat_key not in _STATISTICS:
+            if stat_key.startswith("cvar"):
+                tail_kind, tail_level = "cvar", float(stat_key[4:])
+            elif stat_key.startswith("q"):
+                tail_kind, tail_level = "q", float(stat_key[1:])
+        if stat_key not in ("mean", "var", "std") and tail_kind is None:
             raise ValueError(
-                "block_size= (streamed gradients) requires "
-                "statistic='mean': only the mean's gradient decomposes "
-                "exactly across blocks (quantile/variance gradients need "
-                "the full sample vector — drop block_size for those)."
+                "block_size= (streamed gradients) supports statistic="
+                "'mean'/'var'/'std' (exact blockwise Chan folds) and "
+                "'q<level>'/'cvar<level>' (two-pass Hong-Liu tail "
+                "streams); an arbitrary callable needs the full sample "
+                "vector — drop block_size for it."
             )
-        if plan.corr_matrix is not None:
+        if plan.corr_matrix is not None and not _stream_corr_eligible(
+            plan, correlator_cls
+        ):
             raise ValueError(
-                "Streamed sensitivities require a correlation-free graph "
-                "(per-block recoloring would make block gradients "
-                "inconsistent); drop block_size= to differentiate the "
+                "Streamed sensitivities on a correlated graph run through "
+                "the generated sort-free recoloring, which needs a "
+                "correlator with per-block score recoloring "
+                "(ImanConover/StudentTCopula) over variables with "
+                "monotone inverse CDFs; this graph/correlator pair is "
+                "not eligible — drop block_size= to differentiate the "
                 "single-shot correlated program."
             )
         lhs_total = sub if method_name == "lhs" else None
-        cache_key = (
-            plan.signature(),
-            slot_key,
-            "stream-mean",
-            block_size,
-            method_name,
-            lhs_total,
-            jnp.dtype(dtype).name,
-            _compile._active_mesh_key(),
-        )
-        grad_fn = _GRAD_CACHE.get(cache_key)
-        if grad_fn is None:
-            grad_fn = _build_stream_grad_fn(
-                plan, pairs, block_size, method_name, lhs_total,
-                correlator_cls,
-            )
-            if len(_GRAD_CACHE) >= _CACHE_LIMIT:
-                _GRAD_CACHE.pop(next(iter(_GRAD_CACHE)))
-            _GRAD_CACHE[cache_key] = grad_fn
         n_blocks = -(-sub // block_size)
         last_count = sub - (n_blocks - 1) * block_size
+        corr_tok = _compile.correlator_token(correlator_cls)
 
-        def run_one(k):
-            return grad_fn(theta0, k, n_blocks, last_count)
+        if tail_kind is None:
+            cache_key = (
+                plan.signature(),
+                slot_key,
+                "stream-" + stat_key,
+                block_size,
+                method_name,
+                lhs_total,
+                corr_tok,
+                jnp.dtype(dtype).name,
+                _compile._active_mesh_key(),
+            )
+            grad_fn = _GRAD_CACHE.get(cache_key)
+            if grad_fn is None:
+                if stat_key == "mean":
+                    grad_fn = _build_stream_grad_fn(
+                        plan, pairs, block_size, method_name, lhs_total,
+                        correlator_cls,
+                    )
+                else:
+                    grad_fn = _build_stream_varstd_grad_fn(
+                        plan, pairs, block_size, method_name, lhs_total,
+                        correlator_cls, stat_key,
+                    )
+                if len(_GRAD_CACHE) >= _CACHE_LIMIT:
+                    _GRAD_CACHE.pop(next(iter(_GRAD_CACHE)))
+                _GRAD_CACHE[cache_key] = grad_fn
+
+            def run_one(k):
+                return grad_fn(theta0, k, n_blocks, last_count)
+
+        else:
+            # Two-pass VaR/CVaR stream.  Pass 1 reuses the streamed
+            # quantile machinery (estimate()'s whole-run fold, same key
+            # and draw tags, so both passes see the same stream); pass 2
+            # streams the Hong-Liu band/tail-conditional gradient mean.
+            level = tail_level
+            if tail_kind == "q":
+                # Conditional band around the level: E[g | X = VaR] is
+                # estimated over the samples between the (level +/- band)
+                # quantiles.  Band width trades O(band) bias against
+                # O(1/sqrt(n * band)) noise: aim for >= ~1000 expected
+                # band samples, capped at +/-0.005 of probability.
+                half = min(level / 2.0, (1.0 - level) / 2.0)
+                band = min(max(min(0.005, half), 500.0 / sub), half)
+                q_levels = (level - band, level, level + band)
+                cvar_levels = ()
+            else:
+                q_levels = (level,)
+                cvar_levels = (level,)
+            tail_key = (
+                plan.signature(),
+                slot_key,
+                "stream-tail",
+                block_size,
+                method_name,
+                lhs_total,
+                corr_tok,
+                jnp.dtype(dtype).name,
+                _compile._active_mesh_key(),
+            )
+            tail_fn = _GRAD_CACHE.get(tail_key)
+            if tail_fn is None:
+                tail_fn = _build_stream_tail_grad_fn(
+                    plan, pairs, block_size, method_name, lhs_total,
+                    correlator_cls,
+                )
+                if len(_GRAD_CACHE) >= _CACHE_LIMIT:
+                    _GRAD_CACHE.pop(next(iter(_GRAD_CACHE)))
+                _GRAD_CACHE[tail_key] = tail_fn
+
+            from probabilit_tpu.engine import streaming as _streaming
+
+            def run_one(k):
+                carry = _streaming._estimate_carry(
+                    sink,
+                    sub,
+                    block_size,
+                    k,
+                    "xla",
+                    method_name,
+                    q_levels,
+                    correlator_cls,
+                    cvar=cvar_levels,
+                )
+                st = _streaming._finalize_estimate(
+                    carry, sub, q_levels, None, None, cvar_levels
+                )
+                if tail_kind == "q":
+                    v_lo = st[f"q{q_levels[0]:g}"]
+                    v_hi = st[f"q{q_levels[2]:g}"]
+                    value = st[f"q{level:g}"]
+                else:
+                    v_lo = st[f"q{level:g}"]
+                    v_hi = float("inf")
+                    value = st[f"cvar{level:g}"]
+                cnt, gsum = tail_fn(
+                    theta0,
+                    k,
+                    n_blocks,
+                    last_count,
+                    jnp.asarray(v_lo, jnp.float32),
+                    jnp.asarray(v_hi, jnp.float32),
+                )
+                cnt = float(cnt)
+                if cnt <= 0.0:
+                    raise ValueError(
+                        f"No samples landed in the {stat_key} "
+                        "conditioning band/tail; the level is too extreme "
+                        "for this size."
+                    )
+                return value, gsum / cnt
 
     else:
         cache_key = (
@@ -623,43 +743,42 @@ def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls, method_name=None)
     return jax.jit(jax.value_and_grad(value_of, argnums=0))
 
 
-def _build_stream_grad_fn(
-    plan, pairs, block_size, method_name, lhs_total, correlator_cls
-):
-    """Jitted streamed ``(mean, grad)`` fold over device-sized blocks.
+def _stream_corr_eligible(plan, correlator_cls):
+    """Can this correlated plan stream gradients via generated recoloring?
 
-    The gradient of a Chan-merged mean is the count-weighted mean of the
-    per-block gradients, so each loop iteration runs ``jax.value_and_grad``
-    of the BLOCK mean (reverse-mode differentiation never crosses the
-    ``fori_loop`` boundary — which XLA could not differentiate with a
-    traced trip count) and the merge itself is plain arithmetic.  Exact
-    for ``statistic="mean"`` at any ``size``; memory stays O(block).
+    Streamed correlated ``estimate()`` recolors every block's scores to
+    the exact target with the block's own moments (the sort-free
+    Gaussian-copula fast path, ``compile.build_body``); the gradient of
+    each recolored block mean is an ordinary per-block VJP, and the
+    count-weighted Chan merge of block gradients is the exact gradient
+    of the streamed estimator — so the same eligibility rule applies:
+    a correlator with ``_recolor_scores`` over generatable variables.
+    """
+    return (
+        hasattr(correlator_cls, "_recolor_scores")
+        and all(_compile._generatable(v) for v in plan.corr_vars)
+    )
 
-    Draw semantics match ``estimate()``'s XLA executor exactly:
-    ``method=None`` folds per-block threefry keys through the same
-    ``fold_in`` tags as ``compile.get_program``'s in-program RNG, QMC
-    methods slice the index-addressable sequence at block offsets — so
-    streamed values agree with ``estimate()`` and streamed QMC gradients
-    at overlapping sizes are bitwise-consistent with single-shot QMC runs
-    of the same prefix.
+
+def _make_block_sampler(plan, pairs, block_size, method_name, lhs_total, body):
+    """``sample_block(theta, key, b) -> (block,) f32 sink samples``.
+
+    The shared draw machinery of every streamed-gradient builder: draw
+    semantics match ``estimate()``'s XLA executor exactly (per-block
+    threefry folds with ``compile.get_program``'s tags for
+    ``method=None``; index-addressable sequence slices at block offsets
+    for QMC/antithetic), so streamed values and pass-1/pass-2 splits are
+    consistent with the estimation entry points at the same key.
     """
     from probabilit_tpu.ops import qmc as _qmc
     from probabilit_tpu.parallel import mesh as _par_mesh
 
     sink_id = plan.sink._id
-    body = _compile.build_body(
-        plan,
-        correlator_cls,
-        keep_ids=frozenset([sink_id]),
-        check_finite=False,
-        generated_ok=False,
-    )
     sharding = _par_mesh.sample_sharding(ndim=2)
     d = plan.d
     d_total = plan.d_total
-    n_pairs = len(pairs)
 
-    def block_mean(theta, key, b, cnt):
+    def sample_block(theta, key, b):
         saved = _save_slots(pairs)
         try:
             for (node, slot), th in zip(pairs, theta):
@@ -692,11 +811,205 @@ def _build_stream_grad_fn(
                     "The sampled node is integer-valued; its statistic has "
                     "no parameter derivative."
                 )
-            s = s.astype(jnp.float32)
-            mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
-            return jnp.sum(jnp.where(mask, s, 0.0)) / cnt.astype(jnp.float32)
+            return s.astype(jnp.float32)
         finally:
             _restore_slots(saved)
+
+    return sample_block
+
+
+def _build_stream_varstd_grad_fn(
+    plan, pairs, block_size, method_name, lhs_total, correlator_cls, stat_key
+):
+    """Jitted streamed ``(var_or_std, grad)`` fold over blocks.
+
+    The variance gradient decomposes exactly across blocks: with
+    ``g_i = d x_i / d theta``,
+
+        d Var / d theta = 2 * sum_i (x_i - xbar)(g_i - gbar) / (n - 1)
+
+    is a bivariate cross co-moment of ``(x, g)`` — the same Chan merge
+    ``estimate()``'s control variates carry (streaming.py ``merge``),
+    vectorised over the P parameters.  Each block runs ONE forward pass
+    plus two VJP pulls (cotangents ``1`` for ``sum g`` and ``x`` for
+    ``sum x g``); the carry is ``(n, mean_x, M2_x, mean_g, C_xg)`` with
+    the vector entries shaped ``(P,)``.  ``std`` transforms at the end
+    (``d std = d var / (2 std)``).  Exact at any size, O(block) memory.
+    """
+    generated_ok = plan.corr_matrix is not None and _stream_corr_eligible(
+        plan, correlator_cls
+    )
+    body = _compile.build_body(
+        plan,
+        correlator_cls,
+        keep_ids=frozenset([plan.sink._id]),
+        check_finite=False,
+        generated_ok=generated_ok,
+    )
+    sample_block = _make_block_sampler(
+        plan, pairs, block_size, method_name, lhs_total, body
+    )
+    n_pairs = len(pairs)
+
+    def block_stats(theta, key, b, cnt):
+        x, vjp = jax.vjp(lambda th: sample_block(th, key, b), theta)
+        maskf = (
+            jnp.arange(block_size, dtype=jnp.int32) < cnt
+        ).astype(jnp.float32)
+        cntf = cnt.astype(jnp.float32)
+        xm = x * maskf
+        bm = jnp.sum(xm) / cntf
+        bm2 = jnp.sum(maskf * jnp.square(x - bm))
+        (gsum,) = vjp(maskf)
+        (xg,) = vjp(xm)
+        bmg = gsum / cntf
+        # sum_valid (x - bm) g  ==  sum_valid (x - bm)(g - bmg).
+        bcxg = xg - bm * gsum
+        return cntf, bm, bm2, bmg, bcxg
+
+    @jax.jit
+    def run(theta, key, n_blocks, last_count):
+        def fold(carry, bn, bm, bm2, bmg, bcxg):
+            n_prev, mean, m2, mg, cxg = carry
+            nn = n_prev + bn
+            delta = bm - mean
+            delta_g = bmg - mg
+            w = n_prev * bn / nn
+            return (
+                nn,
+                mean + delta * bn / nn,
+                m2 + bm2 + delta * delta * w,
+                mg + delta_g * bn / nn,
+                cxg + bcxg + delta * delta_g * w,
+            )
+
+        full = jnp.int32(block_size)
+
+        def body_fn(b, carry):
+            return fold(carry, *block_stats(theta, key, b, full))
+
+        init = (
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.zeros((n_pairs,), theta.dtype),
+            jnp.zeros((n_pairs,), theta.dtype),
+        )
+        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(0, nb1, body_fn, init)
+        cnt = jnp.asarray(last_count, jnp.int32)
+        n, _, m2, _, cxg = fold(carry, *block_stats(theta, key, nb1, cnt))
+        var = m2 / (n - 1.0)
+        dvar = 2.0 * cxg / (n - 1.0)
+        if stat_key == "std":
+            sd = jnp.sqrt(var)
+            return sd, dvar / (2.0 * sd)
+        return var, dvar
+
+    return run
+
+
+def _build_stream_tail_grad_fn(
+    plan, pairs, block_size, method_name, lhs_total, correlator_cls
+):
+    """Jitted streamed band/tail gradient sums for VaR/CVaR pass 2.
+
+    ``run(theta, key, n_blocks, last_count, v_lo, v_hi) ->
+    (band_count, sum_of_gradients_in_band)``: one VJP pull per block
+    with the band indicator ``1{v_lo <= x <= v_hi}`` as the cotangent.
+    With ``(v_lo, v_hi) = (VaR_level, +inf)`` the ratio is the Hong-Liu
+    tail-conditional gradient mean ``E[dX/dtheta | X >= VaR]`` — the
+    pathwise CVaR derivative; a narrow quantile band around the level
+    gives the conditional-band estimator of the VaR derivative
+    ``E[dX/dtheta | X = VaR]`` (Hong 2009, kernel-free band variant).
+    """
+    generated_ok = plan.corr_matrix is not None and _stream_corr_eligible(
+        plan, correlator_cls
+    )
+    body = _compile.build_body(
+        plan,
+        correlator_cls,
+        keep_ids=frozenset([plan.sink._id]),
+        check_finite=False,
+        generated_ok=generated_ok,
+    )
+    sample_block = _make_block_sampler(
+        plan, pairs, block_size, method_name, lhs_total, body
+    )
+    n_pairs = len(pairs)
+
+    @jax.jit
+    def run(theta, key, n_blocks, last_count, v_lo, v_hi):
+        def block_tail(b, cnt):
+            x, vjp = jax.vjp(lambda th: sample_block(th, key, b), theta)
+            valid = jnp.arange(block_size, dtype=jnp.int32) < cnt
+            band = (
+                valid & (x >= v_lo) & (x <= v_hi)
+            ).astype(jnp.float32)
+            (gsum,) = vjp(band)
+            return jnp.sum(band), gsum
+
+        full = jnp.int32(block_size)
+
+        def body_fn(b, carry):
+            c, g = carry
+            bc, bg = block_tail(b, full)
+            return (c + bc, g + bg)
+
+        init = (jnp.float32(0.0), jnp.zeros((n_pairs,), theta.dtype))
+        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
+        c, g = jax.lax.fori_loop(0, nb1, body_fn, init)
+        bc, bg = block_tail(nb1, jnp.asarray(last_count, jnp.int32))
+        return c + bc, g + bg
+
+    return run
+
+
+def _build_stream_grad_fn(
+    plan, pairs, block_size, method_name, lhs_total, correlator_cls
+):
+    """Jitted streamed ``(mean, grad)`` fold over device-sized blocks.
+
+    The gradient of a Chan-merged mean is the count-weighted mean of the
+    per-block gradients, so each loop iteration runs ``jax.value_and_grad``
+    of the BLOCK mean (reverse-mode differentiation never crosses the
+    ``fori_loop`` boundary — which XLA could not differentiate with a
+    traced trip count) and the merge itself is plain arithmetic.  Exact
+    for ``statistic="mean"`` at any ``size``; memory stays O(block).
+
+    Draw semantics match ``estimate()``'s XLA executor exactly:
+    ``method=None`` folds per-block threefry keys through the same
+    ``fold_in`` tags as ``compile.get_program``'s in-program RNG, QMC
+    methods slice the index-addressable sequence at block offsets — so
+    streamed values agree with ``estimate()`` and streamed QMC gradients
+    at overlapping sizes are bitwise-consistent with single-shot QMC runs
+    of the same prefix.
+
+    Correlated graphs stream through the generated sort-free recolor
+    (``compile.build_body``'s fast path), exactly like streamed
+    correlated ``estimate()``: each block's VJP differentiates through
+    its own recoloring, so the merged gradient is the exact gradient of
+    the streamed correlated estimator.
+    """
+    generated_ok = plan.corr_matrix is not None and _stream_corr_eligible(
+        plan, correlator_cls
+    )
+    body = _compile.build_body(
+        plan,
+        correlator_cls,
+        keep_ids=frozenset([plan.sink._id]),
+        check_finite=False,
+        generated_ok=generated_ok,
+    )
+    sample_block = _make_block_sampler(
+        plan, pairs, block_size, method_name, lhs_total, body
+    )
+    n_pairs = len(pairs)
+
+    def block_mean(theta, key, b, cnt):
+        s = sample_block(theta, key, b)
+        mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
+        return jnp.sum(jnp.where(mask, s, 0.0)) / cnt.astype(jnp.float32)
 
     vg = jax.value_and_grad(block_mean, argnums=0)
 

@@ -55,7 +55,11 @@ class SweepResult:
     ``(S,)`` value vector; ``result.n`` is the scenario count.  When
     ``"mean"`` is among the requested statistics, ``result["sem"]`` holds
     each scenario's iid standard error (under CRN, scenario DIFFERENCES
-    are far more accurate than these marginal bars suggest).
+    are far more accurate than these marginal bars suggest).  Under
+    ``method="sobol"/"halton"/"lhs"`` the iid formula is not a valid
+    error bar and ``"sem"`` is omitted unless ``replicates=`` supplies
+    the between-replicate estimate (``"antithetic"`` keeps the iid sem
+    as a conservative overestimate).
     """
 
     def __init__(self, stats, scenarios, size):
@@ -86,12 +90,25 @@ def _normalize_scenarios(plan, scenarios):
             "or {node: {slot: values}}."
         )
     flat = {}
+
+    def put(pair, vals):
+        # The two accepted key forms ((node, slot) tuples and nested
+        # {node: {slot: ...}}) can name the same parameter; silently
+        # letting the later entry win would sweep different values than
+        # the user wrote down.
+        if pair in flat:
+            raise ValueError(
+                f"scenario parameter {pair} is specified more than once "
+                "(mixing the (node, slot) and {node: {slot: ...}} forms?)."
+            )
+        flat[pair] = vals
+
     for k, v in scenarios.items():
         if isinstance(k, tuple) and len(k) == 2:
-            flat[k] = v
+            put(k, v)
         elif isinstance(v, dict):
             for slot, vals in v.items():
-                flat[(k, slot)] = vals
+                put((k, slot), vals)
         else:
             raise ValueError(
                 "scenario keys must be (node, slot) tuples, or node keys "
@@ -134,6 +151,8 @@ def sweep(
     correlator="imanconover",
     method=None,
     common_random_numbers=True,
+    block_size=None,
+    replicates=None,
 ):
     """Evaluate statistics of ``sink`` under S parameter scenarios at once.
 
@@ -160,14 +179,38 @@ def sweep(
     correlator : str | Correlator class
         As in ``sample()`` for graphs with declared correlations.
     method : None | "sobol" | "halton" | "lhs" | "antithetic"
-        Quantile generator (QMC requires a correlation-free graph, as in
-        ``sensitivity()``).
+        Quantile generator.  Single-shot QMC composes with correlated
+        graphs exactly as ``sample(method=...)`` does (the correlator
+        consumes the low-discrepancy quantile matrix inside the same
+        program); STREAMED QMC (``block_size=``) requires a
+        correlation-free graph.
     common_random_numbers : bool
         True (default): all scenarios share ONE quantile matrix — the
         variance-optimal choice for scenario differences/ladders, and
         O(size * d) memory.  False: independent streams per scenario
         (fresh keys; fresh randomizations under QMC) at (S, size, d)
         memory — use for strictly independent per-scenario error bars.
+    block_size : None | int
+        Streamed sweeps: fold each scenario's statistics through
+        blocked Chan carries (``estimate()``'s machinery, vmapped over
+        scenarios), so ``size`` may be 1e8+ per scenario with device
+        memory O(S * block_size).  Supports ``"mean"``/``"var"``/
+        ``"std"`` (exact streamed moments) and ``"q<level>"``/
+        ``"cvar<level>"`` (per-block batched row sorts, the same
+        row-averaged estimator ``estimate(quantiles=...)`` uses, with
+        one row per block per scenario); callables cannot stream.
+        CRN still holds per block (every scenario consumes the same
+        per-block draws), so scenario differences stay
+        bitwise-deterministic given the key.  The whole fold is ONE
+        jitted program with ``size`` a traced loop bound.
+    replicates : None | int
+        Split the run into R independently randomised streams (fresh
+        scrambles/keys; each replicate is CRN across scenarios) and
+        report between-replicate standard errors: every requested
+        statistic ``name`` gains a ``name + "_sem"`` entry — the valid
+        error bar under QMC/antithetic — and the reported statistics
+        become replicate averages.  ``"sem"`` aliases ``"mean_sem"``
+        when ``"mean"`` is requested.  ``size`` must be divisible by R.
 
     Returns
     -------
@@ -204,9 +247,14 @@ def sweep(
     names = [k if isinstance(k, str) else f"stat{i}" for i, k in enumerate(stat_keys)]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate statistics requested: {names}.")
-    with_sem = "mean" in names
 
     method_name = None if method is None else str(method).lower().strip()
+    # The iid sem formula is not a valid error bar for low-discrepancy
+    # points (their deliberate dependence makes std/sqrt(n) meaningless —
+    # the same reason estimate() rejects sem-based stopping under QMC), so
+    # it is omitted for those methods; for "antithetic" it is reported as
+    # a conservative overestimate.  QMC error bars come from replicates=.
+    with_sem = "mean" in names and method_name not in ("sobol", "halton", "lhs")
     if method_name is not None:
         if method_name not in _QMC_METHODS:
             raise ValueError(
@@ -222,46 +270,164 @@ def sweep(
                 f"quantile matrix, but {seeded!r} draws from a "
                 "column-seeded PRNG key; use method=None for this graph."
             )
-        if plan.corr_matrix is not None:
+        if plan.corr_matrix is not None and block_size is not None:
+            # Single-shot QMC + correlation works exactly as
+            # sample(method=...) does (quantile-driven correlator inside
+            # the same program); the STREAMED variant would recolor per
+            # block and break the one-long-sequence contract.
             raise ValueError(
-                "QMC sweeps require a correlation-free graph; use "
-                "method=None."
+                "Streamed QMC sweeps require a correlation-free graph; "
+                "use method=None for streamed correlated sweeps or drop "
+                "block_size=."
             )
 
     correlator_cls = _compile.resolve_correlator(correlator)
     dtype = config.float_dtype()
     slot_key = tuple((node._id, slot) for node, slot in pairs)
-    n_scen = theta_np.shape[0]
     crn = bool(common_random_numbers)
-    cache_key = (
-        plan.signature(),
-        slot_key,
-        tuple(stat_keys),
-        with_sem,
-        size,
-        n_scen,
-        method_name,
-        crn,
-        _compile.correlator_token(correlator_cls),
-        jnp.dtype(dtype).name,
-        _compile._active_mesh_key(),
-    )
-    run = _SWEEP_CACHE.get(cache_key)
-    if run is None:
-        run = _build_sweep_fn(
-            plan, pairs, stat_fns, with_sem, size, correlator_cls,
-            method_name, crn,
-        )
-        if len(_SWEEP_CACHE) >= _CACHE_LIMIT:
-            _SWEEP_CACHE.pop(next(iter(_SWEEP_CACHE)))
-        _SWEEP_CACHE[cache_key] = run
-
     key = resolve_key(random_state)
     theta = jnp.asarray(theta_np, dtype)
-    out = jax.device_get(run(theta, key))
-    stats = {}
-    for name, col in zip(names + (["sem"] if with_sem else []), out):
-        stats[name] = np.asarray(col, np.float64)
+
+    if replicates is not None:
+        reps = int(replicates)
+        if reps < 2:
+            raise ValueError(
+                f"replicates must be >= 2 (got {reps}): a single stream "
+                "has no between-replicate variance to estimate sems from."
+            )
+        if size % reps:
+            raise ValueError(
+                f"size ({size}) must be divisible by replicates ({reps})."
+            )
+        sub = size // reps
+    else:
+        reps, sub = None, size
+    inner_sem = with_sem and reps is None
+
+    if block_size is not None:
+        block_size = int(block_size)
+        if plan.corr_matrix is not None and not (
+            hasattr(correlator_cls, "_recolor_scores")
+            and all(_compile._generatable(v) for v in plan.corr_vars)
+        ):
+            raise ValueError(
+                "Streamed sweeps on a correlated graph need the generated "
+                "sort-free recoloring (ImanConover/StudentTCopula over "
+                "monotone inverse-CDF variables); drop block_size= for "
+                "the single-shot correlated program."
+            )
+        q_levels, cvar_levels = [], []
+        for k in stat_keys:
+            if not isinstance(k, str):
+                raise ValueError(
+                    "Streamed sweeps (block_size=) support named "
+                    "statistics only ('mean'/'var'/'std'/'q<level>'/"
+                    "'cvar<level>'); a callable needs the full sample "
+                    "vector — drop block_size for it."
+                )
+            if k in ("mean", "var", "std"):
+                continue
+            if k.startswith("cvar"):
+                cvar_levels.append(float(k[4:]))
+            else:  # validated by _resolve_statistic: q<level>
+                q_levels.append(float(k[1:]))
+        q_levels, cvar_levels = tuple(q_levels), tuple(cvar_levels)
+        lhs_total = sub if method_name == "lhs" else None
+        n_blocks = -(-sub // block_size)
+        last_count = sub - (n_blocks - 1) * block_size
+        cache_key = (
+            plan.signature(),
+            slot_key,
+            "stream",
+            q_levels,
+            cvar_levels,
+            block_size,
+            method_name,
+            lhs_total,
+            crn,
+            _compile.correlator_token(correlator_cls),
+            jnp.dtype(dtype).name,
+            _compile._active_mesh_key(),
+        )
+        run = _SWEEP_CACHE.get(cache_key)
+        if run is None:
+            run = _build_stream_sweep_fn(
+                plan, pairs, block_size, method_name, lhs_total,
+                correlator_cls, crn, q_levels, cvar_levels,
+            )
+            if len(_SWEEP_CACHE) >= _CACHE_LIMIT:
+                _SWEEP_CACHE.pop(next(iter(_SWEEP_CACHE)))
+            _SWEEP_CACHE[cache_key] = run
+
+        def run_stats(k):
+            n_, mean_, var_, tails_ = (
+                np.asarray(v, np.float64)
+                for v in jax.device_get(run(theta, k, n_blocks, last_count))
+            )
+            cols = {}
+            for name in names:
+                if name == "mean":
+                    cols[name] = mean_
+                elif name == "var":
+                    cols[name] = var_
+                elif name == "std":
+                    cols[name] = np.sqrt(var_)
+                elif name.startswith("cvar"):
+                    j = len(q_levels) + cvar_levels.index(float(name[4:]))
+                    cols[name] = tails_[:, j]
+                else:
+                    cols[name] = tails_[:, q_levels.index(float(name[1:]))]
+            if inner_sem:
+                cols["sem"] = np.sqrt(var_ / n_)
+            return cols
+
+    else:
+        cache_key = (
+            plan.signature(),
+            slot_key,
+            tuple(stat_keys),
+            inner_sem,
+            sub,
+            theta_np.shape[0],
+            method_name,
+            crn,
+            _compile.correlator_token(correlator_cls),
+            jnp.dtype(dtype).name,
+            _compile._active_mesh_key(),
+        )
+        run = _SWEEP_CACHE.get(cache_key)
+        if run is None:
+            run = _build_sweep_fn(
+                plan, pairs, stat_fns, inner_sem, sub, correlator_cls,
+                method_name, crn,
+            )
+            if len(_SWEEP_CACHE) >= _CACHE_LIMIT:
+                _SWEEP_CACHE.pop(next(iter(_SWEEP_CACHE)))
+            _SWEEP_CACHE[cache_key] = run
+
+        def run_stats(k):
+            out = jax.device_get(run(theta, k))
+            return {
+                name: np.asarray(col, np.float64)
+                for name, col in zip(
+                    names + (["sem"] if inner_sem else []), out
+                )
+            }
+
+    if reps is None:
+        stats = run_stats(key)
+    else:
+        # R independently randomised streams, each CRN across scenarios:
+        # the between-replicate spread is the valid error bar for EVERY
+        # requested statistic, under any method (incl. QMC).
+        per = [run_stats(jax.random.fold_in(key, r)) for r in range(reps)]
+        stats = {}
+        for name in per[0]:
+            arr = np.stack([p[name] for p in per])
+            stats[name] = arr.mean(axis=0)
+            stats[name + "_sem"] = arr.std(axis=0, ddof=1) / np.sqrt(reps)
+        if "mean" in stats:
+            stats["sem"] = stats["mean_sem"]
     bad = {k: v for k, v in stats.items() if not np.all(np.isfinite(v))}
     if bad:
         raise FloatingPointError(
@@ -362,5 +528,147 @@ def _build_sweep_fn(
                 return stats_of(th, quantiles, gen_key)
 
             return jax.vmap(one)(theta, keys)
+
+    return run
+
+
+def _build_stream_sweep_fn(
+    plan, pairs, block_size, method_name, lhs_total, correlator_cls, crn,
+    q_levels, cvar_levels,
+):
+    """Jitted streamed sweep fold: scenarios vmapped, blocks Chan-merged.
+
+    ``run(theta (S,P), key, n_blocks, last_count) -> (n, mean (S,),
+    var (S,), tails (S, L))`` with ``L = len(q_levels) + len(cvar_levels)``.
+    Each block evaluates every scenario on the SAME draws (CRN; or
+    per-scenario keyed streams with ``crn=False``) and folds per-scenario
+    means/M2s through the scalar Chan merge; quantile/CVaR levels ride
+    one batched row sort per block over the ``(S, block)`` matrix — the
+    row-averaged estimator of ``estimate(quantiles=...)`` with one row
+    per block per scenario (``_quantile_accumulators_many`` with the
+    scenario axis playing the node axis).  ``size`` enters only through
+    the traced loop bounds, so size sweeps reuse one compiled program.
+    """
+    from probabilit_tpu.engine.streaming import _quantile_accumulators_many
+    from probabilit_tpu.parallel import mesh as _par_mesh
+
+    sink_id = plan.sink._id
+    generated_ok = (
+        plan.corr_matrix is not None
+        and hasattr(correlator_cls, "_recolor_scores")
+        and all(_compile._generatable(v) for v in plan.corr_vars)
+    )
+    body = _compile.build_body(
+        plan,
+        correlator_cls,
+        keep_ids=frozenset([sink_id]),
+        check_finite=False,
+        generated_ok=generated_ok,
+    )
+    sharding = _par_mesh.sample_sharding(ndim=2) if crn else None
+    d = plan.d
+    d_total = plan.d_total
+    qacc_full, qacc_partial = _quantile_accumulators_many(
+        q_levels, block_size, cvar_levels
+    )
+    n_levels = len(q_levels) + len(cvar_levels)
+
+    def block_quantiles(rng_key, b):
+        if method_name is None:
+            rk = jax.random.fold_in(rng_key, b)
+            gen_key = jax.random.fold_in(rk, 0x0D0E5)
+            q = clamp_open_unit(
+                jax.random.uniform(
+                    rk, (block_size, d), dtype=config.float_dtype()
+                )
+            )
+            return q, gen_key
+        offset = jnp.asarray(b, jnp.uint32) * jnp.uint32(block_size)
+        return (
+            _qmc.generate(
+                method_name, rng_key, block_size, d_total,
+                config.float_dtype(), offset=offset, total=lhs_total,
+            ),
+            None,
+        )
+
+    def eval_one(th, quantiles, gen_key):
+        saved = _save_slots(pairs)
+        try:
+            for (node, slot), t in zip(pairs, th):
+                _write_slot(node, slot, t)
+            outputs, _ = body(quantiles, gen_key=gen_key)
+            s = outputs[sink_id]
+            if not jnp.issubdtype(s.dtype, jnp.inexact):
+                raise ValueError(
+                    "The swept node is integer-valued; cast it "
+                    "(node * 1.0) to sweep real-valued statistics."
+                )
+            return s.astype(jnp.float32)
+        finally:
+            _restore_slots(saved)
+
+    if crn:
+
+        def sample_all(theta, key, b):
+            q, gk = block_quantiles(key, b)
+            if sharding is not None:
+                q = jax.lax.with_sharding_constraint(q, sharding)
+            return jax.vmap(eval_one, in_axes=(0, None, None))(theta, q, gk)
+
+    else:
+
+        def sample_all(theta, key, b):
+            idx = jnp.arange(theta.shape[0], dtype=jnp.uint32)
+
+            def one(th, i):
+                q, gk = block_quantiles(jax.random.fold_in(key, i), b)
+                return eval_one(th, q, gk)
+
+            return jax.vmap(one)(theta, idx)
+
+    @jax.jit
+    def run(theta, key, n_blocks, last_count):
+        s = theta.shape[0]
+
+        def merge(carry, bn, bm, bm2, bq):
+            n, mean, m2, qsum = carry
+            nn = n + bn
+            delta = bm - mean
+            w = n * bn / nn
+            return (
+                nn,
+                mean + delta * bn / nn,
+                m2 + bm2 + delta * delta * w,
+                qsum + bq,
+            )
+
+        def body_fn(b, carry):
+            y = sample_all(theta, key, b)
+            bm = jnp.mean(y, axis=1)
+            bm2 = jnp.sum(jnp.square(y - bm[:, None]), axis=1)
+            return merge(
+                carry, jnp.float32(block_size), bm, bm2, qacc_full(y)
+            )
+
+        init = (
+            jnp.float32(0.0),
+            jnp.zeros((s,), jnp.float32),
+            jnp.zeros((s,), jnp.float32),
+            jnp.zeros((s, n_levels), jnp.float32),
+        )
+        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(0, nb1, body_fn, init)
+        cnt = jnp.asarray(last_count, jnp.int32)
+        y = sample_all(theta, key, nb1)
+        mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
+        cntf = cnt.astype(jnp.float32)
+        maskM = mask[None, :]
+        bm = jnp.sum(jnp.where(maskM, y, 0.0), axis=1) / cntf
+        bm2 = jnp.sum(jnp.where(maskM, jnp.square(y - bm[:, None]), 0.0), axis=1)
+        n, mean, m2, qsum = merge(
+            carry, cntf, bm, bm2, qacc_partial(y, mask, cnt)
+        )
+        return n, mean, m2 / (n - 1.0), qsum / n
 
     return run
