@@ -314,6 +314,7 @@ def american_price(
     ridge=1e-6,
     method=None,
     state="auto",
+    replicates=None,
 ):
     """Longstaff-Schwartz price of ``payoff`` exercisable on the grid.
 
@@ -353,14 +354,24 @@ def american_price(
     scrambles.  The reported ``se`` stays the iid formula, a
     conservative overestimate under QMC.
 
+    ``replicates=R`` (requires ``two_pass=True``) applies the ONE
+    fitted policy to R independently keyed evaluation samples of
+    ``size`` paths each: ``price`` becomes the replicate average and
+    ``se`` the between-replicate standard error — the valid error bar
+    under QMC evaluation streams (each replicate gets a fresh
+    scramble), and a pure policy-evaluation spread either way (the fit
+    sample is shared, so fit noise is excluded by construction).
+
     Compiled programs are cached across calls, keyed on the node's
     static signature and the PAYOFF'S IDENTITY — pass the same function
     object when repricing (a fresh inline lambda per call recompiles
     the scan each time).
 
     Returns a dict: ``price`` (including immediate exercise at t=0),
-    ``se``, ``exercise_fraction`` (paths stopped before T), and
-    ``weights`` (per-date regression coefficients, forward order).
+    ``se`` (always the standard error OF the sample the price is
+    computed from — the second pass when ``two_pass=True``),
+    ``exercise_fraction`` (paths stopped before T), and ``weights``
+    (per-date regression coefficients, forward order).
     """
     _validate_common(node, payoff, degree, size, method)
     mode, state_fn = _resolve_state(node, state)
@@ -422,9 +433,33 @@ def american_price(
         fns = _FN_CACHE[cache_key] = (fit, evaluate)
 
     fit, evaluate = fns
+    if replicates is not None:
+        reps = int(replicates)
+        if reps < 2:
+            raise ValueError(
+                f"replicates must be >= 2 (got {reps}): a single "
+                "evaluation sample has no between-replicate spread."
+            )
+        if not two_pass:
+            raise ValueError(
+                "replicates= needs two_pass=True: it replicates the "
+                "policy-evaluation pass (the in-sample estimate has no "
+                "independent evaluation sample to replicate)."
+            )
     fitted, value, stopped = fit(k_fit)
+    rep_means = None
     if two_pass:
-        value, stopped = evaluate(k_eval, fitted)
+        if replicates is None:
+            value, stopped = evaluate(k_eval, fitted)
+        else:
+            vals, stops = [], []
+            for r in range(reps):
+                v, s_ = evaluate(jax.random.fold_in(k_eval, r), fitted)
+                vals.append(np.asarray(v))
+                stops.append(np.asarray(s_))
+            rep_means = np.array([v.mean() for v in vals])
+            value = np.concatenate(vals)
+            stopped = np.concatenate(stops)
 
     value = np.asarray(value)
     # Immediate exercise at t=0: one payoff argument per payoff path
@@ -438,12 +473,19 @@ def american_price(
     intrinsic0 = float(
         np.asarray(payoff(*[jnp.full((1,), v_, dtype) for v_ in x0_vals]))[0]
     )
-    return {
+    if rep_means is not None:
+        se = float(rep_means.std(ddof=1) / math.sqrt(rep_means.size))
+    else:
+        se = float(value.std(ddof=1) / math.sqrt(value.shape[0]))
+    out = {
         "price": max(float(value.mean()), intrinsic0),
-        "se": float(value.std(ddof=1) / math.sqrt(value.shape[0])),
+        "se": se,
         "exercise_fraction": float(np.asarray(stopped).mean()),
         "weights": np.asarray(fitted[0]),
     }
+    if rep_means is not None:
+        out["replicates"] = int(rep_means.size)
+    return out
 
 
 def american_greeks(
@@ -458,6 +500,7 @@ def american_greeks(
     ridge=1e-6,
     method=None,
     state="auto",
+    replicates=None,
 ):
     """Pathwise Greeks of the two-pass LSMC price under a FROZEN policy.
 
@@ -481,7 +524,16 @@ def american_greeks(
     ``"rate"``.  Returns a dict ``{"price", "se", slot: gradient, ...}``
     where ``price`` is the two-pass mean (NO max with immediate
     exercise — the max kink has no derivative; compare against
-    ``american_price``'s value when the option is deep ITM at t=0).
+    ``american_price``'s value when the option is deep ITM at t=0) and
+    ``se`` is the standard error of the SAME second-pass sample the
+    price comes from (internally consistent, unlike a pass-1 se).
+
+    ``replicates=R`` runs R independently keyed evaluation passes of
+    ``size`` paths each under the one frozen policy: every Greek gains
+    a ``"<slot>_sem"`` between-replicate standard error (the valid
+    error bar under QMC evaluation streams, shrinking ~1/sqrt(R)),
+    ``price``/each Greek become replicate averages, and ``se`` becomes
+    the between-replicate standard error of the price.
 
     >>> from probabilit_tpu import GeometricBrownianMotion
     >>> import jax.numpy as jnp
@@ -575,11 +627,16 @@ def american_greeks(
                 value, _ = _apply_policy(
                     pay, feats, payoff, powers, disc_t, fitted_in
                 )
-                return jnp.mean(value)
+                # The aux se belongs to THIS evaluation sample — the one
+                # the reported price is the mean of.
+                se = jnp.std(value, ddof=1) / jnp.sqrt(
+                    jnp.asarray(value.shape[0], dtype)
+                )
+                return jnp.mean(value), se
             finally:
                 _restore_slots(saved)
 
-        vg = jax.jit(jax.value_and_grad(value_of, argnums=0))
+        vg = jax.jit(jax.value_and_grad(value_of, argnums=0, has_aux=True))
         if len(_GREEK_CACHE) > 32:
             _GREEK_CACHE.pop(next(iter(_GREEK_CACHE)))
         _GREEK_CACHE[gkey] = vg
@@ -593,13 +650,46 @@ def american_greeks(
         ],
         dtype,
     )
-    value, grads = vg(theta0, k_eval, fitted)
-    grads = np.asarray(grads, np.float64)
-    if not np.all(np.isfinite(grads)):
-        raise FloatingPointError(
-            f"Non-finite American greeks: {grads.tolist()}."
+    # `res` proved the fit pass (and its cached programs) is sound; its
+    # in-sample se is NOT reported — the returned se comes from the
+    # evaluation sample(s) the price is computed from.
+    del res
+    if replicates is None:
+        (value, se_eval), grads = vg(theta0, k_eval, fitted)
+        grads = np.asarray(grads, np.float64)
+        if not np.all(np.isfinite(grads)):
+            raise FloatingPointError(
+                f"Non-finite American greeks: {grads.tolist()}."
+            )
+        out = {"price": float(value), "se": float(se_eval)}
+        for s, g in zip(wrt, grads):
+            out[s] = float(g)
+        return out
+    reps = int(replicates)
+    if reps < 2:
+        raise ValueError(
+            f"replicates must be >= 2 (got {reps}): a single evaluation "
+            "sample has no between-replicate spread."
         )
-    out = {"price": float(value), "se": res["se"]}
-    for s, g in zip(wrt, grads):
+    vals, gs = [], []
+    for r in range(reps):
+        (v, _), g = vg(theta0, jax.random.fold_in(k_eval, r), fitted)
+        vals.append(float(v))
+        gs.append(np.asarray(g, np.float64))
+    gs = np.stack(gs)  # (R, P)
+    if not np.all(np.isfinite(gs)):
+        raise FloatingPointError(
+            f"Non-finite American greeks: {gs.tolist()}."
+        )
+    vals = np.asarray(vals)
+    out = {
+        "price": float(vals.mean()),
+        "se": float(vals.std(ddof=1) / math.sqrt(reps)),
+        "replicates": reps,
+    }
+    gmean = gs.mean(axis=0)
+    gsem = gs.std(axis=0, ddof=1) / math.sqrt(reps)
+    for s, g, e in zip(wrt, gmean, gsem):
         out[s] = float(g)
+        out[s + "_sem"] = float(e)
     return out

@@ -236,6 +236,67 @@ class TestAmericanGreeks:
         assert -1.0 < g["s0"] < -0.3  # ITM-ish put delta
         assert g["rate"] < 0.0
 
+    def test_se_belongs_to_the_reported_price(self):
+        # The returned se must be the EVALUATION sample's standard
+        # error (the sample the price is the mean of), matching the
+        # magnitude of american_price's two-pass se at the same size —
+        # not the pass-1 in-sample se of a different sample.
+        from probabilit_tpu.engine.american import american_greeks
+
+        put = _put(40.0)
+        gbm = GeometricBrownianMotion(s0=40.0, mu=0.06, sigma=0.2, T=1.0,
+                                      steps=8)
+        g = american_greeks(gbm, put, rate=0.06, wrt=["s0"], size=1 << 14,
+                            random_state=3)
+        p = american_price(gbm, put, rate=0.06, size=1 << 14,
+                           random_state=3)
+        assert g["se"] > 0
+        assert 0.5 < g["se"] / p["se"] < 2.0
+        # And the price is consistent with the two-pass estimate.
+        assert g["price"] == pytest.approx(p["price"], abs=5 * p["se"] + 0.05)
+
+    def test_greek_sems_shrink_with_replicates(self):
+        from probabilit_tpu.engine.american import american_greeks
+
+        put = _put(40.0)
+        gbm = GeometricBrownianMotion(s0=40.0, mu=0.06, sigma=0.2, T=1.0,
+                                      steps=8)
+        g16 = american_greeks(gbm, put, rate=0.06, wrt=["s0", "sigma"],
+                              size=1 << 12, random_state=5, replicates=16)
+        assert set(g16) >= {"price", "se", "replicates", "s0", "s0_sem",
+                            "sigma", "sigma_sem"}
+        assert g16["s0_sem"] > 0 and g16["sigma_sem"] > 0
+        assert -1.0 < g16["s0"] < 0.0
+        g64 = american_greeks(gbm, put, rate=0.06, wrt=["s0", "sigma"],
+                              size=1 << 12, random_state=5, replicates=64)
+        # 1/sqrt(R) law: expected ratio 0.5; the threshold leaves room
+        # for the chi-noise of the 15-dof R=16 sem estimate (sems from
+        # 4x the replicates must clearly shrink, observed ~0.57).
+        assert g64["s0_sem"] < g16["s0_sem"] * 0.85
+        # Greeks still match central finite differences.
+        def price_at(s0):
+            node = GeometricBrownianMotion(s0=s0, mu=0.06, sigma=0.2,
+                                           T=1.0, steps=8)
+            return american_price(node, put, rate=0.06, size=1 << 15,
+                                  random_state=0)["price"]
+
+        fd_delta = (price_at(40.5) - price_at(39.5))
+        assert g64["s0"] == pytest.approx(fd_delta, abs=6 * g64["s0_sem"] + 0.02)
+
+    def test_price_replicates(self):
+        gbm = GeometricBrownianMotion(s0=36.0, mu=0.06, sigma=0.2, T=1.0,
+                                      steps=8)
+        put = _put(40.0)
+        res = american_price(gbm, put, rate=0.06, size=1 << 12,
+                             random_state=5, replicates=4)
+        assert res["replicates"] == 4 and res["se"] > 0
+        assert res["price"] > 3.0
+        with pytest.raises(ValueError, match="two_pass"):
+            american_price(gbm, put, rate=0.06, size=1 << 12,
+                           two_pass=False, replicates=4)
+        with pytest.raises(ValueError, match="replicates must be"):
+            american_price(gbm, put, rate=0.06, size=1 << 12, replicates=1)
+
 
 class TestValidation:
     def test_rejects_bad_arguments(self):
