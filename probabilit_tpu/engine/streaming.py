@@ -705,6 +705,8 @@ def estimate(
     target_rel_sem=None,
     max_size=None,
     moments=False,
+    checkpoint=None,
+    checkpoint_every=None,
 ):
     """Streaming Monte Carlo estimate: mean/var/min/max of ``sink``.
 
@@ -785,8 +787,9 @@ def estimate(
     ``g1 = M3/n / (M2/n)^1.5`` and Fisher ``g2 = M4/n / (M2/n)^2 - 3``)
     by carrying third and fourth central moments through the same
     Chan-style fold (the pairwise M3/M4 merge of Pébay 2008).  Two more
-    fused block reductions when on; zero cost when off (the default
-    program carries zeros through scalar merges XLA folds away).
+    fused block reductions when on; when off, the M3/M4 merge updates
+    are not emitted at all (trace-time gate — zeros just ride the
+    carry).
     Composes with everything, including ``where=`` (conditional shape)
     and ``target_sem`` rounds.  f32 caveat: per-block sums of
     ``(x - mean)^4`` overflow f32 when ``|x - mean|`` exceeds ~1e9 —
@@ -803,16 +806,35 @@ def estimate(
     estimate; every round reuses the one cached compiled program, so
     the adaptive loop costs no extra compiles.  Composes with
     ``quantiles``/``cvar``/``histogram``/``where``/``control`` (with a
-    control variate the stopping rule prices the control-ADJUSTED sem);
-    NOT with ``replicates=`` (run replicates at a fixed size instead)
-    or QMC ``method=`` (the iid sem the stopping rule needs is not a
-    valid QMC error bar — and LHS stratification closes over the total
-    size, which a sequential run does not know in advance).
-    ``method="antithetic"`` is allowed: its iid sem is conservative, so
-    the rule stops late, never early.  The returned dict gains
-    ``rounds`` and ``converged``; note the classic sequential-stopping
-    caveat — stopping on an estimated sem biases coverage by O(1/n),
-    negligible at streaming sizes (Chow & Robbins 1965).
+    control variate the stopping rule prices the control-ADJUSTED sem).
+    ``method="antithetic"`` is allowed without replicates: its iid sem
+    is conservative, so the rule stops late, never early.  Under a QMC
+    ``method=`` the iid sem is NOT a valid error bar, so sequential
+    stopping requires ``replicates=R``: the run then maintains R
+    independently randomised streams (fresh scrambles per replicate,
+    per-round fresh randomisations), each round adds draws to every
+    replicate, and the stopping statistic — and the reported ``sem`` —
+    is the between-replicate standard error of the pooled replicate
+    means, the standard randomised-QMC error estimate.
+    ``target_sem`` + ``replicates`` works for any method (it is simply
+    a sem-targeted replicated run); plain ``replicates=`` at a fixed
+    size needs no target.  The returned dict gains ``rounds`` and
+    ``converged``; note the classic sequential-stopping caveat —
+    stopping on an estimated sem biases coverage by O(1/n), negligible
+    at streaming sizes (Chow & Robbins 1965).
+
+    ``checkpoint=path`` makes the fold resumable: the run is segmented
+    at fixed block boundaries (``checkpoint_every`` draws per segment,
+    default 64 blocks' worth), each segment's carry is appended to an
+    atomic ``.npz`` checkpoint, and a re-run with the SAME arguments
+    resumes at the first unfinished segment — bitwise-identical to the
+    uninterrupted (checkpointed) run, because segment boundaries,
+    per-block keys, and QMC offsets are all absolute.  A parameter or
+    graph change is detected via fingerprint and refused.  The file is
+    removed on successful completion.  Composes with ``method=``/
+    ``quantiles``/``cvar``/``histogram``/``where``/``control``/
+    ``moments``; not with ``replicates=``/``target_sem`` (checkpoint
+    the fixed-size run those schemes decompose into instead).
 
     The compiled whole-run program is cached across calls (keyed on graph
     structure, block size, quantile levels, executor, and method — NOT on
@@ -911,22 +933,24 @@ def estimate(
             )
         control_mu = float(control_mu)
     key = resolve_key(random_state)
+    if checkpoint is not None and (
+        replicates is not None
+        or target_sem is not None
+        or target_rel_sem is not None
+    ):
+        raise ValueError(
+            "checkpoint= composes with fixed-size single-stream runs "
+            "only; checkpoint the fixed-size runs a replicated or "
+            "sequential scheme decomposes into instead."
+        )
     if target_sem is not None or target_rel_sem is not None:
-        if replicates is not None:
-            raise ValueError(
-                "target_sem/target_rel_sem do not compose with "
-                "replicates= (sequential stopping needs the pooled iid "
-                "sem; between-replicate sems need a fixed size). Run "
-                "replicates at a fixed size, or drop replicates=."
-            )
         qmc = (method or "").lower().strip()
-        if qmc in ("sobol", "halton", "lhs"):
+        if qmc in ("sobol", "halton", "lhs") and replicates is None:
             raise ValueError(
-                f"target_sem does not compose with method={method!r}: "
-                "the iid sem the stopping rule needs is not a valid QMC "
-                "error bar (and LHS stratification closes over a total "
-                "size a sequential run does not know). Use "
-                "replicates= at a fixed size for a QMC error bar."
+                f"target_sem with method={method!r} needs replicates=R "
+                "(e.g. replicates=8): the iid sem is not a valid QMC "
+                "error bar; the between-replicate sem of R independently "
+                "randomised streams is the valid stopping statistic."
             )
         for name, t in (
             ("target_sem", target_sem),
@@ -939,6 +963,34 @@ def estimate(
             raise ValueError(
                 f"max_size ({max_size}) must be >= the pilot size "
                 f"({size})."
+            )
+        if replicates is not None:
+            reps = int(replicates)
+            if reps < 2:
+                raise ValueError(
+                    f"replicates must be >= 2 (got {reps}): a single "
+                    "stream has no between-replicate variance to "
+                    "estimate sem from."
+                )
+            return _estimate_sequential_replicated(
+                sink,
+                size,
+                block_size,
+                key,
+                executor,
+                method,
+                quantiles,
+                correlator,
+                control_node,
+                control_mu,
+                where,
+                cvar,
+                histogram,
+                None if target_sem is None else float(target_sem),
+                None if target_rel_sem is None else float(target_rel_sem),
+                max_size,
+                moments,
+                reps,
             )
         return _estimate_sequential(
             sink,
@@ -958,6 +1010,25 @@ def estimate(
             None if target_rel_sem is None else float(target_rel_sem),
             max_size,
             moments,
+        )
+    if checkpoint is not None:
+        return _estimate_checkpointed(
+            sink,
+            size,
+            block_size,
+            key,
+            executor,
+            method,
+            quantiles,
+            correlator,
+            control_node,
+            control_mu,
+            where,
+            cvar,
+            histogram,
+            moments,
+            str(checkpoint),
+            checkpoint_every,
         )
     if replicates is not None:
         reps = int(replicates)
@@ -1190,6 +1261,296 @@ def _estimate_sequential(
         chunk = max(chunk, 1)
 
 
+def _estimate_sequential_replicated(
+    sink,
+    pilot,
+    block_size,
+    key,
+    executor,
+    method,
+    quantiles,
+    correlator,
+    control_node,
+    control_mu,
+    where,
+    cvar,
+    histogram,
+    target_sem,
+    target_rel_sem,
+    max_size,
+    moments,
+    reps,
+):
+    """Sequential stopping on the between-replicate sem (QMC-valid).
+
+    R independently randomised streams (fresh scrambles/keys per
+    replicate AND per round) each grow round by round; the stopping
+    statistic is the empirical standard error of the R pooled replicate
+    means — the randomised-QMC error estimate, valid for any
+    ``method=`` including sobol/halton/lhs (each round is a fresh
+    randomisation, so pooling rounds within a replicate keeps the
+    replicate mean unbiased and replicates independent).  Round sizing
+    follows ``_estimate_sequential``'s Chow-Robbins rule on the
+    replicated sem.  All rounds and replicates share the one cached
+    block program.
+    """
+    carries = [[] for _ in range(reps)]
+    drawn, rounds = 0, 0
+    chunk = max(pilot // reps, 1)
+    while True:
+        for r in range(reps):
+            rk = jax.random.fold_in(jax.random.fold_in(key, r), rounds)
+            carries[r].append(
+                jax.device_get(
+                    _estimate_carry(
+                        sink,
+                        chunk,
+                        block_size,
+                        rk,
+                        executor,
+                        method,
+                        quantiles,
+                        correlator,
+                        control_node,
+                        where,
+                        cvar=cvar,
+                        histogram=histogram,
+                        moments=moments,
+                    )
+                )
+            )
+        drawn += chunk * reps
+        rounds += 1
+        merged, _ = _merge_carries([c for lst in carries for c in lst])
+        rep_means = []
+        for lst in carries:
+            pooled_r, _ = _merge_carries(lst)
+            if pooled_r[0] <= 0.0:
+                continue  # zero-accept replicate under where=
+            if control_mu is None:
+                rep_means.append(pooled_r[1])
+            else:
+                rep_means.append(
+                    _control_adjust(
+                        pooled_r[1], pooled_r[2], pooled_r[7],
+                        pooled_r[8], pooled_r[9], control_mu,
+                    )[0]
+                )
+        if where is not None and (merged[0] <= 0.0 or len(rep_means) < 2):
+            if drawn >= max_size:
+                if merged[0] <= 0.0:
+                    # Raises the canonical never-held error.
+                    _finalize_estimate(
+                        merged, drawn, quantiles, control_mu, where,
+                        cvar, histogram, moments,
+                    )
+                raise ValueError(
+                    f"Only {len(rep_means)} of {reps} replicates "
+                    "accepted any samples within max_size; the "
+                    "between-replicate sem needs >= 2. Loosen the where "
+                    "condition or raise max_size."
+                )
+            chunk = max(
+                1, min(drawn // reps, (max_size - drawn) // reps)
+            )
+            continue
+        stats = _finalize_estimate(
+            merged, drawn, quantiles, control_mu, where, cvar, histogram,
+            moments,
+        )
+        rm = np.asarray(rep_means, np.float64)
+        sem = float(rm.std(ddof=1) / np.sqrt(rm.size))
+        stats["sem"] = sem
+        if control_mu is not None:
+            stats["mean"] = float(rm.mean())
+        tgt = np.inf
+        if target_sem is not None:
+            tgt = min(tgt, target_sem)
+        if target_rel_sem is not None:
+            tgt = min(tgt, target_rel_sem * abs(stats["mean"]))
+        converged = bool(np.isfinite(sem) and sem <= tgt)
+        if converged or drawn >= max_size or rounds >= 64:
+            stats["rounds"] = rounds
+            stats["converged"] = converged
+            stats["replicates"] = reps
+            return stats
+        if np.isfinite(sem) and sem > 0.0 and np.isfinite(tgt) and tgt > 0.0:
+            need = drawn * (sem / tgt) ** 2 * 1.2 - drawn
+        else:
+            need = drawn
+        need = min(need, 3.0 * drawn, float(max_size - drawn))
+        chunk = max(int(need // reps), 1)
+
+
+def _stream_fingerprint(
+    sink, size, block_size, seg_blocks, key, executor, method, quantiles,
+    cvar, histogram, moments, correlator, control_node, where_node,
+):
+    """Cross-process-stable identity of a checkpointable streamed run.
+
+    Everything that changes the draws or the carry layout participates:
+    the graph structure (via ``engine.checkpoint.graph_fingerprint``),
+    every sizing/method/feature argument, the resolved correlator, the
+    control/where graphs, the dtype, and the raw PRNG key — resuming
+    under ANY difference would splice statistics of two different runs.
+    """
+    import hashlib
+
+    from probabilit_tpu import config as _config
+    from probabilit_tpu.engine import checkpoint as _ckpt
+
+    parts = [
+        _ckpt.graph_fingerprint(sink),
+        repr(
+            (
+                int(size),
+                int(block_size),
+                int(seg_blocks),
+                executor,
+                method,
+                tuple(quantiles),
+                tuple(cvar),
+                histogram,
+                bool(moments),
+                _compile.correlator_token(_compile.resolve_correlator(correlator)),
+                jnp.dtype(_config.float_dtype()).name,
+                _compile._active_mesh_key(),
+            )
+        ),
+        "" if control_node is None else _ckpt.graph_fingerprint(control_node),
+        "" if where_node is None else "w" + _ckpt.graph_fingerprint(where_node),
+        np.asarray(jax.random.key_data(key)).tobytes().hex(),
+    ]
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+def _save_stream_checkpoint(path, fingerprint, carries):
+    """Atomically persist the per-segment carry list (tmp + replace)."""
+    import os
+
+    sc = np.array(
+        [
+            [c[0], c[1], c[2], c[3], c[4], c[7], c[8], c[9], c[11], c[12]]
+            for c in carries
+        ],
+        np.float64,
+    )
+    fin = np.array([bool(c[5]) for c in carries])
+    q = np.stack([np.asarray(c[6], np.float64) for c in carries])
+    h = np.stack([np.asarray(c[10], np.float64) for c in carries])
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        np.savez(
+            fh,
+            fingerprint=np.asarray(fingerprint),
+            scalars=sc,
+            finite=fin,
+            qsum=q,
+            hsum=h,
+        )
+    os.replace(tmp, path)
+
+
+def _load_stream_checkpoint(path, fingerprint):
+    """-> the saved carry list; refuses a mismatched run."""
+    with np.load(path, allow_pickle=False) as data:
+        saved_fp = str(data["fingerprint"])
+        if saved_fp != fingerprint:
+            raise ValueError(
+                f"Checkpoint {path!r} belongs to a different run (graph, "
+                "size, block/segment layout, method, features, or key "
+                "differ); delete it to start fresh."
+            )
+        sc, fin = data["scalars"], data["finite"]
+        q, h = data["qsum"], data["hsum"]
+    out = []
+    for i in range(sc.shape[0]):
+        t, m, m2, lo, hi, my, m2y, cxy, m3, m4 = sc[i]
+        out.append(
+            (t, m, m2, lo, hi, bool(fin[i]), q[i], my, m2y, cxy, h[i], m3, m4)
+        )
+    return out
+
+
+def _estimate_checkpointed(
+    sink,
+    size,
+    block_size,
+    key,
+    executor,
+    method,
+    quantiles,
+    correlator,
+    control_node,
+    control_mu,
+    where,
+    cvar,
+    histogram,
+    moments,
+    path,
+    every,
+):
+    """Resumable streamed estimation: fixed-boundary segments + carries.
+
+    The run is cut at FIXED block boundaries (independent of where a
+    crash lands), each segment folds on device through the one cached
+    program (absolute block indices, so per-block keys and QMC offsets
+    are those of the uninterrupted run), and completed segment carries
+    persist after every segment.  Resuming re-runs only unfinished
+    segments; the final host-side float64 Chan merge over the identical
+    segment carry sequence makes the resumed result bitwise-identical
+    to the same checkpointed run left uninterrupted.
+    """
+    import os
+
+    n_blocks = -(-size // block_size)
+    last = size - (n_blocks - 1) * block_size
+    seg_blocks = 64 if every is None else max(1, int(every) // block_size)
+    n_segs = -(-n_blocks // seg_blocks)
+    fp = _stream_fingerprint(
+        sink, size, block_size, seg_blocks, key, executor, method,
+        quantiles, cvar, histogram, moments, correlator, control_node,
+        where,
+    )
+    carries = _load_stream_checkpoint(path, fp) if os.path.exists(path) else []
+    for s in range(len(carries), n_segs):
+        lo = s * seg_blocks
+        nb = min(seg_blocks, n_blocks - lo)
+        lc = last if lo + nb == n_blocks else block_size
+        carries.append(
+            jax.device_get(
+                _estimate_carry(
+                    sink,
+                    size,
+                    block_size,
+                    key,
+                    executor,
+                    method,
+                    quantiles,
+                    correlator,
+                    control_node,
+                    where,
+                    cvar=cvar,
+                    histogram=histogram,
+                    moments=moments,
+                    block_lo=lo,
+                    n_blocks=nb,
+                    last_count=lc,
+                )
+            )
+        )
+        _save_stream_checkpoint(path, fp, carries)
+    merged, _ = _merge_carries(carries)
+    stats = _finalize_estimate(
+        merged, size, quantiles, control_mu, where, cvar, histogram, moments
+    )
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+    return stats
+
+
 def _estimate_carry(
     sink,
     size,
@@ -1204,12 +1565,23 @@ def _estimate_carry(
     cvar=(),
     histogram=None,
     moments=False,
+    block_lo=0,
+    n_blocks=None,
+    last_count=None,
 ):
     """One randomised stream's raw moment carry (device values).
 
     Everything cacheable lives here: the jitted whole-run program is
     keyed on block structure — not ``size`` or ``key`` — so replicate
     loops and size sweeps hit one compiled program.
+
+    ``block_lo``/``n_blocks``/``last_count`` select a WINDOW of the
+    run's absolute block range (checkpointed segments): block indices —
+    and therefore per-block keys and QMC sequence offsets — are
+    absolute, so the concatenation of window carries Chan-merges to the
+    same statistics as one uninterrupted fold over the same stream.
+    ``size`` stays the run's TOTAL size (LHS stratifies over it).  All
+    three are traced scalars of the one cached program.
     """
     aux_node = control_node if control_node is not None else where_node
     where_mode = where_node is not None
@@ -1232,8 +1604,10 @@ def _estimate_carry(
             "non-numeric values (e.g. a string-valued "
             "DiscreteDistribution). Use sample_streaming() instead."
         )
-    n_blocks = -(-size // block_size)
-    last_count = size - (n_blocks - 1) * block_size
+    if n_blocks is None:
+        n_blocks = -(-size // block_size)
+    if last_count is None:
+        last_count = size - (-(-size // block_size) - 1) * block_size
 
     # Cache the jitted whole-run program across estimate() calls AND
     # across sizes: a fresh closure per call would retrace and pay a
@@ -1270,14 +1644,14 @@ def _estimate_carry(
     )
     cached = _ESTIMATE_CACHE.get(cache_key)
     if cached is not None:
-        return cached(key, n_blocks, last_count)
+        return cached(key, block_lo, n_blocks, last_count)
 
     qsum_full, qsum_partial = _quantile_accumulators(quantiles, block_size, cvar)
     hist_full, hist_partial = _histogram_accumulators(histogram)
     hist_len = 0 if histogram is None else histogram[2] + 2
 
     @jax.jit
-    def all_blocks(key, n_blocks, last_count):
+    def all_blocks(key, block_lo, n_blocks, last_count):
         # One dispatch for the whole run: lax.fori_loop folds every block
         # into the running (mean, M2, min, max); only a handful of
         # scalars ever reach the host.  Counts carried in f32 (exact
@@ -1318,20 +1692,22 @@ def _estimate_carry(
             # denominator yields the correct no-op merge instead of NaN.
             nn_div = jnp.maximum(nn, 1.0) if where_mode else nn
             w = n_prev * bn / nn_div
-            # Pebay (2008) pairwise M3/M4; reads the OLD m2/m3.  With
-            # moments off every b-term is the zero constant and XLA
-            # folds the whole update away.
-            m4 = m4 + bm4 + (
-                delta**4 * w
-                * (n_prev * n_prev - n_prev * bn + bn * bn) / nn_div**2
-                + 6.0 * delta**2
-                * (n_prev * n_prev * bm2 + bn * bn * m2) / nn_div**2
-                + 4.0 * delta * (n_prev * bm3 - bn * m3) / nn_div
-            )
-            m3 = m3 + bm3 + (
-                delta**3 * w * (n_prev - bn) / nn_div
-                + 3.0 * delta * (n_prev * bm2 - bn * m2) / nn_div
-            )
+            # Pebay (2008) pairwise M3/M4; reads the OLD m2/m3.  Gated on
+            # the trace-time flag: m3/m4 are loop-carried outputs XLA
+            # cannot dead-code-eliminate, so with moments off the update
+            # must not be emitted at all (the zeros just ride the carry).
+            if moments:
+                m4 = m4 + bm4 + (
+                    delta**4 * w
+                    * (n_prev * n_prev - n_prev * bn + bn * bn) / nn_div**2
+                    + 6.0 * delta**2
+                    * (n_prev * n_prev * bm2 + bn * bn * m2) / nn_div**2
+                    + 4.0 * delta * (n_prev * bm3 - bn * m3) / nn_div
+                )
+                m3 = m3 + bm3 + (
+                    delta**3 * w * (n_prev - bn) / nn_div
+                    + 3.0 * delta * (n_prev * bm2 - bn * m2) / nn_div
+                )
             mean = mean + delta * bn / nn_div
             m2 = m2 + bm2 + delta * delta * w
             # Bivariate Chan merge: the cross co-moment picks up the same
@@ -1448,8 +1824,9 @@ def _estimate_carry(
             zero,
             zero,
         )
-        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
-        carry = jax.lax.fori_loop(0, nb1, body, init)
+        lo = jnp.asarray(block_lo, jnp.int32)
+        nb1 = lo + jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(lo, nb1, body, init)
 
         cnt = jnp.asarray(last_count, jnp.int32)
         x, y = run(nb1, key)
@@ -1484,7 +1861,7 @@ def _estimate_carry(
     if len(_ESTIMATE_CACHE) > 32:
         _ESTIMATE_CACHE.pop(next(iter(_ESTIMATE_CACHE)))
     _ESTIMATE_CACHE[cache_key] = all_blocks
-    return all_blocks(key, n_blocks, last_count)
+    return all_blocks(key, block_lo, n_blocks, last_count)
 
 
 def _control_adjust(mx, m2x, my, m2y, cxy, mu):
@@ -1649,7 +2026,8 @@ def estimate_many(
       R streams are shared.
     - ``moments=True``: per-node streamed skewness and excess kurtosis
       (``skew``/``kurt``, scipy conventions) via (M,)-vector M3/M4
-      Chan/Pebay carries; zero cost when off.
+      Chan/Pebay carries; the merge updates are not emitted when
+      off (trace-time gate).
     - ``covariance=True``: the full M x M cross-node covariance and
       correlation of the joint stream — every node's dict gains
       ``cov``/``corr``, its (M,)-row of the joint matrix in ``nodes``
@@ -1665,8 +2043,10 @@ def estimate_many(
       exactly as in ``estimate``, except the run continues until EVERY
       watched node meets its target (round sizes come from the worst
       node's sem), so the joint profile is reported at a uniform
-      precision.  Same composition rules (not with ``replicates=`` or
-      QMC ``method=``); every per-node dict gains ``rounds`` and
+      precision.  Under QMC add ``replicates=R`` — the per-node
+      stopping statistic becomes the between-replicate sem of R
+      independently randomised streams, the valid RQMC error bar (same
+      rule as ``estimate``); every per-node dict gains ``rounds`` and
       ``converged``.
 
     ``sem`` without replicates is the iid formula per node (see
@@ -1754,21 +2134,13 @@ def estimate_many(
         control_mu = float(control_mu)
     key = resolve_key(random_state)
     if target_sem is not None or target_rel_sem is not None:
-        if replicates is not None:
-            raise ValueError(
-                "target_sem/target_rel_sem do not compose with "
-                "replicates= (sequential stopping needs the pooled iid "
-                "sem; between-replicate sems need a fixed size). Run "
-                "replicates at a fixed size, or drop replicates=."
-            )
         qmc = (method or "").lower().strip()
-        if qmc in ("sobol", "halton", "lhs"):
+        if qmc in ("sobol", "halton", "lhs") and replicates is None:
             raise ValueError(
-                f"target_sem does not compose with method={method!r}: "
-                "the iid sem the stopping rule needs is not a valid QMC "
-                "error bar (and LHS stratification closes over a total "
-                "size a sequential run does not know). Use "
-                "replicates= at a fixed size for a QMC error bar."
+                f"target_sem with method={method!r} needs replicates=R "
+                "(e.g. replicates=8): the iid sem is not a valid QMC "
+                "error bar; the between-replicate sem of R independently "
+                "randomised streams is the valid stopping statistic."
             )
         for name, t in (
             ("target_sem", target_sem),
@@ -1781,6 +2153,35 @@ def estimate_many(
             raise ValueError(
                 f"max_size ({max_size}) must be >= the pilot size "
                 f"({size})."
+            )
+        if replicates is not None:
+            reps = int(replicates)
+            if reps < 2:
+                raise ValueError(
+                    f"replicates must be >= 2 (got {reps}): a single "
+                    "stream has no between-replicate variance to "
+                    "estimate sem from."
+                )
+            return _estimate_sequential_many_replicated(
+                nodes,
+                size,
+                block_size,
+                key,
+                executor,
+                method,
+                quantiles,
+                cvar,
+                histogram,
+                correlator,
+                control_node,
+                control_mu,
+                where,
+                None if target_sem is None else float(target_sem),
+                None if target_rel_sem is None else float(target_rel_sem),
+                max_size,
+                moments,
+                covariance,
+                reps,
             )
         return _estimate_sequential_many(
             nodes,
@@ -1991,21 +2392,27 @@ def _many_carry(
             nn = n_prev + bn
             nn_div = jnp.maximum(nn, 1.0) if where_mode else nn
             w = n_prev * bn / nn_div
-            # Pebay (2008) pairwise M3/M4 over the (M,) node axis;
-            # reads the OLD m2/m3.  Zero constants when moments is off.
-            m4 = m4 + bm4 + (
-                delta**4 * w
-                * (n_prev * n_prev - n_prev * bn + bn * bn) / nn_div**2
-                + 6.0 * delta**2
-                * (n_prev * n_prev * bm2 + bn * bn * m2) / nn_div**2
-                + 4.0 * delta * (n_prev * bm3 - bn * m3) / nn_div
-            )
-            m3 = m3 + bm3 + (
-                delta**3 * w * (n_prev - bn) / nn_div
-                + 3.0 * delta * (n_prev * bm2 - bn * m2) / nn_div
-            )
+            # Pebay (2008) pairwise M3/M4 over the (M,) node axis; reads
+            # the OLD m2/m3.  Gated at trace time: these are loop-carried
+            # outputs XLA cannot eliminate, so the updates must not be
+            # emitted when the feature is off (zeros ride the carry).
+            if moments:
+                m4 = m4 + bm4 + (
+                    delta**4 * w
+                    * (n_prev * n_prev - n_prev * bn + bn * bn) / nn_div**2
+                    + 6.0 * delta**2
+                    * (n_prev * n_prev * bm2 + bn * bn * m2) / nn_div**2
+                    + 4.0 * delta * (n_prev * bm3 - bn * m3) / nn_div
+                )
+                m3 = m3 + bm3 + (
+                    delta**3 * w * (n_prev - bn) / nn_div
+                    + 3.0 * delta * (n_prev * bm2 - bn * m2) / nn_div
+                )
             # Cross-node covariance: same Chan correction, outer product.
-            csum = csum + bcov + delta[:, None] * delta[None, :] * w
+            # Same trace-time gating — the O(M^2) correction would
+            # otherwise run every block with covariance off.
+            if covariance:
+                csum = csum + bcov + delta[:, None] * delta[None, :] * w
             mean = mean + delta * bn / nn_div
             m2 = m2 + bm2 + delta * delta * w
             my = my + delta_y * bn / nn_div
@@ -2376,6 +2783,141 @@ def _estimate_sequential_many(
             chunk = drawn
         chunk = int(min(chunk, 3.0 * drawn, max_size - drawn))
         chunk = max(chunk, 1)
+
+
+def _estimate_sequential_many_replicated(
+    nodes,
+    pilot,
+    block_size,
+    key,
+    executor,
+    method,
+    quantiles,
+    cvar,
+    histogram,
+    correlator,
+    control_node,
+    control_mu,
+    where,
+    target_sem,
+    target_rel_sem,
+    max_size,
+    moments,
+    covariance,
+    reps,
+):
+    """Replicated sequential stopping for ``estimate_many`` (QMC-valid).
+
+    The multi-node analogue of ``_estimate_sequential_replicated``: R
+    independently randomised streams grow round by round, the per-node
+    stopping statistic is the between-replicate sem of each node's
+    pooled replicate means, and the run continues until EVERY watched
+    node meets its target (the worst node sizes the next round).
+    """
+    carries = [[] for _ in range(reps)]
+    drawn, rounds = 0, 0
+    chunk = max(pilot // reps, 1)
+    while True:
+        for r in range(reps):
+            rk = jax.random.fold_in(jax.random.fold_in(key, r), rounds)
+            carries[r].append(
+                jax.device_get(
+                    _many_carry(
+                        nodes,
+                        chunk,
+                        block_size,
+                        rk,
+                        executor,
+                        method,
+                        quantiles,
+                        cvar,
+                        histogram,
+                        correlator,
+                        control_node,
+                        where,
+                        moments=moments,
+                        covariance=covariance,
+                    )
+                )
+            )
+        drawn += chunk * reps
+        rounds += 1
+        merged, _ = _merge_many_carries([c for lst in carries for c in lst])
+        rep_means = []
+        for lst in carries:
+            pr, _ = _merge_many_carries(lst)
+            if pr[1] is None or float(pr[0]) <= 0.0:
+                continue
+            mv = np.asarray(pr[1], np.float64)
+            if control_mu is None:
+                rep_means.append(mv)
+            else:
+                m2v = np.asarray(pr[2], np.float64)
+                cxyv = np.asarray(pr[9], np.float64)
+                my_, m2y_ = float(pr[7]), float(pr[8])
+                rep_means.append(
+                    np.array(
+                        [
+                            _control_adjust(
+                                mv[i], m2v[i], my_, m2y_, cxyv[i],
+                                control_mu,
+                            )[0]
+                            for i in range(mv.size)
+                        ]
+                    )
+                )
+        if where is not None and (
+            float(merged[0]) <= 0.0 or len(rep_means) < 2
+        ):
+            if drawn >= max_size:
+                if float(merged[0]) <= 0.0:
+                    raise ValueError(
+                        f"where= condition never held across {drawn} "
+                        "draws; no conditional statistics exist. Loosen "
+                        "the condition or raise size."
+                    )
+                raise ValueError(
+                    f"Only {len(rep_means)} of {reps} replicates "
+                    "accepted any samples within max_size; the "
+                    "between-replicate sem needs >= 2."
+                )
+            chunk = max(1, min(drawn // reps, (max_size - drawn) // reps))
+            continue
+        out = _finalize_many(
+            nodes, merged, drawn, quantiles, cvar, histogram, control_mu,
+            where, moments, covariance,
+        )
+        rm = np.stack(rep_means)  # (R_kept, M)
+        sems = rm.std(axis=0, ddof=1) / np.sqrt(rm.shape[0])
+        worst = 0.0
+        for i, node in enumerate(nodes):
+            out[node]["sem"] = float(sems[i])
+            if control_mu is not None:
+                out[node]["mean"] = float(rm[:, i].mean())
+            tgt = np.inf
+            if target_sem is not None:
+                tgt = min(tgt, target_sem)
+            if target_rel_sem is not None:
+                tgt = min(tgt, target_rel_sem * abs(out[node]["mean"]))
+            if not np.isfinite(sems[i]):
+                worst = np.inf
+            elif tgt > 0.0:
+                worst = max(worst, sems[i] / tgt)
+            else:
+                worst = np.inf
+        converged = bool(np.isfinite(worst) and worst <= 1.0)
+        if converged or drawn >= max_size or rounds >= 64:
+            for node in nodes:
+                out[node]["rounds"] = rounds
+                out[node]["converged"] = converged
+                out[node]["replicates"] = reps
+            return out
+        if np.isfinite(worst) and worst > 0.0:
+            need = drawn * worst**2 * 1.2 - drawn
+        else:
+            need = drawn
+        need = min(need, 3.0 * drawn, float(max_size - drawn))
+        chunk = max(int(need // reps), 1)
 
 
 def _finalize_many(

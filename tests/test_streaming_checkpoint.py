@@ -1443,13 +1443,15 @@ class TestSequentialEstimate:
 
     def test_error_paths(self):
         x = Distribution("norm")
-        with pytest.raises(ValueError, match="replicates"):
-            streaming.estimate(
-                x, 1024, target_sem=0.1, replicates=2, random_state=0
-            )
+        # QMC sequential stopping needs replicates (the valid stopping
+        # statistic); replicates=1 is never meaningful.
         with pytest.raises(ValueError, match="QMC error bar"):
             streaming.estimate(
                 x, 1024, target_sem=0.1, method="sobol", random_state=0
+            )
+        with pytest.raises(ValueError, match="replicates must be"):
+            streaming.estimate(
+                x, 1024, target_sem=0.1, replicates=1, random_state=0
             )
         with pytest.raises(ValueError, match="must be > 0"):
             streaming.estimate(x, 1024, target_sem=0.0, random_state=0)
@@ -1770,3 +1772,194 @@ class TestStreamedCovariance:
         cov = np.stack([out[n]["cov"] for n in nodes])
         eig = np.linalg.eigvalsh((cov + cov.T) / 2)
         assert eig.min() > -1e-6 * max(eig.max(), 1.0)
+
+
+class TestSequentialReplicated:
+    """target_sem + replicates: QMC-valid sequential stopping."""
+
+    def test_sobol_sequential_converges(self):
+        x = Distribution("norm", loc=2.0, scale=3.0)
+        st = streaming.estimate(
+            x, 4096, block_size=1024, random_state=0, method="sobol",
+            target_sem=0.01, replicates=4,
+        )
+        assert st["converged"] is True
+        assert st["sem"] <= 0.01
+        assert st["replicates"] == 4 and st["rounds"] >= 1
+        assert abs(st["mean"] - 2.0) < 6 * st["sem"] + 1e-6
+
+    def test_stopping_sem_valid_vs_independent_truth(self):
+        # The reported between-replicate sem must match the spread of
+        # genuinely independent replicated runs of the same recipe
+        # (ground truth): within a factor ~3 at these sizes.
+        x = Distribution("norm", loc=0.0, scale=1.0)
+        y = Exp(x)
+        st = streaming.estimate(
+            y, 8192, block_size=2048, random_state=1, method="sobol",
+            target_sem=5e-4, replicates=4, max_size=1 << 17,
+        )
+        singles = [
+            streaming.estimate(
+                y, st["n"] // 4, block_size=2048, random_state=100 + i,
+                method="sobol",
+            )["mean"]
+            for i in range(16)
+        ]
+        truth_sd = float(np.std(singles, ddof=1))
+        est_sd = st["sem"] * 2.0  # sem * sqrt(R)
+        assert 0.3 * truth_sd < est_sd < 3.0 * truth_sd
+        assert abs(st["mean"] - np.exp(0.5)) < 6 * st["sem"] + 1e-5
+
+    def test_prng_sequential_replicated_also_works(self):
+        x = Distribution("norm", loc=5.0, scale=2.0)
+        st = streaming.estimate(
+            x, 2048, block_size=1024, random_state=2, target_sem=0.02,
+            replicates=2,
+        )
+        assert st["converged"] and st["sem"] <= 0.02
+        assert st["replicates"] == 2
+
+    def test_lhs_sequential_replicated(self):
+        x = Distribution("uniform", 0.0, 1.0)
+        st = streaming.estimate(
+            x, 2048, block_size=1024, random_state=3, method="lhs",
+            target_sem=0.005, replicates=4, max_size=1 << 16,
+        )
+        assert st["sem"] <= 0.005 or st["converged"] is False
+        assert abs(st["mean"] - 0.5) < 0.01
+
+
+class TestStreamCheckpoint:
+    """estimate(checkpoint=...): resumable mid-stream folds."""
+
+    def _run(self, x, path, **kw):
+        return streaming.estimate(
+            x, 10_000, block_size=1024, random_state=0,
+            checkpoint=str(path), checkpoint_every=2048, **kw
+        )
+
+    def test_completed_run_removes_file_and_matches_plain_segments(self, tmp_path):
+        import os
+
+        x = Distribution("norm", loc=1.0, scale=2.0)
+        p = tmp_path / "run.ckpt.npz"
+        st = self._run(x, p)
+        assert not os.path.exists(p)
+        assert abs(st["mean"] - 1.0) < 0.1
+        # Deterministic: a second identical run reproduces bitwise.
+        st2 = self._run(x, p)
+        assert st["mean"] == st2["mean"] and st["var"] == st2["var"]
+
+    def test_killed_run_resumes_bitwise_identically(self, tmp_path, monkeypatch):
+        x = Distribution("norm", loc=1.0, scale=2.0)
+        y = Exp(x)
+        p = tmp_path / "run.ckpt.npz"
+        full = self._run(y, p, quantiles=(0.9,), moments=True)
+
+        # Simulate a crash after 2 segments: the real _estimate_carry
+        # runs for segments 0-1, then the process "dies".
+        real = streaming._estimate_carry
+        calls = {"n": 0}
+
+        def dying(*a, **k):
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated crash")
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(streaming, "_estimate_carry", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            self._run(y, p, quantiles=(0.9,), moments=True)
+        monkeypatch.setattr(streaming, "_estimate_carry", real)
+        assert p.exists()  # partial state survived the crash
+
+        resumed = self._run(y, p, quantiles=(0.9,), moments=True)
+        # Bitwise: identical segment carries, identical float64 merge.
+        for k in ("mean", "var", "std", "sem", "min", "max", "q0.9",
+                  "skew", "kurt"):
+            assert resumed[k] == full[k], k
+
+    def test_mismatched_run_refused(self, tmp_path):
+        x = Distribution("norm", loc=1.0, scale=2.0)
+        p = tmp_path / "run.ckpt.npz"
+        # Leave partial state behind via a simulated crash.
+        real = streaming._estimate_carry
+        calls = {"n": 0}
+
+        def dying(*a, **k):
+            if calls["n"] >= 1:
+                raise RuntimeError("boom")
+            calls["n"] += 1
+            return real(*a, **k)
+
+        streaming._estimate_carry = dying
+        try:
+            with pytest.raises(RuntimeError):
+                self._run(x, p)
+        finally:
+            streaming._estimate_carry = real
+        assert p.exists()
+        # Different key => different run => refused.
+        with pytest.raises(ValueError, match="different run"):
+            streaming.estimate(
+                x, 10_000, block_size=1024, random_state=1,
+                checkpoint=str(p), checkpoint_every=2048,
+            )
+        # Different size likewise.
+        with pytest.raises(ValueError, match="different run"):
+            streaming.estimate(
+                x, 20_000, block_size=1024, random_state=0,
+                checkpoint=str(p), checkpoint_every=2048,
+            )
+
+    def test_checkpoint_composition_errors(self, tmp_path):
+        x = Distribution("norm")
+        with pytest.raises(ValueError, match="checkpoint"):
+            streaming.estimate(
+                x, 1024, checkpoint=str(tmp_path / "c.npz"), replicates=2
+            )
+        with pytest.raises(ValueError, match="checkpoint"):
+            streaming.estimate(
+                x, 1024, checkpoint=str(tmp_path / "c.npz"), target_sem=0.1
+            )
+
+    def test_qmc_checkpointed_equals_uncheckpointed_stream(self, tmp_path):
+        # Absolute sobol offsets: the checkpointed fold consumes exactly
+        # the single-shot sequence, so the mean matches the plain
+        # streamed estimate to f32 merge-order noise.
+        x = Distribution("norm", loc=0.0, scale=1.0)
+        p = tmp_path / "q.ckpt.npz"
+        ck = streaming.estimate(
+            x, 8192, block_size=1024, random_state=0, method="sobol",
+            checkpoint=str(p), checkpoint_every=4096,
+        )
+        plain = streaming.estimate(
+            x, 8192, block_size=1024, random_state=0, method="sobol"
+        )
+        assert abs(ck["mean"] - plain["mean"]) < 1e-5
+        assert abs(ck["var"] - plain["var"]) < 1e-4
+
+
+class TestSequentialReplicatedMany:
+    """estimate_many(target_sem=, replicates=): joint QMC-valid stopping."""
+
+    def test_sobol_sequential_many_converges(self):
+        a = Distribution("norm", loc=2.0, scale=3.0)
+        b = a + Distribution("norm", loc=0.0, scale=1.0)
+        out = streaming.estimate_many(
+            [a, b], 4096, block_size=1024, random_state=0, method="sobol",
+            target_sem=0.01, replicates=4,
+        )
+        for node in (a, b):
+            assert out[node]["converged"] is True
+            assert out[node]["sem"] <= 0.01
+            assert out[node]["replicates"] == 4
+        assert abs(out[a]["mean"] - 2.0) < 6 * out[a]["sem"] + 1e-6
+        assert abs(out[b]["mean"] - 2.0) < 6 * out[b]["sem"] + 1e-6
+
+    def test_qmc_without_replicates_still_rejected(self):
+        a = Distribution("norm")
+        with pytest.raises(ValueError, match="QMC error bar"):
+            streaming.estimate_many(
+                [a], 1024, target_sem=0.1, method="sobol", random_state=0
+            )
