@@ -642,6 +642,78 @@ def bench_sensitivity_stream(size=1_000_000_000):
     }
 
 
+def bench_round5_risk(
+    ladder_scen=32, ladder_size=100_000_000, var_size=1_000_000_000
+):
+    """Round-5 risk workloads: streamed VaR Greeks + streamed spot ladder.
+
+    - d VaR_99 / d s0 of the GBM terminal at 1e9 draws: the two-pass
+      Hong-Liu stream (pass 1: streamed quantile fold; pass 2: streamed
+      band-conditional gradient mean).  Closed form for the check:
+      q = s0 exp((mu - sigma^2/2) T + sigma sqrt(T) z_q), so
+      dq/ds0 = q/s0 = 1.6409 at (mu, sigma, T, q) = (.05, .2, 1, .99).
+    - a 32-point spot ladder at 1e8 draws/scenario as ONE streamed
+      program (mean + q0.99 + cvar0.99 per scenario): per-scenario Chan
+      folds with batched per-block row sorts.  The reference evaluates
+      scenarios one scipy re-run at a time and cannot reach this size
+      at all.
+    """
+    from probabilit_tpu import GeometricBrownianMotion, sensitivity, sweep
+
+    gbm = GeometricBrownianMotion(s0=100.0, mu=0.05, sigma=0.2, T=1.0, steps=8)
+    want = float(np.exp(0.03 + 0.2 * 2.3263479))
+
+    def var_grad(seed):
+        t0 = time.perf_counter()
+        g = sensitivity(
+            gbm.terminal(),
+            wrt={gbm: ["s0"]},
+            size=var_size,
+            random_state=seed,
+            statistic="q0.99",
+            block_size=1 << 22,
+        )
+        return time.perf_counter() - t0, g
+
+    var_s, g = var_grad(0)
+    log(
+        f"streamed VaR99 gradient (1e9 draws): {var_s:.2f}s incl. "
+        f"compile; dq/ds0={g[(gbm, 's0')]:.4f} (exact {want:.4f}), "
+        f"q99={g.value:.3f}"
+    )
+    var_s, g = var_grad(1)
+    log(f"streamed VaR99 gradient steady-state: {var_s:.2f}s")
+
+    spots = np.linspace(80.0, 120.0, ladder_scen)
+
+    def ladder(seed):
+        t0 = time.perf_counter()
+        res = sweep(
+            gbm.terminal(),
+            {(gbm, "s0"): spots},
+            size=ladder_size,
+            block_size=1 << 18,
+            random_state=seed,
+            statistics=("mean", "q0.99", "cvar0.99"),
+        )
+        return time.perf_counter() - t0, res
+
+    ladder_s, res = ladder(0)
+    mean_err = np.abs(res["mean"] / (spots * np.exp(0.05)) - 1.0).max()
+    log(
+        f"streamed 32-scenario spot ladder (1e8 draws/scenario, mean + "
+        f"q99 + cvar99): {ladder_s:.2f}s incl. compile; max mean relerr "
+        f"{mean_err:.2e}; monotone={bool(np.all(np.diff(res['mean']) > 0))}"
+    )
+    ladder_s, res = ladder(1)
+    log(f"streamed spot ladder steady-state: {ladder_s:.2f}s")
+    return {
+        "var99_grad_stream_1e9_s": var_s,
+        "var99_grad_relerr": abs(g[(gbm, "s0")] / want - 1.0),
+        "ladder_32x1e8_stream_s": ladder_s,
+    }
+
+
 def _release_device_memory():
     """Drop dead device buffers between benchmarks.
 
@@ -682,6 +754,8 @@ def main():
     _release_device_memory()
     grad_stream = bench_sensitivity_stream()
     _release_device_memory()
+    risk5 = bench_round5_risk()
+    _release_device_memory()
     ref_sps = bench_reference_cpu()
     vs_baseline = (flagship_sps / ref_sps) if ref_sps else None
 
@@ -703,6 +777,7 @@ def main():
                     "large_table_471knot_ns_per_sample": table_ns,
                     "sobol_indices_20node_10x1m_ms": sobol_ms,
                     **grad_stream,
+                    **risk5,
                     **dependence,
                     "gbm_barrier_2p21x252_ms": paths_ms,
                     "american_lsmc_2p18x50_ms": american_ms,
