@@ -121,6 +121,26 @@ def main():
         ),
     )
 
+    # 6. Mid-stream checkpointing (round 5): a long estimate() fold cut
+    #    at fixed block boundaries persists each segment's carry, so a
+    #    killed 1e10-draw run resumes at the first unfinished segment —
+    #    bitwise-identical to the uninterrupted run.  (Small sizes here;
+    #    the mechanics are size-independent.)
+    from probabilit_tpu import estimate
+
+    ck = estimate(
+        portfolio,
+        1 << 18 if not on_tpu else 1 << 24,
+        block_size=1 << 15 if not on_tpu else 1 << 22,
+        random_state=4,
+        checkpoint="/tmp/portfolio_stream.ckpt.npz",
+        checkpoint_every=1 << 17 if not on_tpu else 1 << 23,
+    )
+    print(
+        f"checkpointed streamed mean {ck['mean']:,.0f} "
+        "(file removed on completion)"
+    )
+
 
 if __name__ == "__main__":
     main()

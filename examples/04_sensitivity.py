@@ -121,6 +121,38 @@ def main():
         f"derivative {grad[(variables['hourly_rate'], 'loc')]:,.1f}"
     )
 
+    # 4. Risk-manager Greeks at scale (round 5): tail statistics stream
+    #    too — d VaR / d parameter and d CVaR / d parameter fold in
+    #    blocks (two-pass Hong-Liu), so the size below could as well be
+    #    1e9+; and the ladder itself streams with valid replicate error
+    #    bars on every statistic.
+    var_grad = sensitivity(
+        total,
+        wrt={variables["hourly_rate"]: ["loc"]},
+        size=1 << 18,
+        block_size=1 << 15,
+        random_state=0,
+        statistic="q0.95",
+    )
+    print(
+        f"\nstreamed d P95 / d rate = "
+        f"{var_grad[(variables['hourly_rate'], 'loc')]:,.1f} "
+        f"(P95 = {var_grad.value:,.0f})"
+    )
+    curve_s = sweep(
+        total,
+        {(variables["hourly_rate"], "loc"): rates},
+        size=1 << 17,
+        block_size=1 << 15,
+        random_state=0,
+        replicates=4,
+        statistics=("mean", "q0.95"),
+    )
+    print(
+        "streamed ladder with replicate error bars: P95 at base rate "
+        f"{curve_s['q0.95'][4]:,.0f} +/- {curve_s['q0.95_sem'][4]:,.0f}"
+    )
+
 
 if __name__ == "__main__":
     main()
