@@ -444,6 +444,28 @@ class CorrelatedHestonPaths(JointAssetPaths):
     the deterministic-variance limit and Cauchy-Schwarz-attenuated
     below it for finite vol-of-vol.
 
+    ``var_corr=lambda`` (0 <= lambda < 1, default 0) adds a COMMON
+    variance factor: each asset's per-step variance-innovation normal
+    decomposes as ``z_a = sqrt(lambda) g + sqrt(1 - lambda) eps_a``
+    with one shared ``g`` per (path, step), so variance shocks co-move
+    — the vol-of-vol systemic channel (market-wide variance events)
+    that independent variance drivers cannot express.  Guarantees:
+
+    * every per-asset MARGINAL law is exactly unchanged (``z_a`` stays
+      standard normal; the chi-square remainders ``y_a`` stay
+      independent), so single-asset parity tests keep passing;
+    * the one-step conditional variance covariance has the closed form
+      ``Cov(v_i', v_j' | v) = c_i c_j (2 lambda^2 + 4 lambda
+      sqrt(v_i e_i / c_i) sqrt(v_j e_j / c_j))`` (the tested contract);
+    * realized ASSET correlation gains approximately
+      ``rho_i rho_j corr(B_i, B_j)`` on top of the idiosyncratic
+      recolor's target — with same-sign leverage this ADDS correlation
+      beyond the independent-driver feasibility bound above (the
+      co-movement channel that bound could not carry).  The recolor
+      target ``Q`` is left at its ``var_corr=0`` form (conservative and
+      exact there; with ``var_corr > 0`` the stated ``corr`` becomes
+      the idiosyncratic-channel floor rather than the exact total).
+
     Use the ``CorrelatedHeston`` factory for per-asset views.
     """
 
@@ -460,9 +482,18 @@ class CorrelatedHestonPaths(JointAssetPaths):
             f"{p}[{i}]" for p in ("s0", "mu", "v0") for i in range(self.d)
         )
 
-    def __init__(self, s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=252):
+    def __init__(
+        self, s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=252,
+        var_corr=0.0,
+    ):
         import numpy as np
 
+        var_corr = float(var_corr)
+        if not 0.0 <= var_corr < 1.0:
+            raise ValueError(
+                f"var_corr must be in [0, 1), got {var_corr} (1 would "
+                "make every asset's variance innovations identical)."
+            )
         d, corr, p = self._asset_params(
             "CorrelatedHeston",
             s0,
@@ -512,10 +543,15 @@ class CorrelatedHestonPaths(JointAssetPaths):
         self.corr = corr
         self._chol_q = chol_q
         self.d = d
+        self.var_corr = var_corr
         super().__init__(steps, T)
 
     def __repr__(self):
-        return f"CorrelatedHestonPaths(d={self.d}, T={self.T:g}, steps={self.steps})"
+        extra = f", var_corr={self.var_corr:g}" if self.var_corr else ""
+        return (
+            f"CorrelatedHestonPaths(d={self.d}, T={self.T:g}, "
+            f"steps={self.steps}{extra})"
+        )
 
     def _static_signature(self):
         return (
@@ -530,13 +566,16 @@ class CorrelatedHestonPaths(JointAssetPaths):
             self.corr.tobytes(),
             self.T,
             self.steps,
+            self.var_corr,
         )
 
     @property
     def _q_width(self):
         # Per (asset, step): asset normal + variance normal + variance
-        # central chi-square, like the single-asset HestonPath.
-        return 3 * self.d * self.steps
+        # central chi-square, like the single-asset HestonPath; one
+        # extra steps-wide block for the common variance factor g when
+        # var_corr > 0.
+        return (3 * self.d + (1 if self.var_corr else 0)) * self.steps
 
     def _constants(self):
         import numpy as np
@@ -547,6 +586,16 @@ class CorrelatedHestonPaths(JointAssetPaths):
         df = 4.0 * self.kappa * self.theta / (self.sigma**2)
         return e, c, df
 
+    def _mix_common_var(self, zv, g):
+        """Blend the common factor into the per-asset variance normals.
+
+        ``z_a := sqrt(lam) g + sqrt(1 - lam) eps_a`` keeps every z_a
+        standard normal (marginal laws untouched) with
+        ``corr(z_a, z_b) = lam`` across assets.
+        """
+        lam = self.var_corr
+        return (lam**0.5) * g[:, :, None] + ((1.0 - lam) ** 0.5) * zv
+
     def _increments(self, key, n, dtype):
         _, _, df = self._constants()
         ks, kv = jax.random.split(key)
@@ -556,8 +605,13 @@ class CorrelatedHestonPaths(JointAssetPaths):
             z_a, y_a = _cir_drivers_key(ka, n, self.steps, float(df[a]), dtype)
             zv.append(z_a)
             y.append(y_a)
+        zv = jnp.stack(zv, axis=2)
+        if self.var_corr:
+            kg = jax.random.fold_in(key, 0xC0F)
+            g = jax.random.normal(kg, (n, self.steps), dtype)
+            zv = self._mix_common_var(zv, g)
         return jnp.stack(
-            [zs, jnp.stack(zv, axis=2), jnp.stack(y, axis=2)], axis=2
+            [zs, zv, jnp.stack(y, axis=2)], axis=2
         )  # (n, steps, 3, d)
 
     def _increments_from_slab(self, slab, dtype):
@@ -587,8 +641,19 @@ class CorrelatedHestonPaths(JointAssetPaths):
             )
             zv.append(z_a)
             y.append(y_a)
+        zv = jnp.stack(zv, axis=2)
+        if self.var_corr:
+            from probabilit_tpu.ops import special as _special
+
+            # Trailing steps-wide block: the common variance factor
+            # (plain per-step dimensions, like the variance drivers —
+            # no bridge; see _cir_drivers_slab).
+            g = _special.ndtri_fast(
+                slab[:, 3 * d * s : (3 * d + 1) * s].astype(dtype)
+            )
+            zv = self._mix_common_var(zv, g)
         return jnp.stack(
-            [zs, jnp.stack(zv, axis=2), jnp.stack(y, axis=2)], axis=2
+            [zs, zv, jnp.stack(y, axis=2)], axis=2
         )
 
     def _state_paths_from_increments(self, inc):
@@ -642,14 +707,19 @@ class CorrelatedHestonPaths(JointAssetPaths):
         return self._paths_and_variances(inc)[0]
 
 
-def CorrelatedHeston(s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=252):
+def CorrelatedHeston(
+    s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=252,
+    var_corr=0.0,
+):
     """d correlated Heston assets sharing one exact joint draw.
 
     Per-asset exact CIR variance + Andersen scheme (marginals identical
     in law to the single-asset ``Heston``), asset Brownians correlated
-    by ``corr`` exactly; see :class:`CorrelatedHestonPaths` for the
-    construction and its feasibility constraint.  Returns one
-    :class:`AssetPath` view per asset:
+    by ``corr`` exactly; ``var_corr=lambda`` adds a common variance
+    factor (systemic vol-of-vol co-movement) with marginals still
+    exactly preserved — see :class:`CorrelatedHestonPaths` for the
+    construction, its feasibility constraint, and the common-factor
+    contract.  Returns one :class:`AssetPath` view per asset:
 
     >>> a, b = CorrelatedHeston([100, 50], [0.0, 0.0], v0=0.04, kappa=2.0,
     ...                         theta=0.04, sigma=0.3, rho=[-0.5, -0.3],
@@ -657,6 +727,7 @@ def CorrelatedHeston(s0, mu, v0, kappa, theta, sigma, rho, corr, T=1.0, steps=25
     >>> basket = 0.5 * a.terminal() + 0.5 * b.terminal()
     """
     joint = CorrelatedHestonPaths(
-        s0, mu, v0, kappa, theta, sigma, rho, corr, T=T, steps=steps
+        s0, mu, v0, kappa, theta, sigma, rho, corr, T=T, steps=steps,
+        var_corr=var_corr,
     )
     return joint.views()

@@ -386,3 +386,129 @@ class TestIndexedParameterSlots:
         assert abs(g["s0[0]"] - g["s0[1]"]) < 0.03
         assert 0.25 < g["s0[0]"] < 0.45
         assert g["rate"] < 0  # higher discounting lowers the call
+
+
+class TestCommonVarianceFactor:
+    """CorrelatedHeston(var_corr=lambda): systemic vol-of-vol channel."""
+
+    def test_one_step_conditional_covariance_closed_form(self):
+        # v' = c((z + sqrt(a))^2 + y), a = v0 e / c, with corr(z_i, z_j)
+        # = lam across assets and independent chi-square remainders:
+        #   Cov(v_i', v_j') = c_i c_j (2 lam^2 + 4 lam sqrt(a_i a_j))
+        #   Var(v_i')       = c_i^2 (2 + 4 a_i + 2 (df_i - 1))
+        # — the documented contract, exact at steps=1.
+        import jax
+        import jax.numpy as jnp
+
+        from probabilit_tpu.models.stochvol import CorrelatedHestonPaths
+
+        lam = 0.6
+        node = CorrelatedHestonPaths(
+            [100.0, 50.0], [0.0, 0.0], v0=[0.04, 0.09],
+            kappa=[2.0, 1.5], theta=[0.04, 0.05], sigma=[0.25, 0.3],
+            rho=[-0.3, -0.2], corr=[[1, 0.3], [0.3, 1]],
+            T=1.0 / 252, steps=1, var_corr=lam,
+        )
+        e, c, df = node._constants()
+        a = node.v0 * e / c
+        inc = node._increments(jax.random.PRNGKey(0), 400_000, jnp.float32)
+        _, v = node._paths_and_variances(inc)
+        v = np.asarray(v[:, 0, :], np.float64)
+        want_cov = c[0] * c[1] * (2 * lam**2 + 4 * lam * np.sqrt(a[0] * a[1]))
+        want_var = c**2 * (2 + 4 * a + 2 * (df - 1))
+        want_corr = want_cov / np.sqrt(want_var[0] * want_var[1])
+        got_corr = np.corrcoef(v[:, 0], v[:, 1])[0, 1]
+        assert abs(got_corr - want_corr) < 0.01
+        for i in range(2):
+            assert abs(v[:, i].var(ddof=1) / want_var[i] - 1.0) < 0.03
+
+    def test_lambda_zero_keeps_variances_independent(self):
+        import jax
+        import jax.numpy as jnp
+
+        from probabilit_tpu.models.stochvol import CorrelatedHestonPaths
+
+        node = CorrelatedHestonPaths(
+            [100.0, 50.0], [0.0, 0.0], v0=0.04, kappa=2.0, theta=0.04,
+            sigma=0.25, rho=[-0.3, -0.2], corr=[[1, 0.3], [0.3, 1]],
+            T=1.0 / 252, steps=1,
+        )
+        inc = node._increments(jax.random.PRNGKey(1), 200_000, jnp.float32)
+        _, v = node._paths_and_variances(inc)
+        v = np.asarray(v[:, 0, :], np.float64)
+        assert abs(np.corrcoef(v[:, 0], v[:, 1])[0, 1]) < 0.01
+
+    def test_marginals_preserved_under_common_factor(self):
+        # z_a stays standard normal after mixing, so each asset's law is
+        # the single-asset Heston's exactly.
+        kw = dict(v0=0.04, kappa=2.0, theta=0.04, sigma=0.3, T=1.0, steps=16)
+        a, _b = CorrelatedHeston(
+            [100, 50], [0.05, 0.0], rho=[-0.7, -0.3],
+            corr=[[1, 0.4], [0.4, 1]], var_corr=0.7, **kw,
+        )
+        single = Heston(s0=100, mu=0.05, rho=-0.7, **kw)
+        xs = np.asarray(a.terminal().sample(16_384, random_state=5))
+        ys = np.asarray(single.terminal().sample(16_384, random_state=6))
+        assert stats.ks_2samp(xs, ys).pvalue > 0.01
+        assert abs(xs.mean() - 100 * np.exp(0.05)) < 0.6
+
+    def test_systemic_factor_raises_asset_correlation(self):
+        # Same-sign leverage: correlated variance Brownians feed the
+        # rho*B asset channel, lifting the realized log-terminal
+        # correlation above the lambda=0 construction's.
+        def realized(lam, seed):
+            a, b = CorrelatedHeston(
+                [100, 100], [0.0, 0.0], v0=0.04, kappa=2.0, theta=0.04,
+                sigma=0.3, rho=[-0.7, -0.7], corr=[[1, 0.3], [0.3, 1]],
+                T=1.0, steps=16, var_corr=lam,
+            )
+            (a.terminal() + b.terminal()).sample(60_000, random_state=seed)
+            la = np.log(np.asarray(a.terminal().samples_))
+            lb = np.log(np.asarray(b.terminal().samples_))
+            return np.corrcoef(la, lb)[0, 1]
+
+        assert realized(0.9, 2) > realized(0.0, 2) + 0.05
+
+    def test_sobol_slab_and_streaming(self):
+        from probabilit_tpu.engine import streaming
+
+        a, b = CorrelatedHeston(
+            [100, 50], [0.0, 0.0], v0=0.04, kappa=2.0, theta=0.04,
+            sigma=0.3, rho=[-0.5, -0.3], corr=[[1, 0.6], [0.6, 1]],
+            steps=8, var_corr=0.5,
+        )
+        basket = 0.5 * a.terminal() + 0.5 * b.terminal()
+        full = np.asarray(basket.sample(4096, random_state=5, method="sobol"))
+        assert np.isfinite(full).all()
+        blocks = np.asarray(
+            streaming.sample_streaming(
+                basket, 4096, block_size=1024, random_state=5, method="sobol"
+            )
+        )
+        np.testing.assert_allclose(blocks, full, rtol=5e-7)
+
+    def test_validation_and_signature(self):
+        from probabilit_tpu.models.stochvol import CorrelatedHestonPaths
+
+        base = dict(v0=0.04, kappa=2.0, theta=0.04, sigma=0.3)
+        with pytest.raises(ValueError, match="var_corr"):
+            CorrelatedHeston(
+                [100, 50], 0.0, rho=[-0.5, -0.3], corr=np.eye(2),
+                var_corr=1.0, **base,
+            )
+        with pytest.raises(ValueError, match="var_corr"):
+            CorrelatedHeston(
+                [100, 50], 0.0, rho=[-0.5, -0.3], corr=np.eye(2),
+                var_corr=-0.1, **base,
+            )
+        # The factor participates in the static signature (two configs
+        # must not share a compiled program).
+        n0 = CorrelatedHestonPaths(
+            [100, 50], 0.0, rho=[-0.5, -0.3], corr=np.eye(2), **base
+        )
+        n1 = CorrelatedHestonPaths(
+            [100, 50], 0.0, rho=[-0.5, -0.3], corr=np.eye(2),
+            var_corr=0.5, **base,
+        )
+        assert n0._static_signature() != n1._static_signature()
+        assert n1._q_width == n0._q_width + n0.steps
