@@ -986,3 +986,36 @@ class TestCVaRStatistic:
         for bad in ("cvar1.5", "cvar0", "cvarx"):
             with pytest.raises(ValueError, match="statistic"):
                 sensitivity(x, wrt=x, size=4096, statistic=bad)
+
+
+class TestStreamedPathNodeTailGreeks:
+    """Streamed VaR/CVaR Greeks on path nodes (the bench workload)."""
+
+    def test_gbm_var99_delta_closed_form(self):
+        # q_a(S_T) = s0 exp((mu - sigma^2/2) T + sigma sqrt(T) z_a)
+        # (terminal of an exact-law GBM is lognormal for any grid), so
+        # d q / d s0 = q / s0 — the bench's check, here at test size.
+        from probabilit_tpu import GeometricBrownianMotion
+
+        gbm = GeometricBrownianMotion(s0=100.0, mu=0.05, sigma=0.2, T=1.0,
+                                      steps=8)
+        res = sensitivity(
+            gbm.terminal(), wrt={gbm: ["s0"]}, size=1 << 17,
+            random_state=0, statistic="q0.99", block_size=1 << 14,
+        )
+        want = float(np.exp(0.03 + 0.2 * 2.3263479))
+        assert res[(gbm, "s0")] == pytest.approx(want, rel=0.03)
+        assert res.value == pytest.approx(100.0 * want, rel=0.01)
+
+    def test_gbm_cvar_delta_positive_homogeneous(self):
+        # S_T is positively homogeneous in s0, so d ES / d s0 = ES / s0
+        # exactly — a strong internal-consistency identity.
+        from probabilit_tpu import GeometricBrownianMotion
+
+        gbm = GeometricBrownianMotion(s0=100.0, mu=0.05, sigma=0.2, T=1.0,
+                                      steps=8)
+        res = sensitivity(
+            gbm.terminal(), wrt={gbm: ["s0"]}, size=1 << 16,
+            random_state=1, statistic="cvar0.95", block_size=1 << 13,
+        )
+        assert res[(gbm, "s0")] == pytest.approx(res.value / 100.0, rel=0.01)
