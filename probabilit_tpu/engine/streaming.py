@@ -943,6 +943,8 @@ def estimate(
             "only; checkpoint the fixed-size runs a replicated or "
             "sequential scheme decomposes into instead."
         )
+    if checkpoint is None and checkpoint_every is not None:
+        raise ValueError("checkpoint_every= needs checkpoint=path.")
     if target_sem is not None or target_rel_sem is not None:
         qmc = (method or "").lower().strip()
         if qmc in ("sobol", "halton", "lhs") and replicates is None:
@@ -1551,6 +1553,142 @@ def _estimate_checkpointed(
     return stats
 
 
+def _save_many_checkpoint(path, fingerprint, carries):
+    """Atomically persist per-segment (M,)-vector carries."""
+    import os
+
+    scalars = np.array(
+        [[c[0], c[7], c[8]] for c in carries], np.float64
+    )  # t, my, m2y
+    fin = np.array([bool(c[5]) for c in carries])
+    vecs = np.stack(
+        [
+            np.stack(
+                [np.asarray(c[i], np.float64) for i in (1, 2, 3, 4, 9, 11, 12)]
+            )
+            for c in carries
+        ]
+    )  # (S, 7, M): m, m2, lo, hi, cxy, m3, m4
+    q = np.stack([np.asarray(c[6], np.float64) for c in carries])
+    h = np.stack([np.asarray(c[10], np.float64) for c in carries])
+    csum = np.stack([np.asarray(c[13], np.float64) for c in carries])
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        np.savez(
+            fh,
+            fingerprint=np.asarray(fingerprint),
+            scalars=scalars,
+            finite=fin,
+            vecs=vecs,
+            qsum=q,
+            hsum=h,
+            csum=csum,
+        )
+    os.replace(tmp, path)
+
+
+def _load_many_checkpoint(path, fingerprint):
+    with np.load(path, allow_pickle=False) as data:
+        if str(data["fingerprint"]) != fingerprint:
+            raise ValueError(
+                f"Checkpoint {path!r} belongs to a different run (graph, "
+                "size, block/segment layout, method, features, or key "
+                "differ); delete it to start fresh."
+            )
+        scalars, fin = data["scalars"], data["finite"]
+        vecs, q, h, csum = data["vecs"], data["qsum"], data["hsum"], data["csum"]
+    out = []
+    for i in range(scalars.shape[0]):
+        t, my, m2y = scalars[i]
+        m, m2, lo, hi, cxy, m3, m4 = vecs[i]
+        out.append(
+            (t, m, m2, lo, hi, bool(fin[i]), q[i], my, m2y, cxy, h[i], m3, m4, csum[i])
+        )
+    return out
+
+
+def _estimate_many_checkpointed(
+    nodes,
+    size,
+    block_size,
+    key,
+    executor,
+    method,
+    quantiles,
+    cvar,
+    histogram,
+    correlator,
+    control_node,
+    control_mu,
+    where,
+    moments,
+    covariance,
+    path,
+    every,
+):
+    """Resumable multi-node streamed estimation (see ``_estimate_checkpointed``)."""
+    import os
+
+    from probabilit_tpu.engine import checkpoint as _ckpt
+
+    n_blocks = -(-size // block_size)
+    last = size - (n_blocks - 1) * block_size
+    seg_blocks = 64 if every is None else max(1, int(every) // block_size)
+    n_segs = -(-n_blocks // seg_blocks)
+    # The node LIST participates in the identity: resuming with nodes in
+    # a different order would splice statistics across nodes.
+    node_fps = "|".join(_ckpt.graph_fingerprint(n_) for n_ in nodes)
+    base_fp = _stream_fingerprint(
+        nodes[0], size, block_size, seg_blocks, key, executor, method,
+        quantiles, cvar, histogram, moments, correlator, control_node,
+        where,
+    )
+    import hashlib
+
+    fp = hashlib.sha256(
+        (base_fp + node_fps + repr(bool(covariance))).encode()
+    ).hexdigest()
+    carries = _load_many_checkpoint(path, fp) if os.path.exists(path) else []
+    for s in range(len(carries), n_segs):
+        lo = s * seg_blocks
+        nb = min(seg_blocks, n_blocks - lo)
+        lc = last if lo + nb == n_blocks else block_size
+        carries.append(
+            jax.device_get(
+                _many_carry(
+                    nodes,
+                    size,
+                    block_size,
+                    key,
+                    executor,
+                    method,
+                    quantiles,
+                    cvar,
+                    histogram,
+                    correlator,
+                    control_node,
+                    where,
+                    moments=moments,
+                    covariance=covariance,
+                    block_lo=lo,
+                    n_blocks=nb,
+                    last_count=lc,
+                )
+            )
+        )
+        _save_many_checkpoint(path, fp, carries)
+    merged, _ = _merge_many_carries(carries)
+    out = _finalize_many(
+        nodes, merged, size, quantiles, cvar, histogram, control_mu, where,
+        moments, covariance,
+    )
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+    return out
+
+
 def _estimate_carry(
     sink,
     size,
@@ -1990,6 +2128,8 @@ def estimate_many(
     max_size=None,
     moments=False,
     covariance=False,
+    checkpoint=None,
+    checkpoint_every=None,
 ):
     """One-pass streamed moments for SEVERAL nodes of one model.
 
@@ -2048,6 +2188,10 @@ def estimate_many(
       independently randomised streams, the valid RQMC error bar (same
       rule as ``estimate``); every per-node dict gains ``rounds`` and
       ``converged``.
+    - ``checkpoint=path`` / ``checkpoint_every=draws``: resumable
+      fixed-boundary segmented folds exactly as in ``estimate`` (the
+      node LIST participates in the fingerprint — resuming with
+      reordered nodes is refused).
 
     ``sem`` without replicates is the iid formula per node (see
     ``estimate`` for when that is and is not meaningful).
@@ -2133,6 +2277,18 @@ def estimate_many(
             )
         control_mu = float(control_mu)
     key = resolve_key(random_state)
+    if checkpoint is not None and (
+        replicates is not None
+        or target_sem is not None
+        or target_rel_sem is not None
+    ):
+        raise ValueError(
+            "checkpoint= composes with fixed-size single-stream runs "
+            "only; checkpoint the fixed-size runs a replicated or "
+            "sequential scheme decomposes into instead."
+        )
+    if checkpoint is None and checkpoint_every is not None:
+        raise ValueError("checkpoint_every= needs checkpoint=path.")
     if target_sem is not None or target_rel_sem is not None:
         qmc = (method or "").lower().strip()
         if qmc in ("sobol", "halton", "lhs") and replicates is None:
@@ -2258,6 +2414,26 @@ def estimate_many(
                 out[node]["mean"] = float(rep[:, i].mean())
             out[node]["replicates"] = reps
         return out
+    if checkpoint is not None:
+        return _estimate_many_checkpointed(
+            nodes,
+            size,
+            block_size,
+            key,
+            executor,
+            method,
+            quantiles,
+            cvar,
+            histogram,
+            correlator,
+            control_node,
+            control_mu,
+            where,
+            moments,
+            covariance,
+            str(checkpoint),
+            checkpoint_every,
+        )
     carry = _many_carry(
         nodes,
         size,
@@ -2295,6 +2471,9 @@ def _many_carry(
     where_node,
     moments=False,
     covariance=False,
+    block_lo=0,
+    n_blocks=None,
+    last_count=None,
 ):
     """One randomised stream's (M,)-vector moment carry (device values).
 
@@ -2303,6 +2482,9 @@ def _many_carry(
     (M, L) quantile+CVaR numerators, (2, M, bins+2) two-word histogram
     counts — while the count, control moments, and finite flag stay
     scalar (the condition and control are SHARED across nodes).
+
+    ``block_lo``/``n_blocks``/``last_count`` select an absolute block
+    window exactly as in ``_estimate_carry`` (checkpointed segments).
     """
     from probabilit_tpu import config as _config
     from probabilit_tpu.models import graph as _graph
@@ -2311,8 +2493,10 @@ def _many_carry(
     m = len(nodes)
     aux_node = control_node if control_node is not None else where_node
     where_mode = where_node is not None
-    n_blocks = -(-size // block_size)
-    last_count = size - (n_blocks - 1) * block_size
+    if n_blocks is None:
+        n_blocks = -(-size // block_size)
+    if last_count is None:
+        last_count = size - (-(-size // block_size) - 1) * block_size
 
     lhs_total = (
         size if method is not None and method.lower().strip() == "lhs" else None
@@ -2340,7 +2524,7 @@ def _many_carry(
     )
     cached = _MANY_CACHE.get(cache_key)
     if cached is not None:
-        return cached(key, n_blocks, last_count)
+        return cached(key, block_lo, n_blocks, last_count)
 
     # A NoOp roots all requested nodes in ONE plan (the reference's own
     # multi-variable trick, inspection.py:35-36); its output is None and
@@ -2371,7 +2555,7 @@ def _many_carry(
     n_levels = len(quantiles) + len(cvar)
 
     @jax.jit
-    def all_blocks(key, n_blocks, last_count):
+    def all_blocks(key, block_lo, n_blocks, last_count):
         global _TRACE_COUNT
         _TRACE_COUNT += 1
 
@@ -2563,8 +2747,9 @@ def _many_carry(
             jnp.zeros((m,), jnp.float32),
             jnp.zeros((m, m), jnp.float32),
         )
-        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
-        carry = jax.lax.fori_loop(0, nb1, body, init)
+        lo = jnp.asarray(block_lo, jnp.int32)
+        nb1 = lo + jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(lo, nb1, body, init)
 
         cnt = jnp.asarray(last_count, jnp.int32)
         _, ys = run(nb1, key)
@@ -2604,7 +2789,7 @@ def _many_carry(
     if len(_MANY_CACHE) > 32:
         _MANY_CACHE.pop(next(iter(_MANY_CACHE)))
     _MANY_CACHE[cache_key] = all_blocks
-    return all_blocks(key, n_blocks, last_count)
+    return all_blocks(key, block_lo, n_blocks, last_count)
 
 
 def _merge_many_carries(carries, control_mu=None):

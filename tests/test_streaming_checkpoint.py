@@ -1963,3 +1963,78 @@ class TestSequentialReplicatedMany:
             streaming.estimate_many(
                 [a], 1024, target_sem=0.1, method="sobol", random_state=0
             )
+
+
+class TestStreamCheckpointMany:
+    """estimate_many(checkpoint=...): resumable multi-node folds."""
+
+    def _run(self, nodes, path, **kw):
+        return streaming.estimate_many(
+            nodes, 10_000, block_size=1024, random_state=0,
+            checkpoint=str(path), checkpoint_every=2048, **kw
+        )
+
+    def test_killed_run_resumes_bitwise_identically(self, tmp_path, monkeypatch):
+        import os
+
+        a = Distribution("norm", loc=1.0, scale=2.0)
+        b = a * a
+        p = tmp_path / "many.ckpt.npz"
+        full = self._run([a, b], p, covariance=True, moments=True)
+        assert not os.path.exists(p)
+
+        real = streaming._many_carry
+        calls = {"n": 0}
+
+        def dying(*args, **kw):
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated crash")
+            calls["n"] += 1
+            return real(*args, **kw)
+
+        monkeypatch.setattr(streaming, "_many_carry", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            self._run([a, b], p, covariance=True, moments=True)
+        monkeypatch.setattr(streaming, "_many_carry", real)
+        assert p.exists()
+        resumed = self._run([a, b], p, covariance=True, moments=True)
+        for node in (a, b):
+            for k in ("mean", "var", "sem", "min", "max", "skew", "kurt"):
+                assert resumed[node][k] == full[node][k], k
+            np.testing.assert_array_equal(
+                resumed[node]["cov"], full[node]["cov"]
+            )
+
+    def test_mismatched_node_order_refused(self, tmp_path):
+        a = Distribution("norm", loc=1.0, scale=2.0)
+        b = Distribution("expon", scale=1.0)
+        p = tmp_path / "many.ckpt.npz"
+        real = streaming._many_carry
+        calls = {"n": 0}
+
+        def dying(*args, **kw):
+            if calls["n"] >= 1:
+                raise RuntimeError("boom")
+            calls["n"] += 1
+            return real(*args, **kw)
+
+        streaming._many_carry = dying
+        try:
+            with pytest.raises(RuntimeError):
+                self._run([a, b], p)
+        finally:
+            streaming._many_carry = real
+        assert p.exists()
+        with pytest.raises(ValueError, match="different run"):
+            self._run([b, a], p)
+
+    def test_composition_errors(self, tmp_path):
+        a = Distribution("norm")
+        with pytest.raises(ValueError, match="checkpoint"):
+            streaming.estimate_many(
+                [a], 1024, checkpoint=str(tmp_path / "c.npz"), replicates=2
+            )
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            streaming.estimate_many([a], 1024, checkpoint_every=512)
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            streaming.estimate(a, 1024, checkpoint_every=512)
