@@ -215,12 +215,21 @@ class CumulativeDistribution(AbstractDistribution):
     def __init__(self, quantiles, cumulatives):
         self.q = np.array(quantiles)
         self.cumulatives = np.array(cumulatives)
+        # Same validation semantics as the reference node, own wording.
         if not np.all(np.diff(self.q) > 0):
-            raise ValueError("The quantiles must be strictly increasing.")
+            raise ValueError(
+                "quantiles must form a strictly increasing sequence."
+            )
         if not np.all(np.diff(self.cumulatives) > 0):
-            raise ValueError("The cumulatives must be strictly increasing.")
+            raise ValueError(
+                "cumulatives must form a strictly increasing sequence "
+                "(a CDF table cannot have flat or decreasing segments)."
+            )
         if not (np.isclose(np.min(self.q), 0) and np.isclose(np.max(self.q), 1)):
-            raise ValueError("Lowest quantile must be 0 and highest must be 1.")
+            raise ValueError(
+                "Lowest quantile level must be 0 and the highest 1 (the "
+                "table must span the whole CDF)."
+            )
         super().__init__()
 
     def __repr__(self):

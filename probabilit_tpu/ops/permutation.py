@@ -198,16 +198,21 @@ class PermutationCorrelator(Correlator):
         seed=None,
         verbose=False,
     ):
-        if not (weights is None or np.all(weights > 0)):
-            raise ValueError("`weights` must have positive entries.")
-        if not (isinstance(iterations, int) and iterations >= 0):
-            raise ValueError("`iterations` must be non-negative integer.")
-        if not (isinstance(tol, (int, float)) and tol > 0):
-            raise ValueError("`tol` must be a positive number.")
-        if not (seed is None or isinstance(seed, int)):
-            raise TypeError("`seed` must be None or an integer")
+        # Same ctor contract as the reference correlator, own wording.
+        if weights is not None and not np.all(weights > 0):
+            raise ValueError(
+                "Every entry of weights must be strictly positive."
+            )
+        if not isinstance(iterations, int) or iterations < 0:
+            raise ValueError(
+                f"iterations must be an integer >= 0, got {iterations!r}."
+            )
+        if not isinstance(tol, (int, float)) or tol <= 0:
+            raise ValueError(f"tol must be a number > 0, got {tol!r}.")
+        if seed is not None and not isinstance(seed, int):
+            raise TypeError(f"seed must be None or an int, got {seed!r}.")
         if not isinstance(verbose, bool):
-            raise TypeError("`verbose` must be boolean")
+            raise TypeError(f"verbose must be a bool, got {verbose!r}.")
 
         self.iters = iterations
         self.tol = tol
