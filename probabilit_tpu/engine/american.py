@@ -545,6 +545,14 @@ def american_greeks(
     True
     """
     _validate_common(node, payoff, degree, size, method)
+    if replicates is not None and int(replicates) < 2:
+        # Checked BEFORE the expensive pass-1 fit (minutes of remote
+        # compile on first call) — american_price validates this argument
+        # up front too.
+        raise ValueError(
+            f"replicates must be >= 2 (got {int(replicates)}): a single "
+            "evaluation sample has no between-replicate spread."
+        )
     mode, state_fn = _resolve_state(node, state)
     slots = list(getattr(node, "_param_slots", ()))
     if wrt is None:

@@ -352,6 +352,26 @@ def _generatable(var):
     return False
 
 
+def recolor_eligible(plan, correlator_cls):
+    """Can generated sampling induce this plan's correlations sort-free?
+
+    True when the plan declares correlations, the correlator exposes
+    ``_recolor_scores`` (Gaussian-copula score recoloring), and every
+    correlated variable is ``_generatable`` (monotone inverse-CDF).
+    This is the ONE eligibility rule shared by ``get_program``'s
+    generated fast path, streamed correlated ``estimate()``, streamed
+    gradients (``engine.sensitivity``) and streamed sweeps
+    (``engine.sweep``) — single-sourced so the entry points can never
+    disagree on which graphs recolor, and their streams never
+    desynchronise.
+    """
+    return (
+        plan.corr_matrix is not None
+        and hasattr(correlator_cls, "_recolor_scores")
+        and all(_generatable(v) for v in plan.corr_vars)
+    )
+
+
 _PROGRAM_CACHE = {}
 _CACHE_LIMIT = 128
 
@@ -553,11 +573,8 @@ def get_program(plan, correlator, keep_ids, check_finite=True, rng_inline_n=None
     # correlated variable has a monotone inverse-CDF: sorted marginals come
     # from uniform order statistics instead of a data sort, and the
     # variables' own quantile columns provide the normal scores.
-    generated_ok = (
-        plan.corr_matrix is not None
-        and rng_inline_n is not None
-        and hasattr(correlator_cls, "_recolor_scores")
-        and all(_generatable(v) for v in plan.corr_vars)
+    generated_ok = rng_inline_n is not None and recolor_eligible(
+        plan, correlator_cls
     )
     body = build_body(
         plan,

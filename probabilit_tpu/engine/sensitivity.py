@@ -537,8 +537,13 @@ def sensitivity(
                 # Conditional band around the level: E[g | X = VaR] is
                 # estimated over the samples between the (level +/- band)
                 # quantiles.  Band width trades O(band) bias against
-                # O(1/sqrt(n * band)) noise: aim for >= ~1000 expected
-                # band samples, capped at +/-0.005 of probability.
+                # O(1/sqrt(n * band)) noise: the preferred half-width is
+                # +/-0.005 of probability, but a ~1000-expected-sample
+                # FLOOR (band >= 500/n) takes precedence at small sizes
+                # — below ~100k draws the band widens past 0.005 because
+                # a noisy conditional mean is worse than the O(band)
+                # smoothing bias there.  Either way the band never
+                # reaches past halfway to the nearer tail.
                 half = min(level / 2.0, (1.0 - level) / 2.0)
                 band = min(max(min(0.005, half), 500.0 / sub), half)
                 q_levels = (level - band, level, level + band)
@@ -679,11 +684,7 @@ def _build_grad_fn(plan, pairs, stat_fn, size, correlator_cls, method_name=None)
     from probabilit_tpu.parallel import mesh as _par_mesh
 
     sink_id = plan.sink._id
-    generated_ok = (
-        plan.corr_matrix is not None
-        and hasattr(correlator_cls, "_recolor_scores")
-        and all(_compile._generatable(v) for v in plan.corr_vars)
-    )
+    generated_ok = _compile.recolor_eligible(plan, correlator_cls)
     body = _compile.build_body(
         plan,
         correlator_cls,
@@ -752,12 +753,9 @@ def _stream_corr_eligible(plan, correlator_cls):
     each recolored block mean is an ordinary per-block VJP, and the
     count-weighted Chan merge of block gradients is the exact gradient
     of the streamed estimator — so the same eligibility rule applies:
-    a correlator with ``_recolor_scores`` over generatable variables.
+    ``compile.recolor_eligible``, single-sourced across entry points.
     """
-    return (
-        hasattr(correlator_cls, "_recolor_scores")
-        and all(_compile._generatable(v) for v in plan.corr_vars)
-    )
+    return _compile.recolor_eligible(plan, correlator_cls)
 
 
 def _make_block_sampler(plan, pairs, block_size, method_name, lhs_total, body):
@@ -836,9 +834,7 @@ def _build_stream_varstd_grad_fn(
     the vector entries shaped ``(P,)``.  ``std`` transforms at the end
     (``d std = d var / (2 std)``).  Exact at any size, O(block) memory.
     """
-    generated_ok = plan.corr_matrix is not None and _stream_corr_eligible(
-        plan, correlator_cls
-    )
+    generated_ok = _stream_corr_eligible(plan, correlator_cls)
     body = _compile.build_body(
         plan,
         correlator_cls,
@@ -853,13 +849,17 @@ def _build_stream_varstd_grad_fn(
 
     def block_stats(theta, key, b, cnt):
         x, vjp = jax.vjp(lambda th: sample_block(th, key, b), theta)
-        maskf = (
-            jnp.arange(block_size, dtype=jnp.int32) < cnt
-        ).astype(jnp.float32)
+        mask = jnp.arange(block_size, dtype=jnp.int32) < cnt
+        maskf = mask.astype(jnp.float32)
         cntf = cnt.astype(jnp.float32)
-        xm = x * maskf
+        # jnp.where, not multiplication: a non-finite draw in an
+        # EXCLUDED lane of the final partial block (draws the
+        # single-shot estimator never takes) must not poison the fold
+        # via 0 * inf = NaN — the streamed-mean path uses the same
+        # construction.
+        xm = jnp.where(mask, x, 0.0)
         bm = jnp.sum(xm) / cntf
-        bm2 = jnp.sum(maskf * jnp.square(x - bm))
+        bm2 = jnp.sum(jnp.where(mask, jnp.square(x - bm), 0.0))
         (gsum,) = vjp(maskf)
         (xg,) = vjp(xm)
         bmg = gsum / cntf
@@ -923,9 +923,7 @@ def _build_stream_tail_grad_fn(
     gives the conditional-band estimator of the VaR derivative
     ``E[dX/dtheta | X = VaR]`` (Hong 2009, kernel-free band variant).
     """
-    generated_ok = plan.corr_matrix is not None and _stream_corr_eligible(
-        plan, correlator_cls
-    )
+    generated_ok = _stream_corr_eligible(plan, correlator_cls)
     body = _compile.build_body(
         plan,
         correlator_cls,
@@ -991,9 +989,7 @@ def _build_stream_grad_fn(
     its own recoloring, so the merged gradient is the exact gradient of
     the streamed correlated estimator.
     """
-    generated_ok = plan.corr_matrix is not None and _stream_corr_eligible(
-        plan, correlator_cls
-    )
+    generated_ok = _stream_corr_eligible(plan, correlator_cls)
     body = _compile.build_body(
         plan,
         correlator_cls,

@@ -1263,6 +1263,27 @@ def _estimate_sequential(
         chunk = max(chunk, 1)
 
 
+def _round_chunk(chunk, method, budget):
+    """Size one sequential round's per-replicate chunk, LHS-aware.
+
+    The LHS block program bakes the round's total size into the
+    compiled program (the Feistel stratification domain is part of the
+    cache key), so every DISTINCT chunk size costs a fresh remote XLA
+    compile — 12-280 s over the tunnel.  Rounding LHS chunks up to
+    powers of two caps the number of distinct compiled programs at
+    log2(max_size) and lets rounds that land on the same scale reuse
+    the cache outright.  sobol/halton/antithetic/None programs are
+    size-agnostic (size is a traced scalar), so their chunks pass
+    through untouched.  ``budget`` clamps the final round to the draws
+    actually remaining — that round may compile once more, which is
+    unavoidable.
+    """
+    chunk = max(int(chunk), 1)
+    if method is not None and method.lower().strip() == "lhs":
+        chunk = 1 << (chunk - 1).bit_length()
+    return max(1, min(chunk, int(budget)))
+
+
 def _estimate_sequential_replicated(
     sink,
     pilot,
@@ -1293,12 +1314,14 @@ def _estimate_sequential_replicated(
     randomisation, so pooling rounds within a replicate keeps the
     replicate mean unbiased and replicates independent).  Round sizing
     follows ``_estimate_sequential``'s Chow-Robbins rule on the
-    replicated sem.  All rounds and replicates share the one cached
-    block program.
+    replicated sem.  sobol/halton/antithetic rounds all share the one
+    cached block program (size is a traced scalar); LHS programs are
+    size-specific, so LHS chunks are quantised to powers of two
+    (``_round_chunk``) to bound the distinct compiles at log2(max_size).
     """
     carries = [[] for _ in range(reps)]
     drawn, rounds = 0, 0
-    chunk = max(pilot // reps, 1)
+    chunk = _round_chunk(pilot // reps, method, max(1, max_size // reps))
     while True:
         for r in range(reps):
             rk = jax.random.fold_in(jax.random.fold_in(key, r), rounds)
@@ -1352,8 +1375,10 @@ def _estimate_sequential_replicated(
                     "between-replicate sem needs >= 2. Loosen the where "
                     "condition or raise max_size."
                 )
-            chunk = max(
-                1, min(drawn // reps, (max_size - drawn) // reps)
+            chunk = _round_chunk(
+                min(drawn // reps, (max_size - drawn) // reps),
+                method,
+                max(1, (max_size - drawn) // reps),
             )
             continue
         stats = _finalize_estimate(
@@ -1381,7 +1406,9 @@ def _estimate_sequential_replicated(
         else:
             need = drawn
         need = min(need, 3.0 * drawn, float(max_size - drawn))
-        chunk = max(int(need // reps), 1)
+        chunk = _round_chunk(
+            int(need) // reps, method, max(1, (max_size - drawn) // reps)
+        )
 
 
 def _stream_fingerprint(
@@ -2997,11 +3024,13 @@ def _estimate_sequential_many_replicated(
     independently randomised streams grow round by round, the per-node
     stopping statistic is the between-replicate sem of each node's
     pooled replicate means, and the run continues until EVERY watched
-    node meets its target (the worst node sizes the next round).
+    node meets its target (the worst node sizes the next round).  LHS
+    chunks are power-of-two quantised (``_round_chunk``) so the
+    size-specific LHS program compiles at most log2(max_size) times.
     """
     carries = [[] for _ in range(reps)]
     drawn, rounds = 0, 0
-    chunk = max(pilot // reps, 1)
+    chunk = _round_chunk(pilot // reps, method, max(1, max_size // reps))
     while True:
         for r in range(reps):
             rk = jax.random.fold_in(jax.random.fold_in(key, r), rounds)
@@ -3066,7 +3095,11 @@ def _estimate_sequential_many_replicated(
                     "accepted any samples within max_size; the "
                     "between-replicate sem needs >= 2."
                 )
-            chunk = max(1, min(drawn // reps, (max_size - drawn) // reps))
+            chunk = _round_chunk(
+                min(drawn // reps, (max_size - drawn) // reps),
+                method,
+                max(1, (max_size - drawn) // reps),
+            )
             continue
         out = _finalize_many(
             nodes, merged, drawn, quantiles, cvar, histogram, control_mu,
@@ -3102,7 +3135,9 @@ def _estimate_sequential_many_replicated(
         else:
             need = drawn
         need = min(need, 3.0 * drawn, float(max_size - drawn))
-        chunk = max(int(need // reps), 1)
+        chunk = _round_chunk(
+            int(need) // reps, method, max(1, (max_size - drawn) // reps)
+        )
 
 
 def _finalize_many(

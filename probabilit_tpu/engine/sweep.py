@@ -175,7 +175,11 @@ def sweep(
         Any mix of ``"mean"``/``"var"``/``"std"``/``"q<level>"``/
         ``"cvar<level>"`` (expected shortfall above the level) or
         jax-traceable callables of the ``(size,)`` sample vector.  When
-        ``"mean"`` is requested, a per-scenario ``"sem"`` rides along.
+        ``"mean"`` is requested, a per-scenario ``"sem"`` rides along —
+        except under ``method="sobol"/"halton"/"lhs"`` without
+        ``replicates=``, where the iid formula is not a valid error bar
+        and no ``"sem"`` key is returned (use ``replicates=R`` for
+        between-replicate ``<stat>_sem`` bars instead).
     correlator : str | Correlator class
         As in ``sample()`` for graphs with declared correlations.
     method : None | "sobol" | "halton" | "lhs" | "antithetic"
@@ -306,9 +310,8 @@ def sweep(
 
     if block_size is not None:
         block_size = int(block_size)
-        if plan.corr_matrix is not None and not (
-            hasattr(correlator_cls, "_recolor_scores")
-            and all(_compile._generatable(v) for v in plan.corr_vars)
+        if plan.corr_matrix is not None and not _compile.recolor_eligible(
+            plan, correlator_cls
         ):
             raise ValueError(
                 "Streamed sweeps on a correlated graph need the generated "
@@ -449,11 +452,7 @@ def _build_sweep_fn(
     from probabilit_tpu.parallel import mesh as _par_mesh
 
     sink_id = plan.sink._id
-    generated_ok = (
-        plan.corr_matrix is not None
-        and hasattr(correlator_cls, "_recolor_scores")
-        and all(_compile._generatable(v) for v in plan.corr_vars)
-    )
+    generated_ok = _compile.recolor_eligible(plan, correlator_cls)
     body = _compile.build_body(
         plan,
         correlator_cls,
@@ -553,11 +552,7 @@ def _build_stream_sweep_fn(
     from probabilit_tpu.parallel import mesh as _par_mesh
 
     sink_id = plan.sink._id
-    generated_ok = (
-        plan.corr_matrix is not None
-        and hasattr(correlator_cls, "_recolor_scores")
-        and all(_compile._generatable(v) for v in plan.corr_vars)
-    )
+    generated_ok = _compile.recolor_eligible(plan, correlator_cls)
     body = _compile.build_body(
         plan,
         correlator_cls,

@@ -2038,3 +2038,50 @@ class TestStreamCheckpointMany:
             streaming.estimate_many([a], 1024, checkpoint_every=512)
         with pytest.raises(ValueError, match="checkpoint_every"):
             streaming.estimate(a, 1024, checkpoint_every=512)
+
+
+class TestLHSSequentialCompileReuse:
+    """LHS sequential rounds must not compile one program per round.
+
+    The LHS block program bakes the round's total size into its cache
+    key (the Feistel stratification domain), so Chow-Robbins round
+    sizing would otherwise pay a fresh remote XLA compile (12-280 s on
+    the tunnel) every round; ``_round_chunk`` quantises LHS chunks to
+    powers of two so distinct programs stay logarithmic in max_size.
+    """
+
+    def test_round_chunk_quantizes_lhs_only(self):
+        rc = streaming._round_chunk
+        assert rc(1000, "lhs", 10**9) == 1024
+        assert rc(1024, "lhs", 10**9) == 1024
+        assert rc(1025, "lhs", 10**9) == 2048
+        assert rc(1, "lhs", 10**9) == 1
+        assert rc(0, "lhs", 10**9) == 1
+        # The final round clamps to the remaining budget even if that
+        # breaks the power of two — overshooting max_size is worse.
+        assert rc(1000, "lhs", 600) == 600
+        # Size-agnostic methods pass through untouched.
+        assert rc(1000, "sobol", 10**9) == 1000
+        assert rc(1000, "halton", 10**9) == 1000
+        assert rc(1000, "antithetic", 10**9) == 1000
+        assert rc(1000, None, 10**9) == 1000
+
+    def test_lhs_sequential_compiles_pow2_programs_only(self):
+        x = Distribution("norm", loc=2.0, scale=3.0)
+        before = set(streaming._ESTIMATE_CACHE)
+        st = streaming.estimate(
+            x, 4096, block_size=1024, random_state=0, method="lhs",
+            target_sem=0.02, replicates=4,
+        )
+        assert st["converged"] is True
+        assert abs(st["mean"] - 2.0) < 6 * st["sem"] + 1e-6
+        # Every NEW cached program for this run has a power-of-two LHS
+        # total (cache-key slot 7 = lhs_total, see _estimate_carry).
+        new_totals = [
+            k[7]
+            for k in set(streaming._ESTIMATE_CACHE) - before
+            if k[7] is not None
+        ]
+        assert new_totals, "the LHS run should have cached LHS programs"
+        for t in new_totals:
+            assert t & (t - 1) == 0, f"non-power-of-two LHS total {t}"
