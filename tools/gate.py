@@ -195,6 +195,55 @@ def _mlmc():
     assert abs(res["mean"] - 10.4506) < 0.35, res["mean"]
 
 
+@check("american_greeks: frozen-policy put delta in (-1, 0), rho < 0")
+def _american_greeks():
+    import jax.numpy as jnp
+
+    from probabilit_tpu import GeometricBrownianMotion
+    from probabilit_tpu.engine.american import american_greeks
+
+    gbm = GeometricBrownianMotion(s0=40.0, mu=0.06, sigma=0.2, T=1.0, steps=8)
+    g = american_greeks(
+        gbm, lambda s: jnp.maximum(40.0 - s, 0.0), rate=0.06, size=2**13,
+        random_state=0,
+    )
+    assert -1.0 < g["s0"] < 0.0, g
+    assert g["rate"] < 0.0, g
+    assert g["se"] > 0.0 and np.isfinite(g["se"]), g
+
+
+@check("estimate(target_sem=): sequential stopping meets the bar")
+def _sequential():
+    import probabilit_tpu as pt
+
+    x = pt.Distribution("norm", loc=2.0, scale=3.0)
+    st = pt.estimate(
+        x, 4_096, block_size=2_048, random_state=0, target_sem=0.02,
+    )
+    assert st["converged"] is True and st["sem"] <= 0.02, st
+    assert abs(st["mean"] - 2.0) < 6 * st["sem"] + 1e-6, st
+
+
+@check("estimate(checkpoint=): segmented run deterministic, file cleaned")
+def _checkpoint_resume():
+    import tempfile
+
+    import probabilit_tpu as pt
+
+    x = pt.Distribution("norm", loc=1.0, scale=2.0)
+    kw = dict(size=40_000, block_size=4_096, random_state=5,
+              checkpoint_every=16_384)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "carry.npz")
+        a = pt.estimate(x, checkpoint=path, **kw)
+        # A completed run removes its carry file; an identical rerun
+        # reproduces the segment folds bitwise.
+        assert not os.path.exists(path), "completed run left its carry"
+        b = pt.estimate(x, checkpoint=path, **kw)
+    assert a["mean"] == b["mean"] and a["std"] == b["std"], (a, b)
+    assert abs(a["mean"] - 1.0) < 0.05, a["mean"]
+
+
 def run_smoke():
     failures = 0
     for name, fn in _CHECKS:
