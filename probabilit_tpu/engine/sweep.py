@@ -153,6 +153,8 @@ def sweep(
     common_random_numbers=True,
     block_size=None,
     replicates=None,
+    target_sem=None,
+    max_size=None,
 ):
     """Evaluate statistics of ``sink`` under S parameter scenarios at once.
 
@@ -215,6 +217,25 @@ def sweep(
         error bar under QMC/antithetic — and the reported statistics
         become replicate averages.  ``"sem"`` aliases ``"mean_sem"``
         when ``"mean"`` is requested.  ``size`` must be divisible by R.
+    target_sem : None | float
+        Sequential (precision-targeted) sweeping: keep adding rounds of
+        ``size`` draws per scenario until the between-replicate sem of
+        EVERY requested statistic at EVERY scenario is ``<= target_sem``
+        (the worst column sizes the next batch of rounds,
+        Chow-Robbins-style).  Requires ``replicates=R`` — the replicate
+        bar is the error estimate that stays valid under every
+        ``method=`` including QMC — and named statistics (pooling
+        averages equal-size round estimates, exact for ``"mean"``/
+        ``"var"`` and the same round-averaged estimator the streamed
+        quantile/cvar path already uses; a callable's statistic need
+        not decompose that way).  Every round reuses the ONE compiled
+        program — the round size never changes, so even the
+        size-specific LHS program compiles once.  The result gains
+        ``.rounds`` / ``.converged`` attributes and reports
+        per-scenario totals in ``.size``.
+    max_size : None | int
+        Per-scenario draw budget for ``target_sem=`` (default
+        ``64 * size``); the run stops unconverged at the cap.
 
     Returns
     -------
@@ -307,6 +328,32 @@ def sweep(
     else:
         reps, sub = None, size
     inner_sem = with_sem and reps is None
+
+    if target_sem is not None:
+        if not (float(target_sem) > 0.0):
+            raise ValueError(f"target_sem must be > 0, got {target_sem}.")
+        if reps is None:
+            raise ValueError(
+                "target_sem needs replicates=R (e.g. replicates=8): the "
+                "between-replicate sem of R independently randomised CRN "
+                "streams is the stopping statistic that stays valid for "
+                "every statistic and every method= (including QMC)."
+            )
+        if any(not isinstance(k, str) for k in stat_keys):
+            raise ValueError(
+                "target_sem supports named statistics only ('mean'/'var'/"
+                "'std'/'q<level>'/'cvar<level>'): sequential rounds pool "
+                "by averaging equal-size round estimates, which a "
+                "callable's statistic need not permit."
+            )
+        max_size = 64 * size if max_size is None else int(max_size)
+        if max_size < size:
+            raise ValueError(
+                f"max_size ({max_size}) must be >= the per-round size "
+                f"({size})."
+            )
+    elif max_size is not None:
+        raise ValueError("max_size= only applies with target_sem=.")
 
     if block_size is not None:
         block_size = int(block_size)
@@ -417,7 +464,69 @@ def sweep(
                 )
             }
 
-    if reps is None:
+    seq_rounds, seq_converged = None, None
+    if target_sem is not None:
+        # Sequential sweep: rounds of R replicate streams (each CRN
+        # across scenarios), pooled per replicate by plain averaging —
+        # exact for mean/var over equal-size rounds, and the same
+        # round-averaged estimator the streamed path uses for
+        # quantiles/cvar.  The round size is FIXED so every round hits
+        # the one compiled program (the LHS program is size-specific —
+        # growing round sizes would recompile per round); Chow-Robbins
+        # on the worst statistic column decides how many rounds to add.
+        per = [[] for _ in range(reps)]
+        rounds_done, add = 0, 1
+        max_rounds = min(max_size // size, 64)
+        while True:
+            for _ in range(add):
+                for r in range(reps):
+                    rk = jax.random.fold_in(
+                        jax.random.fold_in(key, r), rounds_done
+                    )
+                    per[r].append(run_stats(rk))
+                rounds_done += 1
+            rep_cols = [
+                {
+                    name: np.mean(
+                        np.stack([d[name] for d in lst]), axis=0
+                    )
+                    for name in lst[0]
+                }
+                for lst in per
+            ]
+            stats = {}
+            worst = 0.0
+            for name in rep_cols[0]:
+                arr = np.stack([c[name] for c in rep_cols])
+                stats[name] = arr.mean(axis=0)
+                sem_col = arr.std(axis=0, ddof=1) / np.sqrt(reps)
+                stats[name + "_sem"] = sem_col
+                if np.all(np.isfinite(sem_col)):
+                    worst = max(
+                        worst, float(sem_col.max()) / float(target_sem)
+                    )
+                else:
+                    worst = np.inf
+            if "mean" in stats:
+                stats["sem"] = stats["mean_sem"]
+            converged = bool(np.isfinite(worst) and worst <= 1.0)
+            if converged or rounds_done >= max_rounds:
+                break
+            if np.isfinite(worst) and worst > 0.0:
+                need = rounds_done * worst * worst * 1.2 - rounds_done
+            else:
+                need = rounds_done
+            add = int(
+                min(
+                    max(need, 1.0),
+                    3.0 * rounds_done,
+                    max_rounds - rounds_done,
+                )
+            )
+            add = max(add, 1)
+        seq_rounds, seq_converged = rounds_done, converged
+        size = size * rounds_done  # per-scenario total actually drawn
+    elif reps is None:
         stats = run_stats(key)
     else:
         # R independently randomised streams, each CRN across scenarios:
@@ -438,11 +547,15 @@ def sweep(
             f"{sorted(bad)}; a scenario pushed a parameter outside its "
             "family's valid domain (e.g. a non-positive scale)."
         )
-    return SweepResult(
+    res = SweepResult(
         stats,
         {pair: theta_np[:, j].copy() for j, pair in enumerate(pairs)},
         size,
     )
+    if seq_rounds is not None:
+        res.rounds = seq_rounds
+        res.converged = seq_converged
+    return res
 
 
 def _build_sweep_fn(

@@ -953,6 +953,105 @@ class TestSweepQMCCorrelated:
         assert np.abs(res["var"] - 3.6).max() < 0.15
 
 
+class TestSequentialSweep:
+    """sweep(target_sem=): precision-targeted scenario ladders.
+
+    Rounds of R replicate CRN streams grow until the between-replicate
+    sem of every statistic column meets the target; the round size is
+    fixed so every round reuses the one compiled program.
+    """
+
+    def _grid(self):
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        y = 2.0 * x + 1.0
+        return y, {(x, "loc"): np.array([-1.0, 0.0, 1.0])}
+
+    def test_multi_round_convergence_and_accuracy(self):
+        y, grid = self._grid()
+        # sem ~ 2/sqrt(n_total): one 4096-draw round gives ~0.031, so
+        # target 0.01 needs several rounds (~40k draws).
+        res = pt.sweep(
+            y, grid, size=4096, random_state=0, replicates=4,
+            target_sem=0.01,
+        )
+        assert res.converged is True and res.rounds > 1
+        assert res.size == 4096 * res.rounds
+        assert np.all(res["sem"] <= 0.01)
+        assert np.allclose(res["mean"], [-1.0, 1.0, 3.0], atol=6 * 0.01)
+
+    def test_budget_cap_reports_unconverged(self):
+        y, grid = self._grid()
+        res = pt.sweep(
+            y, grid, size=1024, random_state=1, replicates=4,
+            target_sem=1e-6, max_size=4096,
+        )
+        assert res.converged is False and res.rounds == 4
+        assert res.size == 4096
+
+    def test_sem_valid_vs_independent_truth(self):
+        y, grid = self._grid()
+        res = pt.sweep(
+            y, grid, size=2048, random_state=2, replicates=4,
+            target_sem=0.02,
+        )
+        singles = np.stack(
+            [
+                np.asarray(
+                    pt.sweep(
+                        y, grid, size=res.size, random_state=100 + i
+                    )["mean"]
+                )
+                for i in range(12)
+            ]
+        )
+        truth_sd = singles.std(axis=0, ddof=1)
+        est_sd = np.asarray(res["sem"]) * 2.0  # sem * sqrt(R)
+        assert np.all(est_sd < 3.5 * truth_sd)
+        assert np.all(est_sd > 0.25 * truth_sd)
+
+    def test_qmc_quantile_sequential(self):
+        y, grid = self._grid()
+        res = pt.sweep(
+            y, grid, size=4096, random_state=1, replicates=4,
+            target_sem=0.05, method="sobol",
+            statistics=("mean", "q0.9"),
+        )
+        assert res.converged is True
+        want_q = 2.0 * np.array([-1.0, 0.0, 1.0]) + 1.0 + 2.0 * 1.2815516
+        assert np.allclose(res["q0.9"], want_q, atol=0.1)
+        assert np.all(res["q0.9_sem"] > 0)
+
+    def test_streamed_sequential(self):
+        y, grid = self._grid()
+        res = pt.sweep(
+            y, grid, size=8192, random_state=3, replicates=4,
+            target_sem=0.05, block_size=2048,
+        )
+        assert res.converged is True
+        assert np.allclose(res["mean"], [-1.0, 1.0, 3.0], atol=0.3)
+
+    def test_validation(self):
+        y, grid = self._grid()
+        with pytest.raises(ValueError, match="replicates"):
+            pt.sweep(y, grid, size=4096, target_sem=0.01)
+        with pytest.raises(ValueError, match="> 0"):
+            pt.sweep(
+                y, grid, size=4096, replicates=4, target_sem=-1.0
+            )
+        with pytest.raises(ValueError, match="max_size"):
+            pt.sweep(y, grid, size=4096, max_size=1 << 20)
+        with pytest.raises(ValueError, match="named"):
+            pt.sweep(
+                y, grid, size=4096, replicates=4, target_sem=0.01,
+                statistics=lambda v: v.max(),
+            )
+        with pytest.raises(ValueError, match="per-round"):
+            pt.sweep(
+                y, grid, size=4096, replicates=4, target_sem=0.01,
+                max_size=100,
+            )
+
+
 class TestCVaRStatistic:
     """statistic='cvar<level>' — expected-shortfall values and Greeks."""
 
