@@ -330,6 +330,8 @@ def sensitivity(
     method=None,
     block_size=None,
     replicates=None,
+    checkpoint=None,
+    checkpoint_every=None,
 ):
     """Pathwise derivative of ``statistic(sink samples)`` w.r.t. parameters.
 
@@ -391,6 +393,23 @@ def sensitivity(
         QMC/antithetic error bar (``result.sems``, ``result.value_sem``);
         the reported value/gradients become the replicate averages.
         ``size`` must be divisible by R.
+    checkpoint : None | str
+        Make a streamed gradient fold resumable (``estimate()``'s
+        checkpoint semantics): the run is segmented at fixed block
+        boundaries (``checkpoint_every`` draws per segment, default
+        64 blocks), each completed segment's raw carry persists to an
+        atomic ``.npz``, and a re-run with the SAME model, parameter
+        values, sizing and key resumes from the last completed segment
+        — finalizing bitwise-identically to the uninterrupted
+        (checkpointed) run, because segment block indices are absolute
+        and the float64 host merge sees the identical carry sequence.
+        Requires ``block_size=`` and ``statistic="mean"/"var"/"std"``
+        (the single-pass folds; the two-pass VaR/CVaR scheme re-derives
+        its pass-1 quantile from the whole stream), and not
+        ``replicates=`` (checkpoint the per-replicate runs instead).
+    checkpoint_every : None | int
+        Segment length in draws for ``checkpoint=`` (rounded down to
+        whole blocks; default 64 blocks).
 
     Returns
     -------
@@ -455,6 +474,29 @@ def sensitivity(
         sub = size // reps
     else:
         reps, sub = None, size
+
+    if checkpoint is not None:
+        if block_size is None:
+            raise ValueError(
+                "checkpoint= applies to streamed gradients only; pass "
+                "block_size= (a single-shot program has no mid-run state "
+                "worth persisting)."
+            )
+        if reps is not None:
+            raise ValueError(
+                "checkpoint= composes with single-stream runs only; "
+                "checkpoint the fixed-size runs a replicated scheme "
+                "decomposes into instead."
+            )
+        if statistic not in ("mean", "var", "std"):
+            raise ValueError(
+                "checkpoint= supports statistic='mean'/'var'/'std' (the "
+                "single-pass streamed folds); the two-pass VaR/CVaR "
+                "scheme re-derives its pass-1 quantile from the whole "
+                "stream and cannot resume from partial carries."
+            )
+    elif checkpoint_every is not None:
+        raise ValueError("checkpoint_every= needs checkpoint=path.")
 
     correlator_cls = _compile.resolve_correlator(correlator)
     slot_key = tuple((node._id, slot) for node, slot in pairs)
@@ -524,8 +566,59 @@ def sensitivity(
                     _GRAD_CACHE.pop(next(iter(_GRAD_CACHE)))
                 _GRAD_CACHE[cache_key] = grad_fn
 
-            def run_one(k):
-                return grad_fn(theta0, k, n_blocks, last_count)
+            if checkpoint is None:
+
+                def run_one(k):
+                    carry = jax.device_get(
+                        grad_fn(theta0, k, 0, n_blocks, last_count)
+                    )
+                    return _finalize_stream_grad(stat_key, [carry])
+
+            else:
+                import os as _os
+
+                path = str(checkpoint)
+                seg_blocks = (
+                    64
+                    if checkpoint_every is None
+                    else max(1, int(checkpoint_every) // block_size)
+                )
+                n_segs = -(-n_blocks // seg_blocks)
+                n_scalars = 2 if stat_key == "mean" else 3
+
+                def run_one(k):
+                    fp = _grad_stream_fingerprint(
+                        sink, pairs, theta0, sub, block_size, seg_blocks,
+                        k, method_name, stat_key, correlator_cls,
+                    )
+                    carries = (
+                        _load_grad_checkpoint(path, fp)
+                        if _os.path.exists(path)
+                        else []
+                    )
+                    for s in range(len(carries), n_segs):
+                        lo = s * seg_blocks
+                        nb = min(seg_blocks, n_blocks - lo)
+                        lc = (
+                            last_count
+                            if lo + nb == n_blocks
+                            else block_size
+                        )
+                        carries.append(
+                            tuple(
+                                np.asarray(v, np.float64)
+                                for v in jax.device_get(
+                                    grad_fn(theta0, k, lo, nb, lc)
+                                )
+                            )
+                        )
+                        _save_grad_checkpoint(path, fp, carries, n_scalars)
+                    out = _finalize_stream_grad(stat_key, carries)
+                    try:
+                        _os.remove(path)
+                    except OSError:
+                        pass
+                    return out
 
         else:
             # Two-pass VaR/CVaR stream.  Pass 1 reuses the streamed
@@ -868,7 +961,15 @@ def _build_stream_varstd_grad_fn(
         return cntf, bm, bm2, bmg, bcxg
 
     @jax.jit
-    def run(theta, key, n_blocks, last_count):
+    def run(theta, key, block_lo, n_blocks, last_count):
+        # ``block_lo``/``n_blocks``/``last_count`` select a WINDOW of
+        # the run's absolute block range (checkpointed segments —
+        # ``_estimate_carry`` semantics): block indices, and therefore
+        # per-block keys and QMC offsets, are absolute, so concatenated
+        # window carries Chan-merge to the uninterrupted fold's result.
+        # Returns the RAW carry ``(n, mean, M2, mean_g, C_xg)``;
+        # ``_finalize_stream_grad`` turns merged carries into the
+        # statistic and gradient in float64 host-side.
         def fold(carry, bn, bm, bm2, bmg, bcxg):
             n_prev, mean, m2, mg, cxg = carry
             nn = n_prev + bn
@@ -895,18 +996,146 @@ def _build_stream_varstd_grad_fn(
             jnp.zeros((n_pairs,), theta.dtype),
             jnp.zeros((n_pairs,), theta.dtype),
         )
-        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
-        carry = jax.lax.fori_loop(0, nb1, body_fn, init)
+        lo = jnp.asarray(block_lo, jnp.int32)
+        nb1 = lo + jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(lo, nb1, body_fn, init)
         cnt = jnp.asarray(last_count, jnp.int32)
-        n, _, m2, _, cxg = fold(carry, *block_stats(theta, key, nb1, cnt))
-        var = m2 / (n - 1.0)
-        dvar = 2.0 * cxg / (n - 1.0)
-        if stat_key == "std":
-            sd = jnp.sqrt(var)
-            return sd, dvar / (2.0 * sd)
-        return var, dvar
+        return fold(carry, *block_stats(theta, key, nb1, cnt))
 
     return run
+
+
+def _merge_grad_carries(stat_key, carries):
+    """Host-side float64 Chan merge of streamed-gradient window carries.
+
+    The same pairwise merge the device fold applies per block, over the
+    per-segment carries of a checkpointed run — identical update, so a
+    resumed run finalizes from the identical float64 carry sequence.
+    """
+    it = iter(carries)
+    first = [np.asarray(v, np.float64) for v in next(it)]
+    if stat_key == "mean":
+        n, mv, mg = first
+        for c in it:
+            bn, bv, bg = (np.asarray(v, np.float64) for v in c)
+            nn = n + bn
+            mv = mv + (bv - mv) * bn / nn
+            mg = mg + (bg - mg) * bn / nn
+            n = nn
+        return n, mv, mg
+    total, mean, m2, mg, cxg = first
+    for c in it:
+        bn, bm, bm2, bmg, bcxg = (np.asarray(v, np.float64) for v in c)
+        nn = total + bn
+        d = bm - mean
+        dg = bmg - mg
+        w = total * bn / nn
+        mean = mean + d * bn / nn
+        m2 = m2 + bm2 + d * d * w
+        mg = mg + dg * bn / nn
+        cxg = cxg + bcxg + d * dg * w
+        total = nn
+    return total, mean, m2, mg, cxg
+
+
+def _finalize_stream_grad(stat_key, carries):
+    """``(value, (P,) float64 gradient)`` from raw window carries."""
+    merged = _merge_grad_carries(stat_key, carries)
+    if stat_key == "mean":
+        _, mv, mg = merged
+        return float(mv), np.asarray(mg, np.float64)
+    n, _, m2, _, cxg = merged
+    var = float(m2) / (float(n) - 1.0)
+    dvar = 2.0 * np.asarray(cxg, np.float64) / (float(n) - 1.0)
+    if stat_key == "std":
+        sd = float(np.sqrt(var))
+        return sd, dvar / (2.0 * sd)
+    return var, dvar
+
+
+def _grad_stream_fingerprint(
+    sink, pairs, theta0, size, block_size, seg_blocks, key, method_name,
+    stat_key, correlator_cls,
+):
+    """Cross-process identity of a checkpointable streamed-gradient run.
+
+    Everything that changes the draws, the targeted parameters, or the
+    carry layout participates — including the CURRENT parameter values
+    (``theta0``): resuming after editing a distribution's parameters
+    would splice gradients of two different models.  Targeted pairs are
+    encoded by each node's own graph fingerprint + slot name (node ids
+    are process-local).
+    """
+    import hashlib
+
+    from probabilit_tpu import config as _config
+    from probabilit_tpu.engine import checkpoint as _ckpt
+
+    parts = [
+        _ckpt.graph_fingerprint(sink),
+        repr(
+            [
+                (_ckpt.graph_fingerprint(node), str(slot))
+                for node, slot in pairs
+            ]
+        ),
+        repr(
+            (
+                int(size),
+                int(block_size),
+                int(seg_blocks),
+                method_name,
+                stat_key,
+                _compile.correlator_token(correlator_cls),
+                jnp.dtype(_config.float_dtype()).name,
+                _compile._active_mesh_key(),
+            )
+        ),
+        np.asarray(theta0, np.float64).tobytes().hex(),
+        np.asarray(jax.random.key_data(key)).tobytes().hex(),
+    ]
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+def _save_grad_checkpoint(path, fingerprint, carries, n_scalars):
+    """Atomically persist the per-segment carry list (tmp + replace)."""
+    import os
+
+    sc = np.array(
+        [[float(c[i]) for i in range(n_scalars)] for c in carries],
+        np.float64,
+    )
+    vec = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(c[i], np.float64)
+                    for i in range(n_scalars, len(c))
+                ]
+            )
+            for c in carries
+        ]
+    )
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, fingerprint=np.asarray(fingerprint), scalars=sc, vecs=vec)
+    os.replace(tmp, path)
+
+
+def _load_grad_checkpoint(path, fingerprint):
+    """-> the saved carry list; refuses a mismatched run."""
+    with np.load(path, allow_pickle=False) as data:
+        if str(data["fingerprint"]) != fingerprint:
+            raise ValueError(
+                f"Checkpoint {path!r} belongs to a different run (graph, "
+                "targeted parameters or their current values, sizing, "
+                "method, statistic, or key differ); delete it to start "
+                "fresh."
+            )
+        sc, vec = data["scalars"], data["vecs"]
+    return [
+        tuple(sc[i]) + tuple(vec[i]) for i in range(sc.shape[0])
+    ]
 
 
 def _build_stream_tail_grad_fn(
@@ -1010,7 +1239,10 @@ def _build_stream_grad_fn(
     vg = jax.value_and_grad(block_mean, argnums=0)
 
     @jax.jit
-    def run(theta, key, n_blocks, last_count):
+    def run(theta, key, block_lo, n_blocks, last_count):
+        # Absolute-index window semantics, as in the var/std builder.
+        # Returns the RAW carry ``(n, mean, mean_grad)`` for host-side
+        # float64 merging/finalizing (``_finalize_stream_grad``).
         def fold(carry, bn, bv, bg):
             n_prev, mv, mg = carry
             nn = n_prev + bn
@@ -1027,12 +1259,12 @@ def _build_stream_grad_fn(
             jnp.float32(0.0),
             jnp.zeros((n_pairs,), theta.dtype),
         )
-        nb1 = jnp.asarray(n_blocks, jnp.int32) - 1
-        carry = jax.lax.fori_loop(0, nb1, body_fn, init)
+        lo = jnp.asarray(block_lo, jnp.int32)
+        nb1 = lo + jnp.asarray(n_blocks, jnp.int32) - 1
+        carry = jax.lax.fori_loop(lo, nb1, body_fn, init)
         cnt = jnp.asarray(last_count, jnp.int32)
         bv, bg = vg(theta, key, nb1, cnt)
-        _, mv, mg = fold(carry, cnt.astype(jnp.float32), bv, bg)
-        return mv, mg
+        return fold(carry, cnt.astype(jnp.float32), bv, bg)
 
     return run
 

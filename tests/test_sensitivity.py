@@ -1052,6 +1052,119 @@ class TestSequentialSweep:
             )
 
 
+class TestStreamGradCheckpoint:
+    """sensitivity(checkpoint=): resumable streamed-gradient folds."""
+
+    def _model(self):
+        x = pt.Distribution("norm", loc=2.0, scale=3.0)
+        return x, 5 * x + 1
+
+    def _kw(self, path, **extra):
+        kw = dict(
+            size=20_000, block_size=1_024, random_state=0,
+            checkpoint=str(path), checkpoint_every=4_096,
+        )
+        kw.update(extra)
+        return kw
+
+    def test_completed_run_removes_file_and_is_deterministic(self, tmp_path):
+        import os
+
+        x, y = self._model()
+        p = tmp_path / "g.npz"
+        a = sensitivity(y, wrt=x, **self._kw(p))
+        assert not os.path.exists(p)
+        b = sensitivity(y, wrt=x, **self._kw(p))
+        assert a.value == b.value and a.gradients == b.gradients
+        assert abs(a[(x, "loc")] - 5.0) < 1e-3
+        # Matches the plain streamed fold to float accuracy (segmented
+        # float64 host merge vs one device carry).
+        plain = sensitivity(
+            y, wrt=x, size=20_000, block_size=1_024, random_state=0
+        )
+        assert abs(a[(x, "loc")] - plain[(x, "loc")]) < 1e-5
+        assert abs(a.value - plain.value) < 1e-4 * abs(plain.value)
+
+    def test_killed_run_resumes_bitwise_identically(
+        self, tmp_path, monkeypatch
+    ):
+        from probabilit_tpu.engine import sensitivity as sens_mod
+
+        x, y = self._model()
+        p = tmp_path / "g.npz"
+        kw = self._kw(p, statistic="var")
+        full = sensitivity(y, wrt={x: ["scale"]}, **kw)
+
+        # Die right after the second segment's save: the persisted
+        # partial state is exactly what a crash would leave behind.
+        real = sens_mod._save_grad_checkpoint
+        calls = {"n": 0}
+
+        def dying(*a, **k):
+            real(*a, **k)
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated crash")
+
+        monkeypatch.setattr(sens_mod, "_save_grad_checkpoint", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sensitivity(y, wrt={x: ["scale"]}, **kw)
+        monkeypatch.setattr(sens_mod, "_save_grad_checkpoint", real)
+        assert p.exists()
+
+        resumed = sensitivity(y, wrt={x: ["scale"]}, **kw)
+        assert resumed.value == full.value
+        assert resumed.gradients == full.gradients
+
+    def test_mismatched_parameters_refused(self, tmp_path, monkeypatch):
+        from probabilit_tpu.engine import sensitivity as sens_mod
+
+        x, y = self._model()
+        p = tmp_path / "g.npz"
+        kw = self._kw(p)
+        real = sens_mod._save_grad_checkpoint
+        calls = {"n": 0}
+
+        def dying(*a, **k):
+            real(*a, **k)
+            calls["n"] += 1
+            if calls["n"] >= 1:
+                raise RuntimeError("boom")
+
+        monkeypatch.setattr(sens_mod, "_save_grad_checkpoint", dying)
+        with pytest.raises(RuntimeError, match="boom"):
+            sensitivity(y, wrt=x, **kw)
+        monkeypatch.setattr(sens_mod, "_save_grad_checkpoint", real)
+        assert p.exists()
+        # Same graph shape, different CURRENT parameter value: the
+        # fingerprint includes theta0, so the resume must refuse.
+        old = x.kwargs["loc"]
+        x.kwargs["loc"] = 2.5
+        try:
+            with pytest.raises(ValueError, match="different run"):
+                sensitivity(y, wrt=x, **kw)
+        finally:
+            x.kwargs["loc"] = old
+
+    def test_composition_errors(self, tmp_path):
+        x, y = self._model()
+        p = str(tmp_path / "g.npz")
+        with pytest.raises(ValueError, match="block_size"):
+            sensitivity(y, wrt=x, size=1_000, checkpoint=p)
+        with pytest.raises(ValueError, match="single-stream"):
+            sensitivity(
+                y, wrt=x, size=1_000, block_size=256, replicates=2,
+                checkpoint=p,
+            )
+        with pytest.raises(ValueError, match="single-pass"):
+            sensitivity(
+                y, wrt=x, size=1_000, block_size=256,
+                statistic="q0.9", checkpoint=p,
+            )
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            sensitivity(y, wrt=x, size=1_000, checkpoint_every=100)
+
+
 class TestCVaRStatistic:
     """statistic='cvar<level>' — expected-shortfall values and Greeks."""
 
