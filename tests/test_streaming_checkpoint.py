@@ -1500,10 +1500,18 @@ class TestSequentialEstimateMany:
 
     def test_consistent_with_single_sink_rules(self):
         a = Distribution("norm")
-        with pytest.raises(ValueError, match="replicates"):
+        # target_sem + replicates is SUPPORTED for estimate_many (the
+        # replicated Chow-Robbins path) — only a degenerate replicate
+        # count is rejected, same as estimate().
+        with pytest.raises(ValueError, match=">= 2"):
             streaming.estimate_many(
-                [a], 1024, target_sem=0.1, replicates=2, random_state=0
+                [a], 1024, target_sem=0.1, replicates=1, random_state=0
             )
+        out = streaming.estimate_many(
+            [a], 1024, block_size=512, target_sem=0.1, replicates=2,
+            random_state=0,
+        )
+        assert out[a]["converged"] is True and out[a]["replicates"] == 2
         with pytest.raises(ValueError, match="QMC error bar"):
             streaming.estimate_many(
                 [a], 1024, target_sem=0.1, method="lhs", random_state=0
