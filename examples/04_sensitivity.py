@@ -153,6 +153,43 @@ def main():
         f"{curve_s['q0.95'][4]:,.0f} +/- {curve_s['q0.95_sem'][4]:,.0f}"
     )
 
+    # 5. Precision-targeted ladders: instead of guessing a size, let
+    #    every ladder point run until its error bar is tight enough.
+    #    Rounds of replicated CRN streams grow Chow-Robbins-style; all
+    #    rounds reuse the one compiled program.
+    curve_t = sweep(
+        total,
+        {(variables["hourly_rate"], "loc"): rates},
+        size=1 << 14,
+        random_state=0,
+        replicates=4,
+        target_sem=200.0,
+    )
+    print(
+        f"sequential ladder: converged={curve_t.converged} after "
+        f"{curve_t.rounds} round(s), {curve_t.size:,} draws/scenario; "
+        f"worst sem {max(curve_t['sem']):,.0f}"
+    )
+
+    # 6. Long gradient runs survive crashes: the streamed fold persists
+    #    per-segment co-moment carries, and an identical re-run resumes
+    #    at the first unfinished segment (bitwise-identical result).
+    #    The fingerprint pins the CURRENT parameter values, so resuming
+    #    an edited model is refused rather than silently spliced.
+    g_ck = sensitivity(
+        total,
+        wrt={variables["hourly_rate"]: ["loc"]},
+        size=1 << 18,
+        block_size=1 << 15,
+        random_state=0,
+        checkpoint="/tmp/sens_grad.ckpt.npz",
+        checkpoint_every=1 << 16,
+    )
+    print(
+        "checkpointed streamed gradient d mean / d rate = "
+        f"{g_ck[(variables['hourly_rate'], 'loc')]:,.1f}"
+    )
+
 
 if __name__ == "__main__":
     main()
