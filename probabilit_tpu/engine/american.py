@@ -673,12 +673,7 @@ def american_greeks(
         for s, g in zip(wrt, grads):
             out[s] = float(g)
         return out
-    reps = int(replicates)
-    if reps < 2:
-        raise ValueError(
-            f"replicates must be >= 2 (got {reps}): a single evaluation "
-            "sample has no between-replicate spread."
-        )
+    reps = int(replicates)  # >= 2, validated before the pass-1 fit
     vals, gs = [], []
     for r in range(reps):
         (v, _), g = vg(theta0, jax.random.fold_in(k_eval, r), fitted)

@@ -66,9 +66,11 @@ def _resolve_statistic(statistic):
         if len(statistic) > 4 and statistic.startswith("cvar"):
             # "cvar0.95": expected shortfall via the Rockafellar-Uryasev
             # form ``v + E[max(X - v, 0)] / (1 - q)`` with ``v`` the
-            # empirical level quantile — the SAME estimator estimate()'s
-            # cvar<level> keys report, so the two entry points give
-            # identical finite-sample values for the same key name.  Its
+            # empirical level quantile — the same ESTIMATOR FAMILY as
+            # estimate()'s cvar<level> keys (which apply RU per 2^17-
+            # sample row and count-weight the rows, so the two entry
+            # points' finite-sample values agree to the row-averaging
+            # error, not bitwise).  Its
             # pathwise derivative is the Hong-Liu tail-conditional
             # gradient: the relu's subgradient fixes the tail mask, the
             # indicator's own derivative vanishes a.e., and the dv/dtheta
@@ -668,28 +670,35 @@ def sensitivity(
             from probabilit_tpu.engine import streaming as _streaming
 
             def run_one(k):
-                carry = _streaming._estimate_carry(
-                    sink,
-                    sub,
-                    block_size,
-                    k,
-                    "xla",
-                    method_name,
-                    q_levels,
-                    correlator_cls,
-                    cvar=cvar_levels,
+                carry = jax.device_get(
+                    _streaming._estimate_carry(
+                        sink,
+                        sub,
+                        block_size,
+                        k,
+                        "xla",
+                        method_name,
+                        q_levels,
+                        correlator_cls,
+                        cvar=cvar_levels,
+                    )
                 )
-                st = _streaming._finalize_estimate(
+                # Called for its validation only (the fused finite-flag
+                # check); pass-1 quantiles are read POSITIONALLY from
+                # the raw carry below — the dict's "q%g"-formatted keys
+                # collide when the band is narrower than 6 significant
+                # digits (e.g. q0.999999 +/- 5e-7), which would silently
+                # collapse the conditioning band to a point.
+                _streaming._finalize_estimate(
                     carry, sub, q_levels, None, None, cvar_levels
                 )
+                tails = np.asarray(carry[6], np.float64) / float(carry[0])
                 if tail_kind == "q":
-                    v_lo = st[f"q{q_levels[0]:g}"]
-                    v_hi = st[f"q{q_levels[2]:g}"]
-                    value = st[f"q{level:g}"]
+                    v_lo, value, v_hi = (float(t) for t in tails[:3])
                 else:
-                    v_lo = st[f"q{level:g}"]
+                    v_lo = float(tails[0])
                     v_hi = float("inf")
-                    value = st[f"cvar{level:g}"]
+                    value = float(tails[1])
                 cnt, gsum = tail_fn(
                     theta0,
                     k,

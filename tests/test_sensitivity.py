@@ -271,6 +271,38 @@ class TestStreamedTailGradients:
         assert res[(x, "scale")] == pytest.approx(want_scale, rel=0.03)
         assert res.value == pytest.approx(1.0 + 2.0 * want_scale, rel=0.02)
 
+    def test_pass1_band_quantiles_survive_key_collision(self):
+        # "%g"-formatted result keys collide when the band is narrower
+        # than the level's 6th significant digit (q0.999999 +/- 5e-7
+        # all format to "q0.999999"), which would collapse the
+        # conditioning band to a point if pass 2 read the quantiles
+        # back through _finalize_estimate's dict.  Pass 2 therefore
+        # reads POSITIONALLY from the raw carry; this pins both halves
+        # of that contract.
+        import jax
+
+        from probabilit_tpu.engine import compile as _compile
+        from probabilit_tpu.engine import streaming as streaming
+
+        levels = (0.5000001, 0.5000002, 0.5000003)
+        assert len({f"q{lv:g}" for lv in levels}) == 1  # keys DO collide
+        x = pt.Distribution("norm", loc=0.0, scale=1.0)
+        carry = jax.device_get(
+            streaming._estimate_carry(
+                x, 1 << 15, 1 << 12, jax.random.PRNGKey(0), "xla",
+                None, levels, _compile.resolve_correlator("imanconover"),
+            )
+        )
+        tails = np.asarray(carry[6], np.float64) / float(carry[0])
+        # All three level estimates exist positionally, in level order.
+        assert tails.shape == (3,)
+        assert tails[0] <= tails[1] <= tails[2]
+        assert abs(tails[1]) < 0.05  # the median of N(0,1)
+        # The formatted dict keeps only ONE of them — the collision the
+        # positional read exists to sidestep.
+        stats = streaming._finalize_estimate(carry, 1 << 15, levels)
+        assert sum(k.startswith("q0.5") for k in stats) == 1
+
     def test_quantile_gradient_analytic(self):
         # q_a(loc + scale Z) = loc + scale z_a: d/dloc = 1,
         # d/dscale = z_a = 1.2816 at a=0.9.
